@@ -1,0 +1,403 @@
+"""The film stock database.
+
+Role of the reference's ``spectral_film_lut.film_loader`` (reference:
+src/raw2film/__main__.py:27-31 loads a dict[str, FilmSpectral]). Stocks here
+are original parametric definitions for this framework: plausible,
+differentiated characterizations authored from public sensitometric knowledge
+(ISO speeds, contrast, granularity class, spectral balance), not datasheet
+scans.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+from raw2film_tpu.film.sensitometry import HDCurve
+from raw2film_tpu.film.stock import (
+    DyeSet,
+    FilmStock,
+    GrainModel,
+    MTFModel,
+    Sensitivities,
+)
+
+
+def _neg_curve(gamma, dmin=(0.20, 0.62, 0.90), speed=0.0, latitude=3.1, toe=0.35, sh=0.5):
+    """Color-negative H&D curve. ``speed`` shifts the whole curve in stops of
+    extra sensitivity (curve moves left); latitude = straight-line span."""
+    g = gamma if isinstance(gamma, (tuple, list)) else (gamma, gamma * 1.045, gamma * 1.09)
+    x_toe = -2.45 - speed * 0.301
+    return HDCurve(
+        d_min=tuple(dmin),
+        gamma=tuple(g),
+        x_toe=(x_toe, x_toe, x_toe),
+        x_shoulder=(x_toe + latitude,) * 3,
+        w_toe=(toe,) * 3,
+        w_shoulder=(sh,) * 3,
+    )
+
+
+def _bw_curve(gamma=0.65, dmin=0.12, speed=0.0, latitude=3.3):
+    x_toe = -2.4 - speed * 0.301
+    return HDCurve(
+        d_min=(dmin,),
+        gamma=(gamma,),
+        x_toe=(x_toe,),
+        x_shoulder=(x_toe + latitude,),
+        w_toe=(0.4,),
+        w_shoulder=(0.55,),
+    )
+
+
+def _slide_curve(gamma=-1.7, dmax=3.5, dmin=0.12, latitude=2.0):
+    """Reversal: density falls with exposure (gamma < 0); d_min field holds
+    the high (unexposed) density end. Curve is placed so mid-grey
+    (logE = -0.745) develops to density ~1.0 — the standard slide aim."""
+    x_toe = -0.745 - (dmax - 1.0) / abs(gamma)
+    return HDCurve(
+        d_min=(dmax, dmax, dmax),
+        gamma=(gamma, gamma * 1.02, gamma * 1.05),
+        x_toe=(x_toe,) * 3,
+        x_shoulder=(x_toe + (dmax - dmin) / abs(gamma),) * 3,
+        w_toe=(0.28,) * 3,
+        w_shoulder=(0.22,) * 3,
+    )
+
+
+def _paper_curve(gamma=2.8, dmin=0.07, dmax=2.35):
+    lat = (dmax - dmin) / gamma
+    return HDCurve(
+        d_min=(dmin, dmin * 1.1, dmin * 1.25),
+        gamma=(gamma, gamma * 1.02, gamma * 1.05),
+        x_toe=(-1.45 - lat / 2,) * 3,
+        x_shoulder=(-1.45 + lat / 2,) * 3,
+        w_toe=(0.22,) * 3,
+        w_shoulder=(0.18,) * 3,
+    )
+
+
+def _stocks() -> list[FilmStock]:
+    s: list[FilmStock] = []
+
+    # ----------------------------------------------------- color negatives
+    s.append(
+        FilmStock(
+            name="Kodak Portra 400",
+            manufacturer="Kodak",
+            year=2010,
+            iso=400,
+            resolution=115,
+            curve=_neg_curve(0.60, speed=0.0, latitude=3.4, toe=0.42, sh=0.62),
+            sens=Sensitivities(peaks=(642.0, 549.0, 467.0), widths=(37.0, 36.0, 33.0)),
+            grain=GrainModel(rms=4.3),
+            mtf_model=MTFModel(f50=52.0, adj=0.28),
+            comment="Soft, wide-latitude portrait negative.",
+        )
+    )
+    s.append(
+        FilmStock(
+            name="Kodak Portra 160",
+            manufacturer="Kodak",
+            year=2011,
+            iso=160,
+            resolution=125,
+            curve=_neg_curve(0.58, latitude=3.3, toe=0.40, sh=0.60),
+            sens=Sensitivities(peaks=(642.0, 549.0, 467.0), widths=(36.0, 35.0, 32.0)),
+            grain=GrainModel(rms=3.2),
+            mtf_model=MTFModel(f50=60.0, adj=0.26),
+        )
+    )
+    s.append(
+        FilmStock(
+            name="Kodak Portra 800",
+            manufacturer="Kodak",
+            year=1998,
+            iso=800,
+            resolution=100,
+            curve=_neg_curve(0.61, latitude=3.2, toe=0.45, sh=0.62),
+            grain=GrainModel(rms=5.9),
+            mtf_model=MTFModel(f50=44.0, adj=0.30),
+        )
+    )
+    s.append(
+        FilmStock(
+            name="Kodak Ektar 100",
+            manufacturer="Kodak",
+            year=2008,
+            iso=100,
+            resolution=160,
+            curve=_neg_curve(0.72, latitude=2.8, toe=0.30, sh=0.45),
+            sens=Sensitivities(peaks=(648.0, 546.0, 462.0), widths=(33.0, 33.0, 30.0)),
+            dyes=DyeSet(unwanted=(0.08, 0.13, 0.03)),
+            grain=GrainModel(rms=2.6),
+            mtf_model=MTFModel(f50=80.0, adj=0.33),
+            comment="Saturated, ultra-fine-grain landscape negative.",
+        )
+    )
+    s.append(
+        FilmStock(
+            name="Kodak Gold 200",
+            manufacturer="Kodak",
+            year=1997,
+            iso=200,
+            resolution=100,
+            curve=_neg_curve(0.66, dmin=(0.22, 0.66, 0.98), latitude=3.0),
+            grain=GrainModel(rms=4.8),
+            mtf_model=MTFModel(f50=50.0, adj=0.27),
+        )
+    )
+    s.append(
+        FilmStock(
+            name="Fuji Pro 400H",
+            manufacturer="Fujifilm",
+            year=2004,
+            iso=400,
+            resolution=110,
+            curve=_neg_curve(0.59, dmin=(0.18, 0.60, 0.92), latitude=3.4, toe=0.45),
+            sens=Sensitivities(peaks=(636.0, 552.0, 470.0), widths=(38.0, 38.0, 34.0)),
+            grain=GrainModel(rms=4.5),
+            mtf_model=MTFModel(f50=50.0, adj=0.26),
+            comment="Cool-leaning, pastel 4th-layer negative.",
+        )
+    )
+    s.append(
+        FilmStock(
+            name="Fuji Superia X-Tra 400",
+            manufacturer="Fujifilm",
+            year=1998,
+            iso=400,
+            resolution=105,
+            curve=_neg_curve(0.65, dmin=(0.21, 0.64, 0.96), latitude=3.1),
+            sens=Sensitivities(peaks=(637.0, 553.0, 469.0), widths=(37.0, 37.0, 33.0)),
+            grain=GrainModel(rms=5.2),
+            mtf_model=MTFModel(f50=48.0, adj=0.28),
+        )
+    )
+    s.append(
+        FilmStock(
+            name="Kodak Vision3 50D",
+            manufacturer="Kodak",
+            year=2012,
+            iso=50,
+            resolution=175,
+            curve=_neg_curve(0.55, dmin=(0.18, 0.55, 0.85), latitude=3.8, toe=0.40, sh=0.70),
+            grain=GrainModel(rms=2.4),
+            mtf_model=MTFModel(f50=85.0, adj=0.32),
+            comment="Motion-picture daylight negative.",
+        )
+    )
+    s.append(
+        FilmStock(
+            name="Kodak Vision3 250D",
+            manufacturer="Kodak",
+            year=2009,
+            iso=250,
+            resolution=140,
+            curve=_neg_curve(0.55, dmin=(0.19, 0.57, 0.87), latitude=3.8, toe=0.42, sh=0.70),
+            grain=GrainModel(rms=3.4),
+            mtf_model=MTFModel(f50=65.0, adj=0.30),
+        )
+    )
+    s.append(
+        FilmStock(
+            name="Kodak Vision3 500T",
+            manufacturer="Kodak",
+            year=2007,
+            iso=500,
+            native_kelvin=3200.0,
+            resolution=120,
+            curve=_neg_curve(0.56, dmin=(0.20, 0.58, 0.88), latitude=3.7, toe=0.45, sh=0.70),
+            sens=Sensitivities(peaks=(645.0, 550.0, 463.0), widths=(38.0, 36.0, 33.0)),
+            grain=GrainModel(rms=4.6),
+            mtf_model=MTFModel(f50=55.0, adj=0.30),
+            comment="Tungsten-balanced motion-picture negative.",
+        )
+    )
+    s.append(
+        FilmStock(
+            name="CineStill 800T",
+            manufacturer="CineStill",
+            year=2012,
+            iso=800,
+            native_kelvin=3200.0,
+            resolution=110,
+            curve=_neg_curve(0.56, dmin=(0.16, 0.54, 0.84), latitude=3.6, toe=0.45, sh=0.68),
+            sens=Sensitivities(peaks=(645.0, 550.0, 463.0), widths=(38.0, 36.0, 33.0)),
+            grain=GrainModel(rms=5.4),
+            mtf_model=MTFModel(f50=52.0, adj=0.30),
+            comment="Remjet-removed 500T: prone to strong red halation.",
+        )
+    )
+
+    # ----------------------------------------------------- black & white
+    s.append(
+        FilmStock(
+            name="Kodak Tri-X 400",
+            manufacturer="Kodak",
+            year=1954,
+            iso=400,
+            resolution=100,
+            density_measure="bw",
+            curve=_bw_curve(0.68, dmin=0.14, latitude=3.3),
+            grain=GrainModel(rms=6.3, floor=0.22),
+            mtf_model=MTFModel(f50=55.0, adj=0.38),
+            comment="The classic high-acutance BW press film.",
+        )
+    )
+    s.append(
+        FilmStock(
+            name="Ilford HP5 Plus 400",
+            manufacturer="Ilford",
+            year=1989,
+            iso=400,
+            resolution=95,
+            density_measure="bw",
+            curve=_bw_curve(0.62, dmin=0.12, latitude=3.5),
+            grain=GrainModel(rms=5.8, floor=0.2),
+            mtf_model=MTFModel(f50=50.0, adj=0.33),
+        )
+    )
+    s.append(
+        FilmStock(
+            name="Ilford Delta 100",
+            manufacturer="Ilford",
+            year=1992,
+            iso=100,
+            resolution=160,
+            density_measure="bw",
+            curve=_bw_curve(0.70, dmin=0.10, latitude=3.0),
+            grain=GrainModel(rms=2.8, floor=0.18),
+            mtf_model=MTFModel(f50=90.0, adj=0.30),
+        )
+    )
+
+    # ----------------------------------------------------- reversal (slide)
+    s.append(
+        FilmStock(
+            name="Kodak Ektachrome E100",
+            manufacturer="Kodak",
+            year=2018,
+            iso=100,
+            film_type="positive",
+            resolution=125,
+            curve=_slide_curve(-1.65, dmax=3.6, dmin=0.15, latitude=2.2),
+            dyes=DyeSet(unwanted=(0.07, 0.12, 0.03)),
+            grain=GrainModel(rms=2.8),
+            mtf_model=MTFModel(f50=65.0, adj=0.28),
+        )
+    )
+    s.append(
+        FilmStock(
+            name="Fuji Velvia 50",
+            manufacturer="Fujifilm",
+            year=1990,
+            iso=50,
+            film_type="positive",
+            resolution=160,
+            curve=_slide_curve(-1.95, dmax=3.8, dmin=0.12, latitude=1.9),
+            sens=Sensitivities(peaks=(646.0, 545.0, 460.0), widths=(32.0, 32.0, 29.0)),
+            dyes=DyeSet(unwanted=(0.06, 0.10, 0.02)),
+            grain=GrainModel(rms=2.6),
+            mtf_model=MTFModel(f50=80.0, adj=0.30),
+            comment="Ultra-saturated landscape slide.",
+        )
+    )
+    s.append(
+        FilmStock(
+            name="Fuji Provia 100F",
+            manufacturer="Fujifilm",
+            year=2001,
+            iso=100,
+            film_type="positive",
+            resolution=140,
+            curve=_slide_curve(-1.7, dmax=3.6, dmin=0.13, latitude=2.1),
+            grain=GrainModel(rms=2.3),
+            mtf_model=MTFModel(f50=70.0, adj=0.28),
+        )
+    )
+
+    # ----------------------------------------------------- print media
+    s.append(
+        FilmStock(
+            name="Fuji Crystal Archive Maxima",
+            manufacturer="Fujifilm",
+            year=2014,
+            stage="print",
+            film_type="paper",
+            medium="paper",
+            iso=0,
+            resolution=120,
+            curve=_paper_curve(2.9, dmin=0.06, dmax=2.45),
+            sens=Sensitivities(peaks=(695.0, 552.0, 472.0), widths=(30.0, 32.0, 30.0)),
+            dyes=DyeSet(peaks=(650.0, 542.0, 442.0), unwanted=(0.06, 0.10, 0.02)),
+            grain=None,
+            mtf_model=None,
+            comment="High-gloss silver-halide display paper.",
+        )
+    )
+    s.append(
+        FilmStock(
+            name="Kodak Endura Premier",
+            manufacturer="Kodak",
+            year=2012,
+            stage="print",
+            film_type="paper",
+            medium="paper",
+            iso=0,
+            resolution=110,
+            curve=_paper_curve(2.7, dmin=0.07, dmax=2.30),
+            sens=Sensitivities(peaks=(700.0, 550.0, 470.0), widths=(32.0, 33.0, 31.0)),
+            dyes=DyeSet(peaks=(652.0, 545.0, 444.0), unwanted=(0.07, 0.11, 0.03)),
+            grain=None,
+            mtf_model=None,
+        )
+    )
+    s.append(
+        FilmStock(
+            name="Kodak Vision Premier 2393",
+            manufacturer="Kodak",
+            year=2002,
+            stage="print",
+            film_type="positive",
+            iso=0,
+            resolution=150,
+            curve=_paper_curve(3.1, dmin=0.05, dmax=3.9),
+            sens=Sensitivities(peaks=(690.0, 548.0, 465.0), widths=(28.0, 30.0, 28.0)),
+            dyes=DyeSet(peaks=(655.0, 544.0, 443.0), unwanted=(0.05, 0.09, 0.02)),
+            grain=None,
+            mtf_model=None,
+            comment="Premium motion-picture print stock (projection contrast).",
+        )
+    )
+    s.append(
+        FilmStock(
+            name="Kodak 2383",
+            manufacturer="Kodak",
+            year=1998,
+            stage="print",
+            film_type="positive",
+            iso=0,
+            resolution=150,
+            curve=_paper_curve(3.0, dmin=0.06, dmax=3.7),
+            sens=Sensitivities(peaks=(690.0, 548.0, 465.0), widths=(29.0, 31.0, 29.0)),
+            dyes=DyeSet(peaks=(655.0, 544.0, 443.0), unwanted=(0.06, 0.10, 0.03)),
+            grain=None,
+            mtf_model=None,
+            comment="The standard cine print emulation target.",
+        )
+    )
+    return s
+
+
+@lru_cache(maxsize=1)
+def load_film_stocks() -> dict[str, FilmStock]:
+    """Name -> FilmStock database (the reference's film_loader equivalent)."""
+    return {stock.name: stock for stock in _stocks()}
+
+
+def camera_stocks() -> dict[str, FilmStock]:
+    return {k: v for k, v in load_film_stocks().items() if v.stage == "camera"}
+
+
+def print_stocks() -> dict[str, FilmStock]:
+    return {k: v for k, v in load_film_stocks().items() if v.stage == "print"}

@@ -1,0 +1,262 @@
+"""Film-science core invariants: curves, calibration, stocks, LUT builders."""
+
+import numpy as np
+import pytest
+
+from raw2film_tpu.config import INPUT_LUT_SIZE, PRINT_LUT_SIZE
+from raw2film_tpu.film import chain, luts, spectra
+from raw2film_tpu.film.loader import camera_stocks, load_film_stocks, print_stocks
+from raw2film_tpu.film.sensitometry import HDCurve, tabulate_curve
+
+STOCKS = load_film_stocks()
+PORTRA = STOCKS["Kodak Portra 400"]
+PAPER = STOCKS["Fuji Crystal Archive Maxima"]
+TRIX = STOCKS["Kodak Tri-X 400"]
+E100 = STOCKS["Kodak Ektachrome E100"]
+
+
+def _grey_ramp(n=17, lo=0.002, hi=2.0):
+    w = spectra.white_with_tint(6500.0, 0.0)
+    g = np.geomspace(lo, hi, n)
+    return g, w.reshape(3, 1, 1) * g.reshape(1, n, 1)
+
+
+class TestSpectra:
+    def test_observer_shape_and_peaks(self):
+        xyz = spectra.cie_xyz_bar()
+        assert xyz.shape == (3, len(spectra.WAVELENGTHS))
+        wl = spectra.WAVELENGTHS
+        assert abs(wl[np.argmax(xyz[0])] - 599) < 15  # x-bar main lobe
+        assert abs(wl[np.argmax(xyz[1])] - 555) < 15
+        assert abs(wl[np.argmax(xyz[2])] - 445) < 15
+
+    def test_kelvin_round_trip(self):
+        for k in (3200.0, 5500.0, 6500.0):
+            xyz = spectra.kelvin_to_xyz(k)
+            k2 = spectra.xyz_to_kelvin(xyz)
+            assert abs(k2 - k) / k < 0.03
+
+    def test_planck_chromaticity_matches_locus(self):
+        # The blackbody SPD's CCT should come out near the requested kelvin.
+        for k in (3200.0, 5000.0):
+            xyz = spectra.spd_to_xyz(spectra.planck_spd(k))
+            assert abs(spectra.xyz_to_kelvin(xyz) - k) / k < 0.06
+
+    def test_adaptation_maps_whitepoints(self):
+        src = spectra.kelvin_to_xyz(4000.0)
+        dst = spectra.kelvin_to_xyz(6504.0)
+        m = spectra.adaptation_matrix(src, dst)
+        np.testing.assert_allclose(m @ src, dst, atol=1e-9)
+
+    def test_tint_moves_perpendicular(self):
+        w0 = spectra.white_with_tint(6500.0, 0.0)
+        wg = spectra.white_with_tint(6500.0, 5.0)
+        assert not np.allclose(w0, wg)
+        # Positive tint increases y (toward green).
+        y0 = w0[1] / w0.sum()
+        yg = wg[1] / wg.sum()
+        assert yg > y0
+
+
+class TestSensitometry:
+    def test_curve_monotone_and_bounded(self):
+        c = PORTRA.curve
+        x = np.linspace(-5, 3, 400)
+        tab = tabulate_curve(c)
+        for ch in range(1, 4):
+            d = tab[ch]
+            assert np.all(np.diff(d) >= -1e-7)
+        assert np.all(tab[1:] >= np.min(c.d_min) - 1e-4)
+
+    def test_push_pull_raises_contrast(self):
+        lo = tabulate_curve(PORTRA.curve, push_pull=0.0)
+        hi = tabulate_curve(PORTRA.curve, push_pull=2.0)
+        mid = lo.shape[1] // 2
+        slope_lo = np.gradient(lo[2])[mid]
+        slope_hi = np.gradient(hi[2])[mid]
+        assert slope_hi > slope_lo * 1.15
+
+    def test_dmax_formula(self):
+        c = PORTRA.curve
+        d_min, gamma, x_toe, x_sh, w_t, w_s = c.params()
+        from raw2film_tpu.film.sensitometry import density_from_params
+
+        d = density_from_params(10.0, d_min, gamma, x_toe, x_sh, w_t, w_s)
+        np.testing.assert_allclose(d, c.d_max, rtol=1e-3)
+
+
+class TestChainCalibration:
+    def test_grey_prints_neutral_018(self):
+        neg_p = chain.build_negative_params(PORTRA)
+        prt_p = chain.build_print_params(PORTRA, PAPER, neg_params=neg_p)
+        out_p = chain.build_output_params(PORTRA, PAPER, prt_p, neg_p)
+        d = chain.develop_negative(np.full((3, 1, 1), 0.18), neg_p)
+        lin = chain.print_to_linear_xyz(d, prt_p)
+        rgb = (out_p.to_display @ lin[:, 0, 0]) * out_p.white_gain
+        np.testing.assert_allclose(rgb, 0.18, rtol=1e-4)
+
+    def test_ramp_monotone_all_modes(self):
+        g, xyz = _grey_ramp()
+        for neg, prt, inv in [
+            (PORTRA, PAPER, False),
+            (PORTRA, None, True),
+            (TRIX, None, True),
+            (E100, None, False),
+        ]:
+            neg_p = chain.build_negative_params(neg)
+            prt_p = chain.build_print_params(neg, prt, inversion=inv, neg_params=neg_p)
+            out_p = chain.build_output_params(neg, prt, prt_p, neg_p)
+            rgb = chain.render_oracle(xyz, neg_p, prt_p, out_p)
+            assert np.all(np.isfinite(rgb))
+            for c in range(3):
+                assert np.all(np.diff(rgb[c, :, 0]) >= -1e-5), (neg.name, c)
+
+    def test_exposure_comp_brightens(self):
+        g, xyz = _grey_ramp(5)
+        outs = []
+        for ec in (0.0, 1.0):
+            neg_p = chain.build_negative_params(PORTRA, exp_comp=ec)
+            prt_p = chain.build_print_params(PORTRA, PAPER, neg_params=neg_p)
+            out_p = chain.build_output_params(PORTRA, PAPER, prt_p, neg_p)
+            outs.append(chain.render_oracle(xyz, neg_p, prt_p, out_p))
+        assert np.mean(outs[1][1]) > np.mean(outs[0][1]) + 0.02
+
+    def test_printer_lights_shift_balance(self):
+        g, xyz = _grey_ramp(5)
+        neg_p = chain.build_negative_params(PORTRA)
+        base = chain.build_print_params(PORTRA, PAPER, neg_params=neg_p)
+        red = chain.build_print_params(PORTRA, PAPER, red_light=0.5, neg_params=neg_p)
+        out_b = chain.build_output_params(PORTRA, PAPER, base, neg_p)
+        rgb_b = chain.render_oracle(xyz, neg_p, base, out_b)
+        rgb_r = chain.render_oracle(xyz, neg_p, red, out_b)
+        # More red printer light -> denser cyan -> less red in the print.
+        assert np.mean(rgb_r[0]) < np.mean(rgb_b[0]) - 0.01
+
+    def test_bw_renders_grey(self):
+        g, xyz = _grey_ramp(7)
+        neg_p = chain.build_negative_params(TRIX)
+        prt_p = chain.build_print_params(TRIX, None, inversion=True, neg_params=neg_p)
+        out_p = chain.build_output_params(TRIX, None, prt_p, neg_p)
+        rgb = chain.render_oracle(xyz, neg_p, prt_p, out_p)
+        np.testing.assert_allclose(rgb[0], rgb[1], atol=1e-5)
+        np.testing.assert_allclose(rgb[1], rgb[2], atol=1e-5)
+
+    def test_slide_direct_view_neutral(self):
+        g, xyz = _grey_ramp(9)
+        neg_p = chain.build_negative_params(E100)
+        prt_p = chain.build_print_params(E100, None, neg_params=neg_p)
+        out_p = chain.build_output_params(E100, None, prt_p, neg_p)
+        rgb = chain.render_oracle(xyz, neg_p, prt_p, out_p)
+        mid = rgb[:, 5, 0]
+        assert np.max(mid) - np.min(mid) < 0.08
+
+    def test_tungsten_stock_balances_tungsten_light(self):
+        """A 500T negative white-balanced for 3200K should render a tungsten
+        grey more neutrally than the daylight setting renders it."""
+        v500t = STOCKS["Kodak Vision3 500T"]
+        w_tungsten = spectra.white_with_tint(3200.0, 0.0)
+        xyz = w_tungsten.reshape(3, 1, 1) * 0.18
+        neg_p = chain.build_negative_params(v500t, exp_kelvin=3200.0)
+        prt_p = chain.build_print_params(v500t, STOCKS["Kodak 2383"], neg_params=neg_p)
+        out_p = chain.build_output_params(v500t, STOCKS["Kodak 2383"], prt_p, neg_p)
+        rgb = chain.render_oracle(xyz, neg_p, prt_p, out_p)[:, 0, 0]
+        assert np.max(rgb) - np.min(rgb) < 0.1
+
+
+class TestStocks:
+    def test_database_loads(self):
+        assert len(STOCKS) >= 20
+        assert len(camera_stocks()) >= 15
+        assert len(print_stocks()) >= 4
+
+    def test_attribute_surface(self):
+        s = PORTRA
+        for attr in (
+            "name",
+            "year",
+            "manufacturer",
+            "stage",
+            "film_type",
+            "medium",
+            "iso",
+            "resolution",
+            "rms",
+            "rms_density",
+            "density_measure",
+            "mtf",
+            "d_ref",
+            "gamma",
+            "alias",
+            "comment",
+            "color_masking_strength",
+        ):
+            assert hasattr(s, attr), attr
+
+    def test_mtf_tabulation(self):
+        logf, vals = PORTRA.mtf[0]
+        assert vals[0] > 0.95  # low frequency ~ full response
+        assert vals[-1] < 0.2  # rolls off
+        assert np.max(vals) > 1.0  # adjacency boost
+
+    def test_d_ref_reasonable(self):
+        d = PORTRA.d_ref
+        assert d.shape == (3,)
+        assert np.all(d > PORTRA.curve.d_min) and np.all(d < 3.0)
+
+
+class TestLutBuilders:
+    def test_input_lut_shape_and_energy(self):
+        lut = luts.get_input_lut(PORTRA, 6500, 0, 0)
+        assert lut.shape == (INPUT_LUT_SIZE, INPUT_LUT_SIZE, 3)
+        assert np.all(lut >= 0) and np.all(np.isfinite(lut))
+
+    def test_density_curve_layout(self):
+        c = luts.get_density_curve(PORTRA, 0.0, 1.0)
+        assert c.shape[0] == 4
+        assert c[0, 0] < c[0, -1]
+
+    def test_create_lut(self):
+        lut = luts.create_lut(PORTRA, PAPER, size=17)
+        assert lut.shape == (17, 17, 17, 3)
+        assert np.all(lut >= 0) and np.all(lut <= 1)
+        # Dense negative (bright scene) -> bright print: increasing all
+        # densities raises output.
+        assert lut[12, 12, 12, 1] > lut[2, 2, 2, 1]
+
+    def test_log_clip_and_interp(self):
+        img = np.abs(np.random.default_rng(0).normal(0.2, 0.1, (3, 8, 8))).astype(
+            np.float32
+        )
+        c = luts.get_density_curve(PORTRA)
+        logged = luts.log_clip(img.copy())
+        out = luts.multi_channel_interp(logged, c)
+        assert out.shape == img.shape
+        d_direct = chain.develop_negative(img, chain.build_negative_params(PORTRA))
+        # Tabulated path approximates the analytic path (interp error only);
+        # masking/flare differ slightly, so just sanity-band it.
+        assert np.all(np.isfinite(out))
+
+
+class TestGrain:
+    def test_kernel_none_when_subpixel(self):
+        from raw2film_tpu.film.grain import grain_kernel
+
+        assert grain_kernel(1 / 10.0, 0.006, 0.4) is None
+        k = grain_kernel(1 / 400.0, 0.006, 0.4)
+        assert k is not None and k.ndim == 2
+        np.testing.assert_allclose(np.linalg.norm(k), 1.0, rtol=1e-6)
+
+    def test_generate_grain_unit_variance(self):
+        from raw2film_tpu.film.grain import generate_grain
+
+        g = generate_grain((256, 256), 400.0, 0.006, bw=False, seed=3)
+        assert g.shape == (3, 256, 256)
+        assert 0.7 < np.std(g) < 1.3
+
+    def test_amplitude_peaks_midcurve(self):
+        from raw2film_tpu.film.grain import grain_amplitude
+
+        d = np.linspace(0.2, 3.0, 50)
+        amp = grain_amplitude(PORTRA, d, scale=200.0)
+        assert np.argmax(amp) not in (0, len(d) - 1)
+        assert np.all(amp >= 0)
