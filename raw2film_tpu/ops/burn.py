@@ -1,0 +1,43 @@
+"""Highlight burn: local tone-mapping on density.
+
+Reference: ``img -= hb * down_up_blur(max(green - d_ref, 0))`` where
+down_up_blur = INTER_AREA downsample by ceil(min(H,W)/burn_scale) ->
+Gaussian sigma=3 truncate=2 -> bilinear upsample (reference:
+src/raw2film/effects.py:360-418, shaders/highlight_burn.wgsl).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+
+from raw2film_tpu.ops import conv as convops
+
+
+def down_up_blur(
+    mask: jnp.ndarray, burn_scale: float = 50.0
+) -> jnp.ndarray:
+    """(1, H, W) -> (1, H, W): area-downsample, sigma=3 trunc=2 blur, upsample."""
+    h, w = mask.shape[-2:]
+    factor = max(1, math.ceil(min(h, w) / burn_scale))
+    small = convops.box_downsample(mask, factor)
+    blurred = convops.gaussian_blur(small, 3.0, truncate=2.0)
+    return convops.zoom_upsample(blurred, factor, (h, w))
+
+
+def burn(
+    density: jnp.ndarray,
+    d_ref_green: float,
+    highlight_burn: float,
+    burn_scale: float = 50.0,
+) -> jnp.ndarray:
+    """Apply highlight burn to a density-domain planar image (3, H, W).
+
+    Uses the green channel (or the single channel for BW) as the luminance
+    proxy, like the reference (src/raw2film/effects.py:411-414).
+    """
+    g = density[1:2]
+    mask = jnp.maximum(g - d_ref_green, 0.0)
+    blur = down_up_blur(mask, burn_scale)
+    return jnp.maximum(density - highlight_burn * blur, 0.0)

@@ -1,0 +1,141 @@
+"""Bayer demosaic on device: Malvar-He-Cutler 5x5 linear demosaic.
+
+The reference delegates demosaic to LibRaw's PPG on the host
+(reference: src/raw2film/raw_conversion.py:36-48). TPU-first design moves it
+on-device as five fixed 5x5 convolutions + phase selects — pure conv/VPU
+work, no gathers, vectorizes over the whole frame (and batches under vmap).
+Kernel coefficients are the published Malvar-He-Cutler (ICASSP 2004) ones.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from raw2film_tpu.ops import conv as convops
+
+# --- MHC kernels, x1/8 ----------------------------------------------------
+_G_AT_RB = (
+    np.array(
+        [
+            [0, 0, -1, 0, 0],
+            [0, 0, 2, 0, 0],
+            [-1, 2, 4, 2, -1],
+            [0, 0, 2, 0, 0],
+            [0, 0, -1, 0, 0],
+        ],
+        np.float32,
+    )
+    / 8.0
+)
+
+_RB_AT_G_SAME_ROW = (
+    np.array(
+        [
+            [0, 0, 0.5, 0, 0],
+            [0, -1, 0, -1, 0],
+            [-1, 4, 5, 4, -1],
+            [0, -1, 0, -1, 0],
+            [0, 0, 0.5, 0, 0],
+        ],
+        np.float32,
+    )
+    / 8.0
+)
+
+_RB_AT_G_SAME_COL = _RB_AT_G_SAME_ROW.T.copy()
+
+_RB_AT_OPPOSITE = (
+    np.array(
+        [
+            [0, 0, -1.5, 0, 0],
+            [0, 2, 0, 2, 0],
+            [-1.5, 0, 6, 0, -1.5],
+            [0, 2, 0, 2, 0],
+            [0, 0, -1.5, 0, 0],
+        ],
+        np.float32,
+    )
+    / 8.0
+)
+
+_PATTERNS = {
+    "RGGB": (0, 0),
+    "BGGR": (1, 1),
+    "GRBG": (0, 1),
+    "GBRG": (1, 0),
+}
+
+
+def _phase_masks(h: int, w: int, r_at: tuple[int, int]):
+    """Boolean masks for the four Bayer phases given the R phase offset."""
+    yy = jnp.arange(h)[:, None] & 1
+    xx = jnp.arange(w)[None, :] & 1
+    ry, rx = r_at
+    r = (yy == ry) & (xx == rx)
+    b = (yy == 1 - ry) & (xx == 1 - rx)
+    g_r_row = (yy == ry) & (xx == 1 - rx)  # green sharing a row with red
+    g_b_row = (yy == 1 - ry) & (xx == rx)
+    return r, g_r_row, g_b_row, b
+
+
+def demosaic_mhc(bayer: jnp.ndarray, pattern: str = "RGGB") -> jnp.ndarray:
+    """bayer (H, W) float -> planar RGB (3, H, W)."""
+    if pattern not in _PATTERNS:
+        raise ValueError(f"unsupported Bayer pattern {pattern!r}")
+    h, w = bayer.shape
+    r_mask, grr, gbr, b_mask = _phase_masks(h, w, _PATTERNS[pattern])
+
+    x = bayer[None]  # (1, H, W) single channel for conv
+    conv = lambda k: convops.depthwise_conv2d(x, jnp.asarray(k))[0]
+
+    g_interp = conv(_G_AT_RB)
+    same_row = conv(_RB_AT_G_SAME_ROW)
+    same_col = conv(_RB_AT_G_SAME_COL)
+    opposite = conv(_RB_AT_OPPOSITE)
+
+    g = jnp.where(r_mask | b_mask, g_interp, bayer)
+    r = jnp.where(
+        r_mask,
+        bayer,
+        jnp.where(grr, same_row, jnp.where(gbr, same_col, opposite)),
+    )
+    b = jnp.where(
+        b_mask,
+        bayer,
+        jnp.where(gbr, same_row, jnp.where(grr, same_col, opposite)),
+    )
+    return jnp.stack([r, g, b])
+
+
+def demosaic_bilinear(bayer: jnp.ndarray, pattern: str = "RGGB") -> jnp.ndarray:
+    """Cheap bilinear demosaic (preview / half-res substitutes)."""
+    if pattern not in _PATTERNS:
+        raise ValueError(f"unsupported Bayer pattern {pattern!r}")
+    h, w = bayer.shape
+    r_mask, grr, gbr, b_mask = _phase_masks(h, w, _PATTERNS[pattern])
+    x = bayer[None]
+    conv = lambda k: convops.depthwise_conv2d(x, jnp.asarray(k, jnp.float32))[0]
+    kg = np.array([[0, 1, 0], [1, 4, 1], [0, 1, 0]], np.float32) / 4.0
+    krb = np.array([[1, 2, 1], [2, 4, 2], [1, 2, 1]], np.float32) / 4.0
+    g = jnp.where(r_mask | b_mask, conv(kg), bayer)
+    r_plane = jnp.where(r_mask, bayer, 0.0)
+    b_plane = jnp.where(b_mask, bayer, 0.0)
+    r = jnp.where(r_mask, bayer, convops.depthwise_conv2d(r_plane[None], jnp.asarray(krb))[0])
+    b = jnp.where(b_mask, bayer, convops.depthwise_conv2d(b_plane[None], jnp.asarray(krb))[0])
+    return jnp.stack([r, g, b])
+
+
+def half_size_decode(bayer: jnp.ndarray, pattern: str = "RGGB") -> jnp.ndarray:
+    """LibRaw half_size-style decode: each 2x2 cell -> one RGB pixel (greens
+    averaged). Used for fast previews (reference: raw_conversion.py:33
+    half_size=True default for preview)."""
+    if pattern not in _PATTERNS:
+        raise ValueError(f"unsupported Bayer pattern {pattern!r}")
+    ry, rx = _PATTERNS[pattern]
+    h2, w2 = bayer.shape[0] // 2, bayer.shape[1] // 2
+    cells = bayer[: h2 * 2, : w2 * 2].reshape(h2, 2, w2, 2).transpose(0, 2, 1, 3)
+    r = cells[:, :, ry, rx]
+    b = cells[:, :, 1 - ry, 1 - rx]
+    g = 0.5 * (cells[:, :, ry, 1 - rx] + cells[:, :, 1 - ry, rx])
+    return jnp.stack([r, g, b])

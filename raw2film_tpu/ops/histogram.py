@@ -1,0 +1,74 @@
+"""RGB histogram: device binning (one-hot matmul), host strip rasterization.
+
+Reference: 256-bin counts -> log1p normalize -> 3-tap smooth -> render to an
+RGBA strip via a precomputed 2x2x2 additive mix table (reference:
+src/raw2film/utils.py:93-223, shaders/histogram.wgsl). The counting runs on
+device without scatters: bincount as ones @ one-hot, an MXU matmul.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+@jax.jit
+def histogram_counts(img_u8: jnp.ndarray) -> jnp.ndarray:
+    """img_u8 (3, H, W) uint8 -> (3, 256) float32 counts (scatter-free)."""
+    flat = img_u8.reshape(3, -1).astype(jnp.int32)
+    iota = jnp.arange(256, dtype=jnp.int32)
+    oh = (flat[..., None] == iota).astype(jnp.float32)  # (3, P, 256)
+    return oh.sum(axis=1)
+
+
+def precompute_mix_table(
+    red=None, green=None, blue=None
+) -> np.ndarray:
+    """(2, 2, 2, 4) uint8 additive-blend table (linear-light mixing)."""
+    if red is None:
+        # Perceptually-tuned channel hues (sRGB 8-bit).
+        red = np.array([235.0, 90.0, 80.0])
+        green = np.array([80.0, 200.0, 90.0])
+        blue = np.array([95.0, 110.0, 235.0])
+    lin = [np.asarray(c, np.float32) / 255.0 for c in (red, green, blue)]
+    lin = [c**2.2 for c in lin]
+    table = np.zeros((2, 2, 2, 4), np.uint8)
+    for r in (0, 1):
+        for g in (0, 1):
+            for b in (0, 1):
+                if not (r or g or b):
+                    continue
+                mix = np.clip(r * lin[0] + g * lin[1] + b * lin[2], 0, 1)
+                table[r, g, b, :3] = np.round(mix ** (1 / 2.2) * 255)
+                table[r, g, b, 3] = 255
+    peak = (table[1, 1, 1, :3] / 255.0) ** 2.2
+    table[1, 1, 1, :3] = int(round(peak.mean() ** (1 / 2.2) * 255))
+    return table
+
+
+MIX_TABLE = precompute_mix_table()
+
+
+def render_histogram(
+    counts: np.ndarray, height: int = 100, mix_table: np.ndarray = MIX_TABLE
+) -> np.ndarray:
+    """(3, 256) counts -> (height, 256, 4) uint8 strip (host; tiny)."""
+    c = np.asarray(counts, np.float32)
+    mx = max(float(c.max()), 1.0)
+    f = np.log1p(c / mx)
+    sm = np.empty_like(f)
+    sm[:, 1:-1] = (f[:, :-2] + f[:, 1:-1] + f[:, 2:]) / 3
+    sm[:, 0] = (2 * f[:, 0] + f[:, 1]) / 3
+    sm[:, -1] = (2 * f[:, -1] + f[:, -2]) / 3
+    mx2 = max(float(sm.max()), 1e-9)
+    bars = (sm * height / mx2).astype(np.int32)  # (3, 256)
+    rows = np.arange(height)[:, None]
+    act = (rows >= (height - bars[:, None, :])).astype(np.int32)  # (3, H, 256)
+    return mix_table[act[0], act[1], act[2]]
+
+
+def generate_histogram(img_u8, height: int = 100) -> np.ndarray:
+    """Full pipeline: device counts + host strip."""
+    counts = np.asarray(histogram_counts(jnp.asarray(img_u8)))
+    return render_histogram(counts, height)

@@ -1,0 +1,92 @@
+"""Film MTF sharpness: frequency-domain transfer function -> spatial conv.
+
+Mirrors the reference's construction (radial MTF response on the FFT
+frequency grid, inverse FFT, fftshift-center, normalize — reference:
+src/raw2film/effects.py:114-197) including the optional unsharp-mask term
+baked into the kernel, then applies it on device as SVD-separable passes
+(the kernel is radially symmetric, so a handful of separable ranks capture
+it to ~1e-4).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+import jax.numpy as jnp
+
+from scipy import ndimage
+
+from raw2film_tpu.ops import conv as convops
+
+KERNEL_SIZE_MM = 0.1  # spatial support of the MTF kernel (reference: effects.py:161)
+
+
+def mtf_kernel_layer(logf: np.ndarray, vals: np.ndarray, scale: float) -> np.ndarray:
+    """Host: one channel's spatial kernel from tabulated (log1p f, MTF)."""
+    pixel_size_mm = 1.0 / scale
+    n = round(KERNEL_SIZE_MM / pixel_size_mm)
+    if n % 2 == 0:
+        n += 1
+    n = max(n, 3)
+    fx = np.fft.fftfreq(n, d=pixel_size_mm)
+    f = np.sqrt(fx[:, None] ** 2 + fx[None, :] ** 2)
+    h = np.interp(np.log1p(f), logf, vals, left=1.0, right=0.0)
+    k = np.fft.fftshift(np.abs(np.fft.ifft2(h)))
+    return (k / k.sum()).astype(np.float32)
+
+
+@lru_cache(maxsize=50)
+def mtf_kernel(
+    mtf_key,  # hashable: tuple of per-channel (tuple(logf), tuple(vals))
+    scale: float,
+    sharpening_strength: float = 0.0,
+    sharpening_sigma: float = 1.0,
+) -> np.ndarray:
+    """Host: stacked (3, k, k) kernel, with optional unsharp boost
+    k += strength * (k - gauss(k, sigma*scale/50)) (reference:
+    src/raw2film/effects.py:179-184)."""
+    layers = [
+        mtf_kernel_layer(np.asarray(lf), np.asarray(v), scale) for lf, v in mtf_key
+    ]
+    if len(layers) == 1:
+        layers = layers * 3
+    k = np.stack(layers).astype(np.float32)
+    if sharpening_strength:
+        sigma = sharpening_sigma * scale / 50.0
+        blurred = np.stack([ndimage.gaussian_filter(ki, sigma=sigma) for ki in k])
+        k = k + np.float32(sharpening_strength) * (k - blurred)
+    return k
+
+
+def _hashable_mtf(mtf) -> tuple:
+    return tuple((tuple(map(float, lf)), tuple(map(float, v))) for lf, v in mtf)
+
+
+def film_sharpness(
+    img: jnp.ndarray,
+    mtf,
+    scale: float,
+    sharpening_strength: float = 0.0,
+    sharpening_sigma: float = 1.0,
+) -> jnp.ndarray:
+    """Device: apply the per-channel MTF kernel to a density-domain image."""
+    k = mtf_kernel(
+        _hashable_mtf(mtf), float(scale), float(sharpening_strength), float(sharpening_sigma)
+    )
+    if k.shape[-1] <= 15:
+        return convops.depthwise_conv2d(img, jnp.asarray(k))
+    us, vs = [], []
+    rank = 0
+    for c in range(3):
+        u, v = convops.svd_separable(k[c], tol=5e-4, max_rank=6)
+        us.append(u)
+        vs.append(v)
+        rank = max(rank, u.shape[0])
+    # Pad all channels to a common rank with zero terms.
+    u3 = np.zeros((3, rank, k.shape[-2]), np.float32)
+    v3 = np.zeros((3, rank, k.shape[-1]), np.float32)
+    for c in range(3):
+        u3[c, : us[c].shape[0]] = us[c]
+        v3[c, : vs[c].shape[0]] = vs[c]
+    return convops.conv2d_svd(img, jnp.asarray(u3), jnp.asarray(v3))
