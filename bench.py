@@ -1,0 +1,81 @@
+"""Headline benchmark: 45MP RAW through the full negative->print chain.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline (BASELINE.json north star): 45MP through negative+print+grain+
+halation(+MTF+burn) in <100 ms on one v5e chip => 450 MP/s. vs_baseline is
+measured MP/s over 450.
+
+Timing protocol: the axon TPU tunnel acknowledges dispatch without waiting,
+so `block_until_ready` is unreliable — we loop the render ITERS times inside
+one jitted fori_loop (carrying a dependency so XLA can't elide iterations)
+and force a scalar fetch at the end.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+BASELINE_MP_S = 450.0
+H, W = 5472, 8208  # 44.9 MP, 3:2, conv/tile friendly
+ITERS = 6
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _build
+    from raw2film_tpu.pipeline.render import render_chain
+
+    bundle, cfg = _build(H, W)
+
+    rng = np.random.default_rng(0)
+    # Band pattern instead of full random to keep host-side setup fast.
+    row = np.abs(rng.normal(0.25, 0.2, (3, 1, W))).astype(np.float32)
+    col = np.abs(rng.normal(1.0, 0.3, (1, H, 1))).astype(np.float32)
+    xyz = jnp.asarray(row * col)
+
+    @jax.jit
+    def run(xyz, bundle, key):
+        out = render_chain(xyz, bundle, cfg, key)
+        return jnp.sum(out[:, ::512, ::512].astype(jnp.float32))
+
+    keys = [jax.random.PRNGKey(i) for i in range(ITERS + 1)]
+    # Compile + warm-up.
+    float(jax.device_get(run(xyz, bundle, keys[-1])))
+
+    # The device executes dispatches FIFO; enqueue renders and force only the
+    # last result. (t_many - t_one) / (ITERS - 1) cancels the fixed
+    # dispatch+fetch round trip of the tunnel.
+    t0 = time.perf_counter()
+    float(jax.device_get(run(xyz, bundle, keys[0])))
+    t_one = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    outs = [run(xyz, bundle, k) for k in keys[:ITERS]]
+    float(jax.device_get(outs[-1]))
+    t_many = time.perf_counter() - t0
+    dt = max((t_many - t_one) / (ITERS - 1), 1e-6)
+
+    mp = H * W / 1e6
+    mp_s = mp / dt
+    print(
+        json.dumps(
+            {
+                "metric": "45MP full negative->print chain (halation+MTF+grain+burn), single chip",
+                "value": round(mp_s, 1),
+                "unit": "MP/s",
+                "vs_baseline": round(mp_s / BASELINE_MP_S, 3),
+                "detail": {"ms_per_frame": round(dt * 1e3, 1), "megapixels": round(mp, 1)},
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,6 +1,171 @@
-"""Command-line batch tool (placeholder; full CLI lands with the pipeline)."""
+"""Batch CLI: the framework's export entry point.
+
+The reference is GUI-only (console script launches Qt,
+reference: src/raw2film/__main__.py:15-31); the TPU framework's primary
+surface is this headless batch tool plus the Python API. Folder sidecar
+settings (raw2film_settings.json) are honored like the reference's.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+import time
 
 
-def main() -> int:
-    print("raw2film-tpu: pipeline CLI not yet wired")
-    return 0
+def build_parser() -> argparse.ArgumentParser:
+    from raw2film_tpu.pipeline.params import ImageParams, ProfileParams
+
+    p = argparse.ArgumentParser(
+        prog="raw2film-tpu",
+        description="TPU-native analog film emulation: RAW -> film look -> JPEG/TIFF",
+    )
+    p.add_argument("inputs", nargs="+", help="RAW files or folders")
+    p.add_argument("-o", "--output", default="export", help="output directory")
+    p.add_argument("--quality", type=int, default=95, help="JPEG quality")
+    p.add_argument("--ext", default=".jpg", choices=[".jpg", ".png", ".tiff"])
+    p.add_argument("--list-stocks", action="store_true", help="list film stocks and exit")
+    p.add_argument("--organize-by-date", action="store_true")
+    p.add_argument("--seed", type=int, default=0, help="grain seed")
+    p.add_argument("--full-res", action="store_true", help="disable half-size decode")
+    p.add_argument("--trace", action="store_true", help="print per-stage timings")
+    # Every ProfileParams/ImageParams field becomes a flag.
+    for dc in (ProfileParams(), ImageParams()):
+        for f in dataclasses.fields(dc):
+            name = "--" + f.name.replace("_", "-")
+            default = getattr(dc, f.name)
+            if isinstance(default, bool):
+                p.add_argument(
+                    name,
+                    type=lambda s: s.lower() in ("1", "true", "yes", "on"),
+                    default=default,
+                    metavar="BOOL",
+                )
+            elif default is None or isinstance(default, str):
+                p.add_argument(name, type=str, default=default)
+            elif isinstance(default, int) and not isinstance(default, bool):
+                p.add_argument(name, type=int, default=default)
+            else:
+                p.add_argument(name, type=float, default=default)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if args.trace:
+        os.environ["RAW2FILM_TRACE"] = "1"
+
+    # Honor JAX_PLATFORMS even when a sitecustomize imported jax before us
+    # (import-time config capture would otherwise ignore the env var).
+    platforms = os.environ.get("JAX_PLATFORMS")
+    if platforms and "jax" in sys.modules:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", platforms)
+        except Exception:
+            pass
+
+    from raw2film_tpu.film.loader import load_film_stocks
+    from raw2film_tpu.pipeline.batch import BatchRunner, export_path, scan_raw_files
+    from raw2film_tpu.pipeline.params import ImageParams, ProfileParams, merge_params
+    from raw2film_tpu.pipeline.processor import Processor
+    from raw2film_tpu.pipeline.settings import load_folder_settings
+    from raw2film_tpu.io.export import save_image
+
+    stocks = load_film_stocks()
+    if args.list_stocks:
+        for name, s in sorted(stocks.items()):
+            print(
+                f"{name:32s} {s.stage:6s} {s.film_type:8s} ISO {s.iso:>5g}  {s.comment}"
+            )
+        return 0
+
+    files: list[str] = []
+    sidecar_images: dict = {}
+    for inp in args.inputs:
+        if os.path.isdir(inp):
+            files.extend(scan_raw_files(inp))
+            _, imgs = load_folder_settings(inp)
+            sidecar_images.update(imgs)
+        else:
+            files.append(inp)
+    if not files:
+        print("no RAW inputs found", file=sys.stderr)
+        return 2
+
+    if args.negative_film not in stocks:
+        print(f"unknown negative stock {args.negative_film!r}; see --list-stocks", file=sys.stderr)
+        return 2
+    if args.print_film not in (None, "", "None") and args.print_film not in stocks:
+        print(f"unknown print stock {args.print_film!r}; see --list-stocks", file=sys.stderr)
+        return 2
+
+    cli_over = {
+        f.name: getattr(args, f.name)
+        for dc in (ProfileParams(), ImageParams())
+        for f in dataclasses.fields(dc)
+    }
+    cli_over["print_film"] = (
+        None if args.print_film in (None, "", "None") else args.print_film
+    )
+
+    proc = Processor()
+    meta_by_src: dict[str, dict] = {}
+
+    def process(src, **params):
+        merged = merge_params(None, sidecar_images.get(os.path.basename(src)), **params)
+        merged.pop("profile", None)
+        merged.pop("film_format", None)
+        out = proc.process(
+            src,
+            merged.pop("negative_film"),
+            print_film=merged.pop("print_film"),
+            half_size=not args.full_res,
+            max_scale=None if args.full_res else 400.0,
+            seed=args.seed,
+            **merged,
+        )
+        if not isinstance(src, str) or os.path.exists(str(src)):
+            try:
+                from raw2film_tpu.io.raw import raw_to_linear
+
+                _, meta = raw_to_linear(str(src), half_size=not args.full_res)
+                meta_by_src[str(src)] = meta
+            except Exception:
+                pass
+        return out
+
+    def export(image, src):
+        dst = export_path(
+            src, args.output, args.organize_by_date, ext=args.ext
+        )
+        save_image(
+            image,
+            dst,
+            quality=args.quality,
+            metadata=meta_by_src.get(str(src), {}),
+            exp_comp=args.exp_comp,
+        )
+        return dst
+
+    runner = BatchRunner(process, export)
+    t0 = time.perf_counter()
+    results = runner.run(
+        [(f, dict(cli_over)) for f in files],
+        progress=lambda done, total: print(f"[{done}/{total}]", flush=True),
+    )
+    dt = time.perf_counter() - t0
+    ok = sum(r.ok for r in results)
+    for r in results:
+        if not r.ok:
+            print(f"FAILED {r.src}: {r.error}", file=sys.stderr)
+    print(f"exported {ok}/{len(results)} images in {dt:.1f}s -> {args.output}")
+    return 0 if ok == len(results) else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,321 @@
+"""Minimal self-contained DNG/TIFF reader + writer.
+
+The reference leans on LibRaw via rawpy for container parsing + demosaic
+(reference: src/raw2film/raw_conversion.py:33-53). This framework owns its
+RAW path: a pure-Python TIFF/DNG parser here (uncompressed CFA and linear
+DNGs — the documentable interchange subset), device-side demosaic in
+:mod:`raw2film_tpu.ops.demosaic`, and a matching writer used for synthetic
+test fixtures. A C++ fast-path unpacker can slot under the same API.
+
+Supported: TIFF little/big endian, IFD chains + SubIFDs, strips, 8/16-bit
+unsigned, Compression=1 (none), PhotometricInterpretation 32803 (CFA) and
+34892 (LinearRaw)/2 (RGB), CFAPattern, BlackLevel/WhiteLevel, ColorMatrix1,
+AsShotNeutral, core EXIF (ISO, exposure time, f-number, make/model).
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+
+import numpy as np
+
+# TIFF tag ids
+_TAGS = {
+    "NewSubfileType": 254,
+    "ImageWidth": 256,
+    "ImageLength": 257,
+    "BitsPerSample": 258,
+    "Compression": 259,
+    "Photometric": 262,
+    "Make": 271,
+    "Model": 272,
+    "StripOffsets": 273,
+    "SamplesPerPixel": 277,
+    "RowsPerStrip": 278,
+    "StripByteCounts": 279,
+    "SubIFDs": 330,
+    "ExifIFD": 34665,
+    "CFARepeatPatternDim": 33421,
+    "CFAPattern": 33422,
+    "DNGVersion": 50706,
+    "BlackLevel": 50714,
+    "WhiteLevel": 50717,
+    "ColorMatrix1": 50721,
+    "AsShotNeutral": 50728,
+    # EXIF IFD
+    "ExposureTime": 33434,
+    "FNumber": 33437,
+    "ISO": 34855,
+    "FocalLength": 37386,
+    "LensModel": 42036,
+}
+
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
+
+
+@dataclass
+class RawImage:
+    """Decoded RAW container contents (host)."""
+
+    data: np.ndarray  # (H, W) CFA mosaic or (H, W, C) linear
+    cfa_pattern: str | None  # e.g. "RGGB"; None for linear
+    black_level: float
+    white_level: float
+    color_matrix: np.ndarray | None  # (3, 3) XYZ -> camera (DNG ColorMatrix1)
+    as_shot_neutral: np.ndarray | None
+    metadata: dict = field(default_factory=dict)
+
+
+def _read_ifd(buf: bytes, offset: int, endian: str) -> tuple[dict, int]:
+    (count,) = struct.unpack_from(endian + "H", buf, offset)
+    entries = {}
+    pos = offset + 2
+    for _ in range(count):
+        tag, typ, n = struct.unpack_from(endian + "HHI", buf, pos)
+        size = _TYPE_SIZES.get(typ, 1) * n
+        if size <= 4:
+            raw = buf[pos + 8 : pos + 8 + size]
+        else:
+            (ptr,) = struct.unpack_from(endian + "I", buf, pos + 8)
+            raw = buf[ptr : ptr + size]
+        entries[tag] = _decode_values(raw, typ, n, endian)
+        pos += 12
+    (next_ifd,) = struct.unpack_from(endian + "I", buf, pos)
+    return entries, next_ifd
+
+
+def _decode_values(raw: bytes, typ: int, n: int, endian: str):
+    if typ == 2:  # ASCII
+        return raw.split(b"\0")[0].decode("ascii", "replace")
+    fmt = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d"}.get(typ)
+    if fmt:
+        vals = struct.unpack_from(endian + fmt * n, raw)
+        return list(vals)
+    if typ in (5, 10):  # rational
+        fmt = "II" if typ == 5 else "ii"
+        vals = struct.unpack_from(endian + fmt * n, raw)
+        return [vals[2 * i] / vals[2 * i + 1] if vals[2 * i + 1] else 0.0 for i in range(n)]
+    return raw
+
+
+_CFA_CODES = {0: "R", 1: "G", 2: "B"}
+
+
+def read_dng(path: str) -> RawImage:
+    with open(path, "rb") as f:
+        buf = f.read()
+    if buf[:2] == b"II":
+        endian = "<"
+    elif buf[:2] == b"MM":
+        endian = ">"
+    else:
+        raise ValueError(f"{path}: not a TIFF/DNG file")
+    (magic, first_ifd) = struct.unpack_from(endian + "HI", buf, 2)
+    if magic != 42:
+        raise ValueError(f"{path}: bad TIFF magic {magic}")
+
+    # Collect IFDs: walk the chain plus SubIFDs.
+    ifds = []
+    offset = first_ifd
+    while offset:
+        ifd, offset = _read_ifd(buf, offset, endian)
+        ifds.append(ifd)
+        for sub in ifd.get(_TAGS["SubIFDs"], []) or []:
+            sub_ifd, _ = _read_ifd(buf, sub, endian)
+            ifds.append(sub_ifd)
+
+    # Pick the raw IFD: CFA photometric preferred, else the largest image.
+    def photometric(i):
+        return (i.get(_TAGS["Photometric"]) or [0])[0]
+
+    raw_ifds = [i for i in ifds if photometric(i) == 32803]
+    if not raw_ifds:
+        raw_ifds = [
+            i
+            for i in ifds
+            if _TAGS["ImageWidth"] in i and _TAGS["StripOffsets"] in i
+        ]
+    if not raw_ifds:
+        raise ValueError(f"{path}: no decodable image IFD")
+    ifd = max(
+        raw_ifds,
+        key=lambda i: (i.get(_TAGS["ImageWidth"]) or [0])[0]
+        * (i.get(_TAGS["ImageLength"]) or [0])[0],
+    )
+
+    comp = (ifd.get(_TAGS["Compression"]) or [1])[0]
+    if comp != 1:
+        raise NotImplementedError(
+            f"{path}: compression {comp} unsupported (only uncompressed DNG)"
+        )
+    w = ifd[_TAGS["ImageWidth"]][0]
+    h = ifd[_TAGS["ImageLength"]][0]
+    bits = (ifd.get(_TAGS["BitsPerSample"]) or [16])[0]
+    spp = (ifd.get(_TAGS["SamplesPerPixel"]) or [1])[0]
+    offsets = ifd[_TAGS["StripOffsets"]]
+    counts = ifd.get(_TAGS["StripByteCounts"]) or [h * w * spp * bits // 8]
+    payload = b"".join(buf[o : o + c] for o, c in zip(offsets, counts))
+    dtype = np.dtype(endian + ("u2" if bits == 16 else "u1"))
+    data = np.frombuffer(payload, dtype=dtype, count=h * w * spp)
+    data = data.reshape((h, w) if spp == 1 else (h, w, spp)).astype(np.float32)
+
+    cfa = None
+    if photometric(ifd) == 32803:
+        pat = ifd.get(_TAGS["CFAPattern"])
+        if pat is None:
+            cfa = "RGGB"
+        else:
+            cfa = "".join(_CFA_CODES.get(int(v), "G") for v in bytes(bytearray(int(x) for x in pat)))
+
+    # IFD0 carries metadata.
+    ifd0 = ifds[0]
+    meta = {}
+    for name, tag in (("Make", _TAGS["Make"]), ("Model", _TAGS["Model"])):
+        if tag in ifd0:
+            meta[f"EXIF:{name}"] = ifd0[tag]
+    exif_ptr = ifd0.get(_TAGS["ExifIFD"])
+    if exif_ptr:
+        exif, _ = _read_ifd(buf, exif_ptr[0], endian)
+        for name in ("ExposureTime", "FNumber", "ISO", "FocalLength", "LensModel"):
+            tag = _TAGS[name]
+            if tag in exif:
+                v = exif[tag]
+                meta[f"EXIF:{name}"] = v[0] if isinstance(v, list) else v
+
+    def tag0(name, default=None):
+        v = ifd.get(_TAGS[name]) or ifd0.get(_TAGS[name])
+        return v if v is not None else default
+
+    black = float(np.mean(tag0("BlackLevel", [0.0])))
+    white = float(tag0("WhiteLevel", [(1 << bits) - 1])[0])
+    cm = tag0("ColorMatrix1")
+    color_matrix = (
+        np.asarray(cm, np.float64).reshape(3, 3) if cm is not None and len(cm) == 9 else None
+    )
+    asn = tag0("AsShotNeutral")
+    return RawImage(
+        data=data,
+        cfa_pattern=cfa,
+        black_level=black,
+        white_level=white,
+        color_matrix=color_matrix,
+        as_shot_neutral=np.asarray(asn, np.float64) if asn else None,
+        metadata=meta,
+    )
+
+
+# ------------------------------------------------------------------ writer
+
+
+def _entry(endian, tag, typ, values, heap, heap_base):
+    if typ == 2:
+        raw = values.encode("ascii") + b"\0"
+        n = len(raw)
+    elif typ in (5, 10):
+        fmt = "II" if typ == 5 else "ii"
+        raw = b"".join(struct.pack(endian + fmt, *v) for v in values)
+        n = len(values)
+    else:
+        fmt = {1: "B", 3: "H", 4: "I", 11: "f", 12: "d"}[typ]
+        raw = struct.pack(endian + fmt * len(values), *values)
+        n = len(values)
+    if len(raw) <= 4:
+        inline = raw + b"\0" * (4 - len(raw))
+        return struct.pack(endian + "HHI", tag, typ, n) + inline
+    ptr = heap_base + len(heap)
+    heap += raw if len(raw) % 2 == 0 else raw + b"\0"
+    return struct.pack(endian + "HHI", tag, typ, n) + struct.pack(endian + "I", ptr)
+
+
+def write_dng(
+    path: str,
+    mosaic: np.ndarray,
+    cfa_pattern: str = "RGGB",
+    black_level: int = 0,
+    white_level: int = 65535,
+    color_matrix: np.ndarray | None = None,
+    iso: int = 100,
+    exposure_time: float = 1 / 125,
+    f_number: float = 4.0,
+    make: str = "raw2film-tpu",
+    model: str = "synthetic",
+) -> None:
+    """Write a minimal uncompressed 16-bit CFA DNG (test fixtures)."""
+    endian = "<"
+    h, w = mosaic.shape
+    data = np.clip(np.asarray(mosaic), 0, white_level).astype("<u2").tobytes()
+    code = {"R": 0, "G": 1, "B": 2}
+    cfa_bytes = [code[c] for c in cfa_pattern]
+    if color_matrix is None:
+        # XYZ(D65) -> sRGB-primaries camera: the standard matrix, so that
+        # inverse-decoding returns honest XYZ.
+        from raw2film_tpu.data import XYZ_TO_REC709
+
+        color_matrix = XYZ_TO_REC709
+
+    # Layout: [header][IFD0][EXIF IFD][heap][pixel data]
+    header_size = 8
+    n_ifd0 = 19
+    n_exif = 3
+    ifd0_size = 2 + n_ifd0 * 12 + 4
+    exif_size = 2 + n_exif * 12 + 4
+    heap_base = header_size + ifd0_size + exif_size
+    exif_offset = header_size + ifd0_size
+    heap = bytearray()
+    entries = []
+
+    def E(tag, typ, values):
+        entries.append(_entry(endian, tag, typ, values, heap, heap_base))
+
+    # NOTE: entries must be ascending by tag id.
+    E(254, 4, [0])
+    E(256, 4, [w])
+    E(257, 4, [h])
+    E(258, 3, [16])
+    E(259, 3, [1])
+    E(262, 3, [32803])
+    E(271, 2, make)
+    E(272, 2, model)
+    strip_entry_index = len(entries)
+    E(273, 4, [0])
+    E(277, 3, [1])
+    E(278, 4, [h])
+    E(279, 4, [len(data)])
+    E(33421, 3, [2, 2])
+    E(33422, 1, cfa_bytes)
+    E(34665, 4, [exif_offset])
+    E(50706, 1, [1, 4, 0, 0])
+    E(50714, 3, [black_level])
+    E(50717, 3, [white_level])
+    cm = np.asarray(color_matrix, np.float64).ravel()
+    E(50721, 10, [(int(round(x * 10000)), 10000) for x in cm])
+    assert len(entries) == n_ifd0, len(entries)
+
+    exif_entries = []
+
+    def EX(tag, typ, values):
+        exif_entries.append(_entry(endian, tag, typ, values, heap, heap_base))
+
+    EX(33434, 5, [(int(exposure_time * 1_000_000), 1_000_000)])
+    EX(33437, 5, [(int(f_number * 100), 100)])
+    EX(34855, 3, [iso])
+    assert len(exif_entries) == n_exif
+
+    data_offset = heap_base + len(heap)
+    entries[strip_entry_index] = struct.pack(endian + "HHI", 273, 4, 1) + struct.pack(
+        endian + "I", data_offset
+    )
+
+    out = bytearray()
+    out += b"II" + struct.pack(endian + "HI", 42, header_size)
+    out += struct.pack(endian + "H", n_ifd0)
+    out += b"".join(entries)
+    out += struct.pack(endian + "I", 0)
+    out += struct.pack(endian + "H", n_exif)
+    out += b"".join(exif_entries)
+    out += struct.pack(endian + "I", 0)
+    out += heap
+    out += data
+    with open(path, "wb") as f:
+        f.write(out)

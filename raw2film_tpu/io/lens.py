@@ -1,0 +1,195 @@
+"""Lens correction: geometric distortion + vignetting.
+
+The reference delegates to lensfun via lensfunpy (profile DB lookup by EXIF
+Make/Model/LensModel, geometry remap + vignetting modification, reference:
+src/raw2film/effects.py:22-43, utils.py:24-79, gui.py:556-563). lensfun is
+not a dependency here; this module owns:
+
+* a **profile model** with the standard lensfun math: `ptlens`
+  (r_d = a*r^4 + b*r^3 + c*r^2 + (1-a-b-c)*r) and `poly3`
+  (r_d = k1*r^3 + (1-k1)*r) distortion, and the `pa` vignetting polynomial
+  (1 + k1*r^2 + k2*r^4 + k3*r^6),
+* a JSON-loadable profile database + loose EXIF matching,
+* application: vignetting correction runs on device (pure radial
+  elementwise gain); the distortion remap runs on host (bilinear
+  map_coordinates) like the reference's CPU pre-stage.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class LensProfile:
+    make: str
+    model: str
+    crop_factor: float = 1.0
+    mount: str = ""
+    # distortion: model -> params per focal length (interpolated linearly)
+    dist_model: str = "ptlens"  # "ptlens" | "poly3" | "none"
+    dist_params: tuple = ()  # ((focal_mm, a, b, c) | (focal_mm, k1), ...)
+    # vignetting: ((focal_mm, aperture, k1, k2, k3), ...)
+    vig_params: tuple = ()
+
+    def distortion_at(self, focal: float):
+        if self.dist_model == "none" or not self.dist_params:
+            return None
+        rows = sorted(self.dist_params)
+        pts = np.asarray(rows, np.float64)
+        out = [
+            float(np.interp(focal, pts[:, 0], pts[:, i]))
+            for i in range(1, pts.shape[1])
+        ]
+        return tuple(out)
+
+    def vignetting_at(self, focal: float, aperture: float):
+        if not self.vig_params:
+            return None
+        rows = np.asarray(sorted(self.vig_params), np.float64)
+        # nearest focal, then interp over aperture
+        focals = np.unique(rows[:, 0])
+        f = focals[np.argmin(np.abs(focals - focal))]
+        sel = rows[rows[:, 0] == f]
+        ks = [float(np.interp(aperture, sel[:, 1], sel[:, 2 + i])) for i in range(3)]
+        return tuple(ks)
+
+
+_BUILTIN_PROFILES: list[LensProfile] = [
+    LensProfile(
+        make="raw2film-tpu",
+        model="synthetic 50mm f/2",
+        crop_factor=1.0,
+        dist_model="ptlens",
+        dist_params=((50.0, 0.0, -0.015, 0.005),),
+        vig_params=((50.0, 2.0, -0.9, 0.2, -0.05), (50.0, 8.0, -0.3, 0.05, 0.0)),
+    ),
+]
+
+
+def load_profiles(path: str | None = None) -> list[LensProfile]:
+    """Built-in profiles plus optional user JSON database."""
+    profiles = list(_BUILTIN_PROFILES)
+    candidates = [path] if path else []
+    candidates.append(os.path.expanduser("~/.raw2film_tpu/lenses.json"))
+    for p in candidates:
+        if p and os.path.exists(p):
+            with open(p) as f:
+                for row in json.load(f):
+                    row["dist_params"] = tuple(tuple(x) for x in row.get("dist_params", []))
+                    row["vig_params"] = tuple(tuple(x) for x in row.get("vig_params", []))
+                    profiles.append(LensProfile(**row))
+    return profiles
+
+
+def _loose(a: str, b: str) -> bool:
+    a, b = (a or "").lower(), (b or "").lower()
+    return bool(a) and bool(b) and (a in b or b in a)
+
+
+def find_profile(metadata: dict, profiles: list[LensProfile] | None = None):
+    """Loose EXIF match, the reference's find_data role
+    (src/raw2film/utils.py:24-79). Returns (profile | None)."""
+    profiles = profiles if profiles is not None else load_profiles()
+    lens_model = str(metadata.get("EXIF:LensModel", "") or "")
+    make = str(metadata.get("EXIF:Make", "") or metadata.get("EXIF:LensMake", "") or "")
+    for p in profiles:
+        if _loose(p.model, lens_model):
+            return p
+    for p in profiles:
+        if _loose(p.make, make):
+            return p
+    return None
+
+
+def vignetting_gain(
+    shape_hw: tuple[int, int], ks: tuple[float, float, float]
+) -> jnp.ndarray:
+    """(H, W) multiplicative correction = 1 / (1 + k1 r^2 + k2 r^4 + k3 r^6),
+    r normalized to the half-diagonal. Device elementwise."""
+    h, w = shape_hw
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    norm = 1.0 / math.hypot(cy, cx)
+    yy = (jnp.arange(h, dtype=jnp.float32) - cy)[:, None] * norm
+    xx = (jnp.arange(w, dtype=jnp.float32) - cx)[None, :] * norm
+    r2 = yy * yy + xx * xx
+    k1, k2, k3 = ks
+    falloff = 1.0 + k1 * r2 + k2 * r2 * r2 + k3 * r2 * r2 * r2
+    return 1.0 / jnp.clip(falloff, 0.05, None)
+
+
+def undistort_coords(
+    shape_hw: tuple[int, int], model: str, params: tuple
+) -> np.ndarray:
+    """(2, H, W) source coordinates implementing the inverse radial map:
+    sample the distorted capture at r_d(r_u) for each undistorted pixel."""
+    h, w = shape_hw
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    norm = 1.0 / math.hypot(cy, cx)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    dy = (yy - cy) * norm
+    dx = (xx - cx) * norm
+    r = np.sqrt(dy * dy + dx * dx)
+    r_safe = np.maximum(r, 1e-9)
+    if model == "ptlens":
+        a, b, c = params
+        scale = a * r**3 + b * r**2 + c * r + (1 - a - b - c)
+    elif model == "poly3":
+        (k1,) = params
+        scale = k1 * r**2 + (1 - k1)
+    else:
+        scale = np.ones_like(r)
+    src_y = cy + dy * scale / norm
+    src_x = cx + dx * scale / norm
+    return np.stack([src_y, src_x])
+
+
+def lens_correction(
+    img: np.ndarray,
+    metadata: dict,
+    profile: LensProfile | None = None,
+) -> np.ndarray:
+    """Apply distortion + vignetting correction to planar (3, H, W) float.
+
+    Host remap (scipy bilinear) + device-friendly vignetting gain; mirrors
+    the reference's float64 lens_correction contract
+    (src/raw2film/effects.py:22-43): silently returns the input when EXIF
+    or a profile is missing.
+    """
+    if profile is None:
+        profile = find_profile(metadata)
+    if profile is None:
+        return img
+    try:
+        focal = float(metadata["EXIF:FocalLength"])
+        aperture = float(metadata["EXIF:FNumber"])
+    except (KeyError, TypeError, ValueError):
+        return img
+
+    h, w = img.shape[-2:]
+    out = np.asarray(img, np.float64)
+
+    dist = profile.distortion_at(focal)
+    if dist is not None:
+        from scipy import ndimage
+
+        coords = undistort_coords((h, w), profile.dist_model, dist)
+        out = np.stack(
+            [
+                ndimage.map_coordinates(out[c], coords, order=1, mode="nearest")
+                for c in range(out.shape[0])
+            ]
+        )
+        out = np.clip(out, 0.0, None)
+
+    ks = profile.vignetting_at(focal, aperture)
+    if ks is not None:
+        gain = np.asarray(vignetting_gain((h, w), ks))
+        out = out * gain[None]
+    return out.astype(np.float32)

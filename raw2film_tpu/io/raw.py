@@ -1,0 +1,93 @@
+"""RAW -> linear CIE XYZ: the decode front of the pipeline.
+
+Equivalent of the reference's ``raw_to_linear`` (LibRaw demosaic to 16-bit
+linear XYZ + auto exposure, reference: src/raw2film/raw_conversion.py:33-53),
+but TPU-first: the container parse stays on host
+(:mod:`raw2film_tpu.io.dng`), demosaic / color matrix / exposure scaling run
+on device as convs + matmuls.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache
+
+import numpy as np
+import jax.numpy as jnp
+
+from raw2film_tpu.io.dng import RawImage, read_dng
+from raw2film_tpu.ops import demosaic as dm
+
+
+def calc_exposure(
+    xyz: np.ndarray, ref_exposure: float = 0.18, metadata: dict | None = None
+) -> float:
+    """Stops of gain needed to bring the image to mid-grey.
+
+    Same estimator family as the reference (power-mean of the 2x-subsampled
+    green channel with an EXIF-derived exponent,
+    reference: src/raw2film/color_processing.py:71-99).
+    """
+    lum = np.asarray(xyz)[1, ::2, ::2]
+    factor = 3.0
+    if metadata:
+        try:
+            fn = float(metadata.get("EXIF:FNumber") or 4.0)
+            iso = float(metadata["EXIF:ISO"])
+            t = float(metadata["EXIF:ExposureTime"])
+            factor = math.sqrt(fn**2 / iso / t) + 1.0
+        except (KeyError, TypeError, ValueError, ZeroDivisionError):
+            factor = 3.0
+    lum = np.maximum(lum, 1e-9)
+    avg = float(np.mean(lum ** (1.0 / factor)) ** factor)
+    return math.log2(ref_exposure / max(avg, 1e-9))
+
+
+def decode_raw(
+    raw: RawImage, half_size: bool = False, demosaic: str = "mhc"
+) -> jnp.ndarray:
+    """RawImage -> device planar (3, H, W) float32 camera-linear XYZ in [0~1]."""
+    data = jnp.asarray(raw.data)
+    norm = 1.0 / max(raw.white_level - raw.black_level, 1.0)
+    if raw.cfa_pattern is not None:
+        mosaic = (data - raw.black_level) * norm
+        mosaic = jnp.clip(mosaic, 0.0, 1.0)
+        if half_size:
+            rgb = dm.half_size_decode(mosaic, raw.cfa_pattern)
+        elif demosaic == "bilinear":
+            rgb = dm.demosaic_bilinear(mosaic, raw.cfa_pattern)
+        else:
+            rgb = dm.demosaic_mhc(mosaic, raw.cfa_pattern)
+        rgb = jnp.clip(rgb, 0.0, 1.0)
+    else:
+        rgb = jnp.moveaxis((data - raw.black_level) * norm, -1, 0)
+        rgb = jnp.clip(rgb, 0.0, 1.0)
+    if raw.color_matrix is not None:
+        cam_to_xyz = np.linalg.inv(np.asarray(raw.color_matrix, np.float64))
+        rgb = jnp.einsum("ij,jhw->ihw", jnp.asarray(cam_to_xyz, jnp.float32), rgb)
+    return rgb
+
+
+@lru_cache(maxsize=16)
+def _load_cached(src: str, half_size: bool):
+    raw = read_dng(src)
+    xyz = decode_raw(raw, half_size=half_size)
+    return xyz, raw.metadata
+
+
+def raw_to_linear(
+    src: str, half_size: bool = True, cache: bool = True
+) -> tuple[jnp.ndarray, dict]:
+    """File path -> (device (3, H, W) XYZ auto-exposed to mid-grey, metadata).
+
+    Reference contract: normalized to [0,1], then scaled by
+    2**calc_exposure(...) (src/raw2film/raw_conversion.py:49-52).
+    """
+    if cache:
+        xyz, metadata = _load_cached(src, half_size)
+    else:
+        raw = read_dng(src)
+        xyz = decode_raw(raw, half_size=half_size)
+        metadata = raw.metadata
+    gain = 2.0 ** calc_exposure(np.asarray(xyz), metadata=metadata)
+    return xyz * gain, metadata

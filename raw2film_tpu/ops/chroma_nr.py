@@ -33,13 +33,13 @@ def xyy_to_xyz(img: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def _cv_gaussian_kernel1d(size: int, sigma: float) -> jnp.ndarray:
+def _cv_gaussian_kernel1d(size: int, sigma: float):
     import numpy as np
 
     k = size // 2
     x = np.arange(size, dtype=np.float64) - k
     g = np.exp(-(x * x) / (2.0 * sigma * sigma))
-    return jnp.asarray((g / g.sum()).astype(np.float32))
+    return (g / g.sum()).astype(np.float32)
 
 
 def chroma_nr(img: jnp.ndarray, size: int) -> jnp.ndarray:

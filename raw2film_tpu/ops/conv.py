@@ -29,56 +29,77 @@ def _pad_hw(img: jnp.ndarray, ph: int, pw: int) -> jnp.ndarray:
 
 
 def depthwise_conv2d(img: jnp.ndarray, kernels: jnp.ndarray) -> jnp.ndarray:
-    """Dense per-channel 2D convolution.
+    """Dense per-channel 2D convolution, shift-and-add formulation.
 
     img: (C, H, W); kernels: (C, kh, kw) or (kh, kw) shared across channels.
     Correlation orientation (matches cv2.filter2D / the reference shaders).
+
+    Why not lax.conv: XLA:TPU lowers few-channel grouped convs into layouts
+    that tile-pad the 3-wide feature dim (observed 10.7GB temps at 45MP).
+    Static shifted slices of one padded buffer fuse into a single VPU pass.
     """
-    if kernels.ndim == 2:
-        kernels = jnp.broadcast_to(kernels[None], (img.shape[0], *kernels.shape))
-    c, kh, kw = kernels.shape
-    x = _pad_hw(img, kh // 2, kw // 2)[None]  # (1, C, H+, W+)
-    w = kernels[:, None]  # (C, 1, kh, kw)
-    out = lax.conv_general_dilated(
-        x,
-        w,
-        window_strides=(1, 1),
-        padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        feature_group_count=c,
-    )
-    return out[0]
+    kernels = np.asarray(kernels)
+    per_channel = kernels.ndim == 3
+    kh, kw = kernels.shape[-2:]
+    p = _pad_hw(img, kh // 2, kw // 2)
+    h, w = img.shape[-2:]
+    out = None
+    for i in range(kh):
+        for j in range(kw):
+            kij = kernels[:, i, j] if per_channel else kernels[i, j]
+            if per_channel:
+                if not np.any(kij):
+                    continue
+                coef = jnp.asarray(kij, img.dtype).reshape(-1, 1, 1)
+            else:
+                if kij == 0.0:
+                    continue
+                coef = jnp.asarray(kij, img.dtype)
+            term = coef * lax.slice(
+                p, (0, i, j), (p.shape[0], i + h, j + w)
+            )
+            out = term if out is None else out + term
+    return out if out is not None else jnp.zeros_like(img)
 
 
-def separable_conv(img: jnp.ndarray, kv: jnp.ndarray, kh: jnp.ndarray) -> jnp.ndarray:
+def _conv1d_axis(img: jnp.ndarray, k: np.ndarray, axis: int) -> jnp.ndarray:
+    """Shift-and-add 1D correlation along H (axis=-2) or W (axis=-1).
+
+    k: (taps,) shared or (C, taps) per-channel.
+    """
+    k = np.asarray(k)
+    per_channel = k.ndim == 2
+    taps = k.shape[-1]
+    r = taps // 2
+    if axis in (-2, img.ndim - 2):
+        p = _pad_hw(img, r, 0)
+    else:
+        p = _pad_hw(img, 0, r)
+    h, w = img.shape[-2:]
+    out = None
+    for i in range(taps):
+        ki = k[:, i] if per_channel else k[i]
+        if per_channel:
+            coef = jnp.asarray(ki, img.dtype).reshape(-1, 1, 1)
+        else:
+            if ki == 0.0:
+                continue
+            coef = jnp.asarray(ki, img.dtype)
+        if axis in (-2, img.ndim - 2):
+            term = coef * lax.slice(p, (0, i, 0), (p.shape[0], i + h, w))
+        else:
+            term = coef * lax.slice(p, (0, 0, i), (p.shape[0], h, i + w))
+        out = term if out is None else out + term
+    return out if out is not None else jnp.zeros_like(img)
+
+
+def separable_conv(img: jnp.ndarray, kv, kh) -> jnp.ndarray:
     """Separable conv: 1D kernel ``kv`` down columns then ``kh`` along rows.
 
-    img: (C, H, W); kv: (C, k) or (k,); kh likewise.
+    img: (C, H, W); kv: (C, k) or (k,); kh likewise. Host-side (numpy)
+    kernels only — taps unroll into the fused shift-add at trace time.
     """
-    c = img.shape[0]
-    if kv.ndim == 1:
-        kv = jnp.broadcast_to(kv[None], (c, kv.shape[0]))
-    if kh.ndim == 1:
-        kh = jnp.broadcast_to(kh[None], (c, kh.shape[0]))
-    x = _pad_hw(img, kv.shape[1] // 2, 0)[None]
-    out = lax.conv_general_dilated(
-        x,
-        kv[:, None, :, None],
-        (1, 1),
-        "VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        feature_group_count=c,
-    )
-    x = _pad_hw(out[0], 0, kh.shape[1] // 2)[None]
-    out = lax.conv_general_dilated(
-        x,
-        kh[:, None, None, :],
-        (1, 1),
-        "VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        feature_group_count=c,
-    )
-    return out[0]
+    return _conv1d_axis(_conv1d_axis(img, kv, -2), kh, -1)
 
 
 def svd_separable(kernel: np.ndarray, tol: float = 1e-4, max_rank: int = 6):
@@ -124,19 +145,39 @@ def gaussian_kernel1d(sigma: float, truncate: float = 4.0) -> np.ndarray:
 
 def gaussian_blur(img: jnp.ndarray, sigma: float, truncate: float = 4.0) -> jnp.ndarray:
     """Separable Gaussian blur with host-built kernel (static sigma)."""
-    k = jnp.asarray(gaussian_kernel1d(sigma, truncate))
+    k = gaussian_kernel1d(sigma, truncate)
     return separable_conv(img, k, k)
 
 
 def box_downsample(img: jnp.ndarray, factor: int) -> jnp.ndarray:
     """INTER_AREA-style integer-factor downsample: mean over factor x factor
     blocks (cv2 INTER_AREA equals block mean for integer factors,
-    reference usage: src/raw2film/utils.py:232, effects.py:370)."""
+    reference usage: src/raw2film/utils.py:232, effects.py:370).
+
+    Implemented with lax.reduce_window (TPU-native pooling): a block-reshape
+    creates intermediates with tiny minor dims that tile-padding blows up
+    ~32x, and strided-slice accumulation needs f^2 terms (f reaches 110 in
+    the burn stage).
+    """
     c, h, w = img.shape
-    h2, w2 = h // factor, w // factor
-    x = img[:, : h2 * factor, : w2 * factor]
-    x = x.reshape(c, h2, factor, w2, factor)
-    return x.mean(axis=(2, 4))
+    f = int(factor)
+    h2, w2 = h // f, w // f
+    x = img[:, : h2 * f, : w2 * f]
+
+    def pool(t, win):
+        return lax.reduce_window(
+            t,
+            jnp.zeros((), img.dtype),
+            lax.add,
+            window_dimensions=win,
+            window_strides=win,
+            padding="VALID",
+        )
+
+    # Two 1-D pools: a single f x f window's working set blows the scoped
+    # VMEM stack for large f (observed at f=110 in the burn stage).
+    summed = pool(pool(x, (1, f, 1)), (1, 1, f))
+    return summed * (1.0 / (f * f))
 
 
 def bilinear_upsample(img: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:

@@ -87,7 +87,7 @@ def demosaic_mhc(bayer: jnp.ndarray, pattern: str = "RGGB") -> jnp.ndarray:
     r_mask, grr, gbr, b_mask = _phase_masks(h, w, _PATTERNS[pattern])
 
     x = bayer[None]  # (1, H, W) single channel for conv
-    conv = lambda k: convops.depthwise_conv2d(x, jnp.asarray(k))[0]
+    conv = lambda k: convops.depthwise_conv2d(x, k)[0]
 
     g_interp = conv(_G_AT_RB)
     same_row = conv(_RB_AT_G_SAME_ROW)
@@ -115,14 +115,14 @@ def demosaic_bilinear(bayer: jnp.ndarray, pattern: str = "RGGB") -> jnp.ndarray:
     h, w = bayer.shape
     r_mask, grr, gbr, b_mask = _phase_masks(h, w, _PATTERNS[pattern])
     x = bayer[None]
-    conv = lambda k: convops.depthwise_conv2d(x, jnp.asarray(k, jnp.float32))[0]
+    conv = lambda k: convops.depthwise_conv2d(x, np.asarray(k, np.float32))[0]
     kg = np.array([[0, 1, 0], [1, 4, 1], [0, 1, 0]], np.float32) / 4.0
     krb = np.array([[1, 2, 1], [2, 4, 2], [1, 2, 1]], np.float32) / 4.0
     g = jnp.where(r_mask | b_mask, conv(kg), bayer)
     r_plane = jnp.where(r_mask, bayer, 0.0)
     b_plane = jnp.where(b_mask, bayer, 0.0)
-    r = jnp.where(r_mask, bayer, convops.depthwise_conv2d(r_plane[None], jnp.asarray(krb))[0])
-    b = jnp.where(b_mask, bayer, convops.depthwise_conv2d(b_plane[None], jnp.asarray(krb))[0])
+    r = jnp.where(r_mask, bayer, convops.depthwise_conv2d(r_plane[None], krb)[0])
+    b = jnp.where(b_mask, bayer, convops.depthwise_conv2d(b_plane[None], krb)[0])
     return jnp.stack([r, g, b])
 
 
@@ -134,8 +134,9 @@ def half_size_decode(bayer: jnp.ndarray, pattern: str = "RGGB") -> jnp.ndarray:
         raise ValueError(f"unsupported Bayer pattern {pattern!r}")
     ry, rx = _PATTERNS[pattern]
     h2, w2 = bayer.shape[0] // 2, bayer.shape[1] // 2
-    cells = bayer[: h2 * 2, : w2 * 2].reshape(h2, 2, w2, 2).transpose(0, 2, 1, 3)
-    r = cells[:, :, ry, rx]
-    b = cells[:, :, 1 - ry, 1 - rx]
-    g = 0.5 * (cells[:, :, ry, 1 - rx] + cells[:, :, 1 - ry, rx])
+    x = bayer[: h2 * 2, : w2 * 2]
+    # Strided slices (not a block reshape: tiny minor dims tile-pad ~32x).
+    r = x[ry::2, rx::2]
+    b = x[1 - ry :: 2, 1 - rx :: 2]
+    g = 0.5 * (x[ry::2, 1 - rx :: 2] + x[1 - ry :: 2, rx::2])
     return jnp.stack([r, g, b])

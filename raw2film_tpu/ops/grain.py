@@ -47,8 +47,7 @@ def generate_grain_field(
         # the effective 2D kernel outer(k, k) then has unit Frobenius norm and
         # filtered white noise keeps unit variance.
         k = k / np.float32(np.linalg.norm(k))
-        kj = jnp.asarray(k)
-        noise = convops.separable_conv(noise, kj, kj)
+        noise = convops.separable_conv(noise, k, k)
     if bw:
         noise = jnp.broadcast_to(noise, (3, *hw))
     return noise

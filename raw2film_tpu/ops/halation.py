@@ -100,6 +100,35 @@ def _gaussian_pyramid_blur(img: jnp.ndarray, sigma: float) -> jnp.ndarray:
     return convops.bilinear_upsample(blurred, img.shape[-2:])
 
 
+def halation_with_factors(
+    img: jnp.ndarray,
+    scale: float,
+    halation_size: float,
+    factors: jnp.ndarray,
+    exact: bool = False,
+) -> jnp.ndarray:
+    """Core halation apply with *traced* per-channel color factors (3, 1, 1)
+    so intensity/green-factor sliders never retrigger compilation; only the
+    kernel geometry (scale, halation_size) is static."""
+    size = scale / 4.0 * halation_size
+    if exact or size <= 12.0:
+        k = exponential_blur_kernel(size).astype(np.float32)
+        blur = convops.depthwise_conv2d(img, k)
+    elif size <= 40.0:
+        u, v = convops.svd_separable(
+            exponential_blur_kernel(size).astype(np.float32), tol=1e-4, max_rank=8
+        )
+        blur = convops.conv2d_svd(img, u, v)
+    else:
+        sigmas, weights, inner, _ = fit_gaussian_mixture(size)
+        blur = convops.depthwise_conv2d(img, inner)
+        for s, w in zip(sigmas, weights):
+            if w <= 1e-6:
+                continue
+            blur = blur + w * _gaussian_pyramid_blur(img, s)
+    return (img + factors * blur) / (1.0 + factors)
+
+
 def halation(
     img: jnp.ndarray,
     scale: float,
@@ -123,24 +152,4 @@ def halation(
         [halation_red_factor, halation_green_factor, halation_blue_factor],
         img.dtype,
     ).reshape(3, 1, 1)
-    size = scale / 4.0 * halation_size
-
-    if exact or size <= 12.0:
-        k = jnp.asarray(exponential_blur_kernel(size), img.dtype)
-        blur = convops.depthwise_conv2d(img, k)
-    elif size <= 40.0:
-        # Mid-size kernels: exact SVD-separable factorization (rank <= 8,
-        # ~1e-4 reconstruction error) — the Gaussian mixture fits the kinky
-        # compact support of small kernels poorly.
-        u, v = convops.svd_separable(
-            exponential_blur_kernel(size).astype(np.float32), tol=1e-4, max_rank=8
-        )
-        blur = convops.conv2d_svd(img, jnp.asarray(u), jnp.asarray(v))
-    else:
-        sigmas, weights, inner, _ = fit_gaussian_mixture(size)
-        blur = convops.depthwise_conv2d(img, jnp.asarray(inner))
-        for s, w in zip(sigmas, weights):
-            if w <= 1e-6:
-                continue
-            blur = blur + w * _gaussian_pyramid_blur(img, s)
-    return (img + factors * blur) / (1.0 + factors)
+    return halation_with_factors(img, scale, halation_size, factors, exact=exact)

@@ -71,11 +71,24 @@ def film_sharpness(
     sharpening_sigma: float = 1.0,
 ) -> jnp.ndarray:
     """Device: apply the per-channel MTF kernel to a density-domain image."""
+    return film_sharpness_from_key(
+        img, _hashable_mtf(mtf), scale, sharpening_strength, sharpening_sigma
+    )
+
+
+def film_sharpness_from_key(
+    img: jnp.ndarray,
+    mtf_key: tuple,
+    scale: float,
+    sharpening_strength: float = 0.0,
+    sharpening_sigma: float = 1.0,
+) -> jnp.ndarray:
+    """Same, taking the pre-hashed MTF tabulation (jit-static friendly)."""
     k = mtf_kernel(
-        _hashable_mtf(mtf), float(scale), float(sharpening_strength), float(sharpening_sigma)
+        mtf_key, float(scale), float(sharpening_strength), float(sharpening_sigma)
     )
     if k.shape[-1] <= 15:
-        return convops.depthwise_conv2d(img, jnp.asarray(k))
+        return convops.depthwise_conv2d(img, k)
     us, vs = [], []
     rank = 0
     for c in range(3):
@@ -89,4 +102,4 @@ def film_sharpness(
     for c in range(3):
         u3[c, : us[c].shape[0]] = us[c]
         v3[c, : vs[c].shape[0]] = vs[c]
-    return convops.conv2d_svd(img, jnp.asarray(u3), jnp.asarray(v3))
+    return convops.conv2d_svd(img, u3, v3)

@@ -1,0 +1,63 @@
+"""Device mesh + sharded batch rendering.
+
+The reference's only cross-device construct is a producer/consumer queue
+overlapping host decode with GPU passes (reference:
+src/raw2film/gui_objects.py:65-115). The TPU-native scaling story
+(SURVEY.md §2.4/§5.8): shard the *image batch* across chips over ICI with
+``jax.sharding`` — and optionally shard the image rows ("space" axis) so a
+single huge frame can exceed one chip's HBM; XLA's SPMD partitioner inserts
+the halo exchanges the conv stages need automatically.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from raw2film_tpu.pipeline.render import RenderConfig, render_chain
+
+
+def make_mesh(
+    n_devices: int | None = None, batch: int | None = None, space: int | None = None
+) -> Mesh:
+    """Build a (batch, space) mesh. Defaults: all devices on the batch axis."""
+    devices = np.asarray(jax.devices())
+    n = n_devices or len(devices)
+    devices = devices[:n]
+    if batch is None and space is None:
+        batch, space = n, 1
+    elif batch is None:
+        batch = n // space
+    elif space is None:
+        space = n // batch
+    assert batch * space == n, (batch, space, n)
+    return Mesh(devices.reshape(batch, space), ("batch", "space"))
+
+
+def batch_render_fn(cfg: RenderConfig):
+    """Batched render: (B, 3, H, W) xyz + per-image keys -> (B, 3, H, W) u8."""
+
+    def fn(xyz_batch, bundle, keys):
+        return jax.vmap(lambda x, k: render_chain(x, bundle, cfg, k))(
+            xyz_batch, keys
+        )
+
+    return fn
+
+
+def sharded_batch_render(mesh: Mesh, cfg: RenderConfig):
+    """jit the batched render with the batch axis sharded over the mesh's
+    'batch' axis and image rows over 'space'. Bundle arrays are replicated."""
+    in_shard = NamedSharding(mesh, P("batch", None, "space", None))
+    key_shard = NamedSharding(mesh, P("batch"))
+    repl = NamedSharding(mesh, P())
+    fn = batch_render_fn(cfg)
+    return jax.jit(
+        fn,
+        in_shardings=(in_shard, repl, key_shard),
+        out_shardings=in_shard,
+    )

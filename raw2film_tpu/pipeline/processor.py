@@ -1,3 +1,368 @@
-"""Placeholder; real Processor lands with the pipeline module."""
+"""Processor: the public ``process()`` API — one engine for preview + export.
+
+Replaces both reference engines (CpuProcessor, src/raw2film/cpu_processor.py
+:24-414, and GpuProcessor, gpu_processor.py) with a single class around the
+jitted device chain. The ``process()`` signature carries the same parameter
+names and defaults as the reference's so existing settings/profile JSONs map
+over directly.
+
+Caching mirrors the reference's param-dict memoization (cpu_processor.py:
+41-45): geometry/decode results and calibrated film bundles are reused when
+their parameter dicts are unchanged; jit handles kernel caching by static
+config.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from raw2film_tpu.film import chain as fchain
+from raw2film_tpu.film.loader import load_film_stocks
+from raw2film_tpu.film.stock import FilmStock
+from raw2film_tpu.ops.resize import resolution_scaling
+from raw2film_tpu.pipeline import geometry
+from raw2film_tpu.pipeline.canvas import add_canvas
+from raw2film_tpu.pipeline.render import (
+    RenderConfig,
+    build_render_config,
+    make_film_bundle,
+    render_jit,
+)
+
+MAX_SCALE_DEFAULT = 400.0  # px/mm preview cap (reference: cpu_processor.py:320)
+
+
+def _resolve_stock(stock) -> FilmStock | None:
+    if stock is None or isinstance(stock, FilmStock):
+        return stock
+    return load_film_stocks()[str(stock)]
+
+
 class Processor:
-    pass
+    """Stateful wrapper: image/LUT caches + ``process()``."""
+
+    def __init__(self, cameras=None, lenses=None):
+        # cameras/lenses kept for API compatibility with the reference's
+        # lensfun-backed constructor (cpu_processor.py:27); lens correction is
+        # handled by io.lens when profiles are available.
+        self.cameras = cameras or {}
+        self.lenses = lenses or {}
+        self._image_cache_key = None
+        self._image_cache = None
+        self._bundle_key = None
+        self._bundle = None
+        self._d_ref_green = 1.0
+
+    # ------------------------------------------------------------ image
+
+    def load_image(
+        self,
+        src,
+        frame_width=36.0,
+        frame_height=24.0,
+        rotation=0.0,
+        zoom=1.0,
+        rotate_times=0,
+        flip=False,
+        resolution=None,
+        half_size=True,
+        cache=True,
+        chroma_nr=0,
+        max_scale=None,
+        lens_correction=False,
+        cam=None,
+        lens=None,
+    ):
+        """Decode + geometry; returns (device planar XYZ, orig_resolution)."""
+        key = (
+            str(src),
+            frame_width,
+            frame_height,
+            rotation,
+            zoom,
+            rotate_times,
+            flip,
+            tuple(resolution) if resolution is not None else None,
+            half_size,
+            max_scale,
+            lens_correction,
+            str(lens),
+        )
+        if cache and key == self._image_cache_key:
+            return self._image_cache
+
+        if isinstance(src, np.ndarray):
+            xyz = np.asarray(src, np.float32)
+            if xyz.ndim == 3 and xyz.shape[-1] == 3 and xyz.shape[0] != 3:
+                xyz = xyz.transpose(2, 0, 1)  # accept HWC input
+            metadata = {}
+        else:
+            from raw2film_tpu.io.raw import raw_to_linear
+
+            dev_xyz, metadata = raw_to_linear(str(src), half_size=half_size, cache=cache)
+            xyz = np.asarray(dev_xyz)
+
+        if lens_correction and metadata:
+            from raw2film_tpu.io import lens as lens_mod
+
+            profile = self.lenses.get(lens) if lens else None
+            xyz = lens_mod.lens_correction(xyz, metadata, profile)
+
+        xyz = geometry.crop_rotate_zoom(
+            xyz, frame_width, frame_height, rotation, zoom, rotate_times, flip
+        )
+
+        if resolution is None and max_scale is not None:
+            resolution = xyz.shape[-2:]
+        orig_resolution = tuple(resolution) if resolution is not None else None
+
+        if resolution is not None:
+            scale = max(resolution) / max(frame_width, frame_height)
+            if max_scale is not None and scale > max_scale:
+                f = max_scale / scale
+                resolution = [round(v * f) for v in resolution]
+            xyz = np.asarray(
+                resolution_scaling(jnp.asarray(xyz), tuple(resolution))
+            )
+
+        result = (jnp.asarray(xyz), orig_resolution, metadata)
+        if cache:
+            self._image_cache_key = key
+            self._image_cache = result
+        return result
+
+    # ------------------------------------------------------------ bundles
+
+    def load_film_bundle(self, negative_film, print_film, merged: dict):
+        key = {
+            "negative_film": negative_film.name,
+            "print_film": print_film.name if print_film is not None else None,
+            **{
+                k: merged[k]
+                for k in (
+                    "exp_kelvin",
+                    "tint",
+                    "exp_comp",
+                    "push_pull",
+                    "color_masking",
+                    "red_light",
+                    "green_light",
+                    "blue_light",
+                    "projector_kelvin",
+                    "shadow_comp",
+                    "sat_adjust",
+                    "inversion_gamma",
+                    "idealized_curve",
+                    "white_balance",
+                    "white_clip",
+                    "gamma_func",
+                    "halation_intensity",
+                    "halation_green_factor",
+                    "highlight_burn",
+                )
+            },
+            "inversion": merged.get("inversion", False),
+        }
+        if key == self._bundle_key:
+            return self._bundle
+
+        neg_p = fchain.build_negative_params(
+            negative_film,
+            exp_kelvin=merged["exp_kelvin"],
+            tint=merged["tint"],
+            exp_comp=merged["exp_comp"],
+            push_pull=merged["push_pull"],
+            color_masking=merged["color_masking"],
+        )
+        inversion = bool(merged.get("inversion", False)) or (
+            print_film is None and negative_film.film_type == "negative"
+        )
+        prt_p = fchain.build_print_params(
+            negative_film,
+            print_film,
+            red_light=merged["red_light"],
+            green_light=merged["green_light"],
+            blue_light=merged["blue_light"],
+            projector_kelvin=merged["projector_kelvin"],
+            shadow_comp=merged["shadow_comp"],
+            inversion_gamma=merged["inversion_gamma"],
+            idealized_curve=merged["idealized_curve"],
+            inversion=inversion,
+            white_balance=merged["white_balance"],
+            neg_params=neg_p,
+        )
+        out_p = fchain.build_output_params(
+            negative_film,
+            print_film,
+            prt_p,
+            neg_p,
+            projector_kelvin=merged["projector_kelvin"],
+            sat_adjust=merged["sat_adjust"],
+            gamma_func=merged["gamma_func"],
+            white_clip=merged["white_clip"],
+        )
+        d_ref = negative_film.d_ref
+        d_ref_green = float(d_ref[1] if len(d_ref) > 1 else d_ref[0])
+        gm = negative_film.grain
+        d_min, *_ = negative_film.curve.params()
+        lo = float(np.min(d_min))
+        hi = float(np.max(negative_film.curve.d_max))
+        if hi < lo:
+            lo, hi = hi, lo
+        bundle = make_film_bundle(
+            neg_p,
+            prt_p,
+            out_p,
+            halation_intensity=merged["halation_intensity"],
+            halation_green_factor=merged["halation_green_factor"],
+            highlight_burn=merged["highlight_burn"],
+            d_ref_green=d_ref_green,
+            grain_rms=(gm.rms if gm else 0.0),
+            grain_shape=(
+                (gm.peak_density, gm.width, gm.floor, lo, hi)
+                if gm
+                else (1.0, 1.2, 0.15, 0.0, 4.0)
+            ),
+            sat=merged["sat_adjust"],
+        )
+        self._bundle_key = key
+        self._bundle = (bundle, prt_p.mode)
+        self._d_ref_green = d_ref_green
+        return self._bundle
+
+    # ------------------------------------------------------------ process
+
+    def process(
+        self,
+        src,
+        negative_film,
+        grain_size: float = 6.0,
+        grain_sigma: float = 0.4,
+        lens_correction: bool = True,
+        print_film=None,
+        exp_comp: float = 0.0,
+        red_light: float = 0.0,
+        green_light: float = 0.0,
+        blue_light: float = 0.0,
+        projector_kelvin: float = 6500.0,
+        shadow_comp: float = 0.0,
+        sat_adjust: float = 1.0,
+        gamma_func: str = "sRGB",
+        exp_kelvin: float = 6500.0,
+        tint: float = 0.0,
+        inversion_gamma: float = 4.0,
+        idealized_curve: bool = False,
+        inversion: bool = False,
+        push_pull: float = 0.0,
+        white_balance: bool = False,
+        white_clip: bool = False,
+        icc_transform=None,
+        resolution=None,
+        frame_width: float = 36.0,
+        frame_height: float = 24.0,
+        rotation: float = 0.0,
+        zoom: float = 1.0,
+        rotate_times: int = 0,
+        flip: bool = False,
+        cam=None,
+        lens=None,
+        canvas_mode: str = "No",
+        canvas_scale: float = 1.0,
+        canvas_ratio: float = 1.0,
+        halation_intensity: float = 1.0,
+        halation: bool = True,
+        halation_size: float = 1.0,
+        halation_green_factor: float = 0.4,
+        sharpness: bool = True,
+        sharpening_strength: float = 0.0,
+        sharpening_sigma: float = 1.0,
+        chroma_nr: int = 0,
+        grain: int = 2,
+        highlight_burn: float = 0.0,
+        burn_scale: float = 50.0,
+        half_size: bool = True,
+        cache: bool = True,
+        color_masking: float | None = None,
+        max_scale: float | None = MAX_SCALE_DEFAULT,
+        seed: int = 0,
+        **_,
+    ) -> np.ndarray:
+        """Load and process an image; returns uint8 (H, W, 3).
+
+        Parameter surface mirrors the reference
+        (src/raw2film/cpu_processor.py:269-414).
+        """
+        negative_film = _resolve_stock(negative_film)
+        print_film = _resolve_stock(print_film)
+
+        xyz, orig_resolution, _meta = self.load_image(
+            src,
+            frame_width,
+            frame_height,
+            rotation,
+            zoom,
+            rotate_times,
+            flip,
+            resolution,
+            half_size,
+            cache,
+            chroma_nr,
+            max_scale,
+            lens_correction=lens_correction,
+            cam=cam,
+            lens=lens,
+        )
+
+        merged = dict(
+            exp_kelvin=exp_kelvin,
+            tint=tint,
+            exp_comp=exp_comp,
+            push_pull=push_pull,
+            color_masking=color_masking if color_masking is not None else 1.0,
+            red_light=red_light,
+            green_light=green_light,
+            blue_light=blue_light,
+            projector_kelvin=projector_kelvin,
+            shadow_comp=shadow_comp,
+            sat_adjust=sat_adjust,
+            inversion_gamma=inversion_gamma,
+            idealized_curve=idealized_curve,
+            inversion=inversion,
+            white_balance=white_balance,
+            white_clip=white_clip,
+            gamma_func=gamma_func,
+            halation_intensity=halation_intensity,
+            halation_green_factor=halation_green_factor,
+            highlight_burn=highlight_burn,
+            halation=halation,
+            halation_size=halation_size,
+            sharpness=sharpness,
+            sharpening_strength=sharpening_strength,
+            sharpening_sigma=sharpening_sigma,
+            grain=grain,
+            grain_size=grain_size,
+            grain_sigma=grain_sigma,
+            burn_scale=burn_scale,
+            chroma_nr=chroma_nr,
+        )
+        bundle, prt_mode = self.load_film_bundle(negative_film, print_film, merged)
+
+        scale = max(xyz.shape[-2:]) / max(frame_width, frame_height)
+        cfg = build_render_config(negative_film, print_film, prt_mode, scale, merged)
+
+        key = jax.random.PRNGKey(seed)
+        out = render_jit(xyz, bundle, cfg, key)  # (3, H, W) uint8
+
+        image = np.asarray(out).transpose(1, 2, 0)  # HWC for the host side
+        image = add_canvas(image, canvas_mode, canvas_scale, canvas_ratio)
+        if orig_resolution is not None and tuple(image.shape[:2]) != tuple(
+            orig_resolution
+        ):
+            scaled = resolution_scaling(
+                jnp.asarray(image.transpose(2, 0, 1), jnp.float32),
+                tuple(orig_resolution),
+            )
+            image = np.clip(np.asarray(scaled), 0, 255).astype(np.uint8).transpose(1, 2, 0)
+        return image

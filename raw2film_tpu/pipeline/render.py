@@ -1,0 +1,267 @@
+"""The fused device render chain: one jitted function, camera XYZ -> uint8.
+
+This is the single pipeline that replaces BOTH reference engines
+(CpuProcessor src/raw2film/cpu_processor.py:269-414 and the WGSL pass chain
+gpu_processor.py:1695-1890). Stage order is the reference's spec:
+
+    [chroma NR] -> input transform (WB + exposure matrix) -> [halation]
+    -> log10 + H&D development + masking -> [MTF sharpness] -> [grain]
+    -> [highlight burn] -> print/inversion chain -> display encode -> uint8
+
+Everything is elementwise math, 3x3 channel matmuls, and separable convs in
+planar (3, H, W) float32 — zero per-pixel gathers, so XLA fuses the chain
+into a handful of HBM passes.
+
+Static (recompile-triggering) configuration: image shape, stage toggles, and
+kernel-shaping values (scale, halation size, grain size, chroma NR radius,
+burn scale, gamma curve choice). Continuously varying film parameters
+(matrices, curve constants, printer lights) travel in the ``FilmBundle``
+pytree of arrays and never retrigger compilation — an interactive slider
+re-jits only when it changes a kernel's shape, like the reference rebuilding
+its numba kernels.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from raw2film_tpu.config import LOG10_EPS
+from raw2film_tpu.film import chain as fchain
+from raw2film_tpu.film.stock import FilmStock
+from raw2film_tpu.film.transfer import encode
+from raw2film_tpu.ops import (
+    burn as burn_ops,
+    chroma_nr as nr_ops,
+    grain as grain_ops,
+    halation as hal_ops,
+    mtf as mtf_ops,
+)
+
+Array = Any
+
+
+# ---------------------------------------------------------------- bundles
+
+
+@dataclass(frozen=True)
+class RenderConfig:
+    """Hashable static config — the jit cache key."""
+
+    scale: float  # pixels per mm on film
+    halation: bool = True
+    halation_size: float = 1.0
+    bw: bool = False
+    sharpness: bool = True
+    has_mtf: bool = True
+    sharpening_strength: float = 0.0
+    sharpening_sigma: float = 1.0
+    grain: int = 2
+    has_grain: bool = True
+    grain_size_mm: float = 0.006
+    grain_sigma: float = 0.4
+    highlight_burn: bool = False
+    burn_scale: float = 50.0
+    chroma_nr: int = 0
+    print_mode: str = "print"  # "print" | "inversion" | "direct"
+    shadow_comp: bool = False
+    sat_neutral: bool = True  # sat_adjust == 1.0 fast path
+    gamma_func: str = "sRGB"
+    mtf_key: tuple | None = None
+
+
+def make_film_bundle(
+    neg_p: fchain.NegativeParams,
+    prt_p: fchain.PrintParams,
+    out_p: fchain.OutputParams,
+    halation_intensity: float = 1.0,
+    halation_green_factor: float = 0.3,
+    highlight_burn: float = 0.0,
+    d_ref_green: float = 1.0,
+    grain_rms: float = 0.0,
+    grain_shape: tuple = (1.0, 1.2, 0.15, 0.0, 4.0),
+    sat: float = 1.0,
+) -> dict:
+    """Pack the calibrated chain into a pytree of device arrays (all traced:
+    value changes do NOT recompile)."""
+
+    def dev(a):
+        return jnp.asarray(np.asarray(a, np.float32))
+
+    return {
+        "m_in": dev(neg_p.m_in),
+        "flare": dev(neg_p.flare),
+        "neg_curve": tuple(dev(c) for c in neg_p.curve),
+        "mask": dev(neg_p.mask),
+        "d_min": dev(neg_p.d_min.reshape(3, 1, 1)),
+        "a": dev(prt_p.a),
+        "log_e0": dev(prt_p.log_e0.reshape(3, 1, 1)),
+        "prt_curve": tuple(dev(c) for c in prt_p.curve),
+        "v": dev(prt_p.v),
+        "d_offset": dev(prt_p.d_offset.reshape(3, 1, 1)),
+        "vd_offset": dev(prt_p.vd_offset.reshape(3, 1, 1)),
+        "shadow_comp": dev(prt_p.shadow_comp),
+        "shadow_ref": dev(prt_p.shadow_ref),
+        "to_display": dev(out_p.to_display),
+        "white_gain": dev(out_p.white_gain.reshape(3, 1, 1)),
+        "sat": dev(sat),
+        "hal_intensity": dev(halation_intensity),
+        "hal_green": dev(halation_green_factor),
+        "highlight_burn": dev(highlight_burn),
+        "d_ref_green": dev(d_ref_green),
+        "grain_rms": dev(grain_rms),
+        "grain_shape": dev(np.asarray(grain_shape, np.float32)),
+    }
+
+
+# ---------------------------------------------------------------- pieces
+
+
+def _softplus(u, w):
+    t = u / w
+    return w * (jnp.maximum(t, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(t))))
+
+
+def _hd_density(log_e, curve):
+    d_min, gamma, x_toe, x_sh, w_t, w_s = curve
+    return d_min + gamma * (
+        _softplus(log_e - x_toe, w_t) - _softplus(log_e - x_sh, w_s)
+    )
+
+
+def _mat(m, img):
+    return jnp.einsum("ij,jhw->ihw", m, img)
+
+
+# ---------------------------------------------------------------- chain
+
+
+def render_chain(
+    xyz: Array, bundle: dict, cfg: RenderConfig, noise_key: Array
+) -> Array:
+    """(3, H, W) float32 camera XYZ -> (3, H, W) uint8 encoded output."""
+    img = xyz
+    if cfg.chroma_nr:
+        img = nr_ops.chroma_nr(img, cfg.chroma_nr)
+
+    # Input transform: WB CAT + layer exposure matrix (+2^exp_comp folded in).
+    e = jnp.maximum(_mat(bundle["m_in"], img), 0.0)
+
+    if cfg.halation:
+        g = bundle["hal_green"]
+        factors = bundle["hal_intensity"] * (
+            jnp.stack([jnp.ones_like(g), g, jnp.zeros_like(g)])
+            if not cfg.bw
+            else jnp.stack([g, g, g])
+        ).reshape(3, 1, 1)
+        e = hal_ops.halation_with_factors(
+            e, cfg.scale, cfg.halation_size, factors
+        )
+
+    # Development: log exposure -> status densities (+ masking coupling).
+    x = jnp.log10(jnp.maximum(e + bundle["flare"], LOG10_EPS))
+    d = _hd_density(x, bundle["neg_curve"])
+    d = _mat(bundle["mask"], d - bundle["d_min"]) + bundle["d_min"]
+
+    if cfg.sharpness and cfg.has_mtf and cfg.mtf_key is not None:
+        d = mtf_ops.film_sharpness_from_key(
+            d, cfg.mtf_key, cfg.scale, cfg.sharpening_strength, cfg.sharpening_sigma
+        )
+
+    if cfg.grain and cfg.has_grain:
+        field = grain_ops.generate_grain_field(
+            noise_key,
+            d.shape[-2:],
+            cfg.scale,
+            cfg.grain_size_mm,
+            cfg.grain_sigma,
+            bw=cfg.grain == 1,
+        )
+        peak, width, floor, d_lo, d_hi = (
+            bundle["grain_shape"][0],
+            bundle["grain_shape"][1],
+            bundle["grain_shape"][2],
+            bundle["grain_shape"][3],
+            bundle["grain_shape"][4],
+        )
+        rng = jnp.maximum(d_hi - d_lo, 1e-3)
+        t = (d - d_lo) / rng
+        shape = floor + (1 - floor) * jnp.exp(
+            -0.5 * ((t - peak / rng * 0.5 - 0.25) / (width * 0.35)) ** 2
+        )
+        pixel_um = 1000.0 / cfg.scale
+        amp = (bundle["grain_rms"] / 1000.0) * shape * (48.0 / pixel_um)
+        if cfg.grain == 1:
+            amp = jnp.broadcast_to(amp.mean(axis=0, keepdims=True), amp.shape)
+        d = jnp.maximum(d + amp * field, 0.0)
+
+    if cfg.highlight_burn:
+        d = burn_ops.burn(
+            d, bundle["d_ref_green"], bundle["highlight_burn"], cfg.burn_scale
+        )
+
+    # Print / inversion / direct view.
+    if cfg.print_mode == "print":
+        log_e = bundle["log_e0"] - _mat(bundle["a"], d)
+        d_p = _hd_density(log_e, bundle["prt_curve"])
+    else:
+        d_p = d - bundle["d_offset"]
+    vd = _mat(bundle["v"], d_p)
+    if cfg.shadow_comp:
+        vd = vd - bundle["shadow_comp"] * _softplus(vd - bundle["shadow_ref"], 0.35)
+    lin = jnp.power(10.0, -(vd + bundle["vd_offset"]))
+
+    # Output encode.
+    rgb = _mat(bundle["to_display"], lin) * bundle["white_gain"]
+    if not cfg.sat_neutral:
+        luma = 0.2126 * rgb[0] + 0.7152 * rgb[1] + 0.0722 * rgb[2]
+        rgb = luma[None] + bundle["sat"] * (rgb - luma[None])
+    rgb = jnp.clip(rgb, 0.0, 1.0)
+    rgb = encode(rgb, cfg.gamma_func, jnp)
+    return jnp.round(rgb * 255.0).astype(jnp.uint8)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def render_jit(xyz: Array, bundle: dict, cfg: RenderConfig, noise_key: Array):
+    return render_chain(xyz, bundle, cfg, noise_key)
+
+
+# ---------------------------------------------------------- config builder
+
+
+def build_render_config(
+    neg: FilmStock,
+    prt: FilmStock | None,
+    prt_mode: str,
+    scale: float,
+    merged: dict,
+) -> RenderConfig:
+    """Derive the static config from merged params (see params.merge_params)."""
+    return RenderConfig(
+        scale=float(scale),
+        halation=bool(merged["halation"]),
+        halation_size=float(merged["halation_size"]),
+        bw=neg.is_bw,
+        sharpness=bool(merged["sharpness"]),
+        has_mtf=neg.mtf is not None,
+        sharpening_strength=float(merged["sharpening_strength"]),
+        sharpening_sigma=float(merged["sharpening_sigma"]),
+        grain=int(merged["grain"]),
+        has_grain=neg.rms_density is not None,
+        grain_size_mm=float(merged["grain_size"]) / 1000.0,
+        grain_sigma=float(merged["grain_sigma"]),
+        highlight_burn=bool(merged["highlight_burn"])
+        and (prt is not None or neg.density_measure in ("status_m", "bw")),
+        burn_scale=float(merged["burn_scale"]),
+        chroma_nr=int(merged["chroma_nr"]),
+        print_mode=prt_mode,
+        shadow_comp=bool(merged["shadow_comp"]),
+        sat_neutral=float(merged["sat_adjust"]) == 1.0,
+        gamma_func=str(merged["gamma_func"]),
+        mtf_key=mtf_ops._hashable_mtf(neg.mtf) if neg.mtf is not None else None,
+    )

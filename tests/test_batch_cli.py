@@ -1,0 +1,177 @@
+"""Batch engine, settings persistence, CLI."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from raw2film_tpu.pipeline.batch import BatchRunner, export_path, scan_raw_files
+from raw2film_tpu.pipeline.params import ImageParams, ProfileParams
+from raw2film_tpu.pipeline.settings import (
+    load_folder_settings,
+    load_settings,
+    save_settings,
+    sidecar_path,
+)
+
+RNG = np.random.default_rng(5)
+
+
+def _write_fixture_dng(path, h=64, w=96, seed=0):
+    from raw2film_tpu.data import REC709_TO_XYZ, XYZ_TO_REC709
+    from raw2film_tpu.io.dng import write_dng
+
+    yy, xx = np.mgrid[0:h, 0:w]
+    rgb = np.stack([0.1 + 0.5 * xx / w, 0.1 + 0.4 * yy / h, 0.3 - 0.1 * yy / h], -1)
+    cam = (rgb @ REC709_TO_XYZ.T) @ XYZ_TO_REC709.T
+    mosaic = np.zeros((h, w))
+    mosaic[0::2, 0::2] = cam[0::2, 0::2, 0]
+    mosaic[0::2, 1::2] = cam[0::2, 1::2, 1]
+    mosaic[1::2, 0::2] = cam[1::2, 0::2, 1]
+    mosaic[1::2, 1::2] = cam[1::2, 1::2, 2]
+    write_dng(str(path), np.clip(mosaic, 0, 1) * 60000, white_level=60000)
+
+
+class TestBatchRunner:
+    def test_overlapped_run_and_progress(self, tmp_path):
+        calls = []
+
+        def process(src, **params):
+            return np.full((8, 8, 3), 128, np.uint8)
+
+        def export(image, src):
+            dst = str(tmp_path / (os.path.basename(src) + ".jpg"))
+            from PIL import Image
+
+            Image.fromarray(image).save(dst)
+            return dst
+
+        progress = []
+        runner = BatchRunner(process, export)
+        results = runner.run(
+            [(f"img{i}.dng", {}) for i in range(5)],
+            progress=lambda d, t: progress.append((d, t)),
+        )
+        assert len(results) == 5 and all(r.ok for r in results)
+        assert progress[-1] == (5, 5)
+
+    def test_failure_isolated(self, tmp_path):
+        def process(src, **params):
+            if "bad" in src:
+                raise RuntimeError("decode exploded")
+            return np.zeros((4, 4, 3), np.uint8)
+
+        def export(image, src):
+            return "ok"
+
+        runner = BatchRunner(process, export)
+        results = runner.run([("a.dng", {}), ("bad.dng", {}), ("c.dng", {})])
+        assert [r.ok for r in results] == [True, False, True]
+        assert "decode exploded" in results[1].error
+
+    def test_cancel(self):
+        import threading
+
+        runner = BatchRunner(lambda s, **p: np.zeros((2, 2, 3), np.uint8), lambda i, s: "x")
+        runner.cancel()
+        results = runner.run([("a.dng", {})] * 10)
+        assert len(results) < 10
+
+    def test_scan_and_paths(self, tmp_path):
+        (tmp_path / "a.DNG").write_bytes(b"")
+        (tmp_path / "b.arw").write_bytes(b"")
+        (tmp_path / "c.txt").write_bytes(b"")
+        files = scan_raw_files(str(tmp_path))
+        assert len(files) == 2
+        p = export_path("/x/y/img.dng", "/out", True, "2024:06:01 10:00:00")
+        assert p == os.path.join("/out", "2024", "2024-06-01", "img.jpg")
+
+
+class TestSettings:
+    def test_roundtrip(self, tmp_path):
+        p = str(tmp_path / "settings.json")
+        save_settings(
+            p,
+            profiles={"Default": ProfileParams(negative_film="Kodak Ektar 100")},
+            images={"img.dng": ImageParams(exp_comp=1.5, rotation=2.0)},
+        )
+        profiles, images = load_settings(p)
+        assert profiles["Default"].negative_film == "Kodak Ektar 100"
+        assert images["img.dng"].exp_comp == 1.5
+
+    def test_unknown_keys_ignored(self, tmp_path):
+        p = str(tmp_path / "settings.json")
+        doc = {
+            "profiles": {"X": {"negative_film": "Kodak Gold 200", "mystery": 1}},
+            "images": {},
+        }
+        with open(p, "w") as f:
+            json.dump(doc, f)
+        profiles, _ = load_settings(p)
+        assert profiles["X"].negative_film == "Kodak Gold 200"
+
+    def test_folder_sidecar(self, tmp_path):
+        save_settings(
+            sidecar_path(str(tmp_path)), images={"a.dng": ImageParams(tint=3.0)}
+        )
+        _, images = load_folder_settings(str(tmp_path))
+        assert images["a.dng"].tint == 3.0
+        assert load_folder_settings("/nonexistent") == ({}, {})
+
+
+class TestCLI:
+    def test_list_stocks(self, capsys):
+        from raw2film_tpu.cli import main
+
+        assert main(["x.dng", "--list-stocks"]) == 0
+        out = capsys.readouterr().out
+        assert "Kodak Portra 400" in out and "print" in out
+
+    def test_unknown_stock_errors(self, tmp_path, capsys):
+        from raw2film_tpu.cli import main
+
+        dng = tmp_path / "t.dng"
+        _write_fixture_dng(dng)
+        rc = main([str(dng), "--negative-film", "Kodachrome 9000"])
+        assert rc == 2
+        assert "unknown negative stock" in capsys.readouterr().err
+
+    def test_export_end_to_end(self, tmp_path):
+        from raw2film_tpu.cli import main
+
+        dng = tmp_path / "shot.dng"
+        _write_fixture_dng(dng)
+        out_dir = str(tmp_path / "out")
+        rc = main(
+            [
+                str(dng),
+                "-o",
+                out_dir,
+                "--grain",
+                "0",
+                "--print-film",
+                "None",
+            ]
+        )
+        assert rc == 0
+        dst = os.path.join(out_dir, "shot.jpg")
+        assert os.path.exists(dst)
+        from PIL import Image
+
+        img = Image.open(dst)
+        assert img.size[0] > 0
+
+    def test_folder_input_with_sidecar(self, tmp_path):
+        from raw2film_tpu.cli import main
+
+        folder = tmp_path / "roll"
+        folder.mkdir()
+        _write_fixture_dng(folder / "f1.dng")
+        save_settings(
+            sidecar_path(str(folder)), images={"f1.dng": ImageParams(exp_comp=1.0)}
+        )
+        out_dir = str(tmp_path / "out2")
+        rc = main([str(folder), "-o", out_dir, "--grain", "0"])
+        assert rc == 0
+        assert os.path.exists(os.path.join(out_dir, "f1.jpg"))

@@ -1,0 +1,81 @@
+"""Sharded batch rendering on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from raw2film_tpu.film import chain as fchain
+from raw2film_tpu.film.loader import load_film_stocks
+from raw2film_tpu.parallel.mesh import batch_render_fn, make_mesh, sharded_batch_render
+from raw2film_tpu.pipeline.params import ImageParams, ProfileParams, merge_params
+from raw2film_tpu.pipeline.render import build_render_config, make_film_bundle
+
+STOCKS = load_film_stocks()
+
+
+def _setup(h=64, w=96, **over):
+    neg = STOCKS["Kodak Portra 400"]
+    prt = STOCKS["Fuji Crystal Archive Maxima"]
+    neg_p = fchain.build_negative_params(neg)
+    prt_p = fchain.build_print_params(neg, prt, neg_params=neg_p)
+    out_p = fchain.build_output_params(neg, prt, prt_p, neg_p)
+    bundle = make_film_bundle(neg_p, prt_p, out_p)
+    merged = merge_params(ProfileParams(), ImageParams())
+    merged.update({"halation": False, "grain": 0, "sharpness": False, **over})
+    cfg = build_render_config(neg, prt, "print", max(h, w) / 36.0, merged)
+    return bundle, cfg
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+class TestSharding:
+    def test_batch_sharded_matches_single(self):
+        bundle, cfg = _setup()
+        b, h, w = 8, 64, 96
+        xyz = jnp.asarray(
+            np.abs(np.random.default_rng(0).normal(0.2, 0.1, (b, 3, h, w))).astype(
+                np.float32
+            )
+        )
+        keys = jax.random.split(jax.random.PRNGKey(0), b)
+
+        single = jax.jit(batch_render_fn(cfg))(xyz, bundle, keys)
+
+        mesh = make_mesh(8, batch=8, space=1)
+        with mesh:
+            sharded = sharded_batch_render(mesh, cfg)(xyz, bundle, keys)
+        np.testing.assert_array_equal(np.asarray(single), np.asarray(sharded))
+
+    def test_space_sharding_with_convs_matches(self):
+        """Row-sharding an image across devices must agree with unsharded even
+        through conv stages (XLA inserts halo exchanges)."""
+        bundle, cfg = _setup(halation=True, sharpness=True)
+        b, h, w = 4, 64, 96
+        xyz = jnp.asarray(
+            np.abs(np.random.default_rng(1).normal(0.2, 0.1, (b, 3, h, w))).astype(
+                np.float32
+            )
+        )
+        keys = jax.random.split(jax.random.PRNGKey(1), b)
+        single = jax.jit(batch_render_fn(cfg))(xyz, bundle, keys)
+        mesh = make_mesh(8, batch=4, space=2)
+        with mesh:
+            sharded = sharded_batch_render(mesh, cfg)(xyz, bundle, keys)
+        diff = np.abs(
+            np.asarray(single).astype(int) - np.asarray(sharded).astype(int)
+        )
+        # Conv halos are exchanged exactly; only fp reassociation may flip an
+        # 8-bit code at a rounding boundary.
+        assert diff.max() <= 1
+
+    def test_mesh_shapes(self):
+        mesh = make_mesh(8)
+        assert mesh.shape == {"batch": 8, "space": 1}
+        mesh = make_mesh(8, space=4)
+        assert mesh.shape == {"batch": 2, "space": 4}
+
+    def test_graft_entry_dryrun(self):
+        import __graft_entry__ as g
+
+        g.dryrun_multichip(8)

@@ -1,0 +1,233 @@
+"""End-to-end pipeline tests: device chain vs host oracle, Processor API."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from raw2film_tpu.film import chain as fchain, spectra
+from raw2film_tpu.film.loader import load_film_stocks
+from raw2film_tpu.pipeline.params import ImageParams, ProfileParams, merge_params
+from raw2film_tpu.pipeline.processor import Processor
+from raw2film_tpu.pipeline.render import (
+    build_render_config,
+    make_film_bundle,
+    render_jit,
+)
+
+STOCKS = load_film_stocks()
+PORTRA = STOCKS["Kodak Portra 400"]
+PAPER = STOCKS["Fuji Crystal Archive Maxima"]
+RNG = np.random.default_rng(0)
+
+
+def _scene(h=64, w=96):
+    """Smooth synthetic scene in XYZ, planar."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    from raw2film_tpu.data import REC709_TO_XYZ
+
+    rgb = np.stack(
+        [0.05 + 0.6 * xx / w, 0.05 + 0.5 * yy / h, 0.4 - 0.3 * xx / w]
+    ).astype(np.float32)
+    return np.einsum("ij,jhw->ihw", REC709_TO_XYZ, np.clip(rgb, 0, 1)).astype(
+        np.float32
+    )
+
+
+def _delta_e_proxy(a_u8, b_u8):
+    """Max per-channel 8-bit difference; 1 DN ~ 0.4 ΔE in midtones."""
+    return np.abs(a_u8.astype(np.int32) - b_u8.astype(np.int32)).max()
+
+
+def _merged(**over):
+    base = merge_params(ProfileParams(), ImageParams())
+    base.update(over)
+    return base
+
+
+class TestDeviceVsOracle:
+    """Device chain (no spatial effects) must reproduce the host oracle to
+    float precision — the ΔE<0.5 gate of BASELINE.json by construction."""
+
+    @pytest.mark.parametrize(
+        "neg_name,prt_name,inversion",
+        [
+            ("Kodak Portra 400", "Fuji Crystal Archive Maxima", False),
+            ("Kodak Portra 400", None, True),
+            ("Kodak Ektachrome E100", None, False),
+            ("Kodak Tri-X 400", None, True),
+            ("Kodak Vision3 500T", "Kodak 2383", False),
+        ],
+    )
+    def test_bare_chain_matches_oracle(self, neg_name, prt_name, inversion):
+        neg = STOCKS[neg_name]
+        prt = STOCKS[prt_name] if prt_name else None
+        xyz = _scene()
+
+        neg_p = fchain.build_negative_params(neg)
+        prt_p = fchain.build_print_params(neg, prt, inversion=inversion, neg_params=neg_p)
+        out_p = fchain.build_output_params(neg, prt, prt_p, neg_p)
+
+        want = fchain.render_oracle(xyz.astype(np.float64), neg_p, prt_p, out_p)
+        want_u8 = np.round(np.clip(want, 0, 1) * 255).astype(np.uint8)
+
+        merged = _merged(
+            halation=False, sharpness=False, grain=0, highlight_burn=0.0
+        )
+        bundle = make_film_bundle(neg_p, prt_p, out_p)
+        cfg = build_render_config(neg, prt, prt_p.mode, scale=64 / 36, merged=merged)
+        got = np.asarray(
+            render_jit(jnp.asarray(xyz), bundle, cfg, jax.random.PRNGKey(0))
+        )
+        # fp32 vs fp64 rounding can flip an 8-bit code at code boundaries.
+        assert _delta_e_proxy(got, want_u8) <= 1, (neg_name, prt_name)
+
+    def test_effects_change_output_but_stay_bounded(self):
+        xyz = _scene(96, 144)
+        neg_p = fchain.build_negative_params(PORTRA)
+        prt_p = fchain.build_print_params(PORTRA, PAPER, neg_params=neg_p)
+        out_p = fchain.build_output_params(PORTRA, PAPER, prt_p, neg_p)
+        bundle = make_film_bundle(
+            neg_p,
+            prt_p,
+            out_p,
+            halation_intensity=1.0,
+            halation_green_factor=0.3,
+            grain_rms=PORTRA.grain.rms,
+            grain_shape=(1.0, 1.2, 0.15, 0.2, 2.9),
+            highlight_burn=0.3,
+            d_ref_green=float(PORTRA.d_ref[1]),
+        )
+        merged_off = _merged(halation=False, sharpness=False, grain=0)
+        merged_on = _merged(highlight_burn=0.3)
+        cfg_off = build_render_config(PORTRA, PAPER, "print", 96 / 24, merged_off)
+        cfg_on = build_render_config(PORTRA, PAPER, "print", 96 / 24, merged_on)
+        key = jax.random.PRNGKey(0)
+        off = np.asarray(render_jit(jnp.asarray(xyz), bundle, cfg_off, key))
+        on = np.asarray(render_jit(jnp.asarray(xyz), bundle, cfg_on, key))
+        diff = np.abs(off.astype(int) - on.astype(int))
+        assert diff.mean() > 0.1  # effects visibly act
+        assert diff.mean() < 40  # but don't destroy the image
+
+    def test_grain_deterministic_per_seed(self):
+        xyz = _scene()
+        neg_p = fchain.build_negative_params(PORTRA)
+        prt_p = fchain.build_print_params(PORTRA, PAPER, neg_params=neg_p)
+        out_p = fchain.build_output_params(PORTRA, PAPER, prt_p, neg_p)
+        bundle = make_film_bundle(
+            neg_p, prt_p, out_p, grain_rms=4.3, grain_shape=(1.0, 1.2, 0.15, 0.2, 2.9)
+        )
+        merged = _merged(halation=False, sharpness=False)
+        cfg = build_render_config(PORTRA, PAPER, "print", 200.0, merged)
+        a = np.asarray(render_jit(jnp.asarray(xyz), bundle, cfg, jax.random.PRNGKey(1)))
+        b = np.asarray(render_jit(jnp.asarray(xyz), bundle, cfg, jax.random.PRNGKey(1)))
+        c = np.asarray(render_jit(jnp.asarray(xyz), bundle, cfg, jax.random.PRNGKey(2)))
+        np.testing.assert_array_equal(a, b)
+        assert not np.array_equal(a, c)
+
+
+class TestProcessor:
+    @pytest.fixture(scope="class")
+    def dng(self, tmp_path_factory):
+        from raw2film_tpu.data import REC709_TO_XYZ, XYZ_TO_REC709
+        from raw2film_tpu.io.dng import write_dng
+
+        h, w = 96, 144
+        yy, xx = np.mgrid[0:h, 0:w]
+        rgb = np.stack([0.1 + 0.5 * xx / w, 0.1 + 0.4 * yy / h, 0.35 - 0.2 * xx / w], -1)
+        cam = (rgb @ REC709_TO_XYZ.T) @ XYZ_TO_REC709.T
+        mosaic = np.zeros((h, w))
+        mosaic[0::2, 0::2] = cam[0::2, 0::2, 0]
+        mosaic[0::2, 1::2] = cam[0::2, 1::2, 1]
+        mosaic[1::2, 0::2] = cam[1::2, 0::2, 1]
+        mosaic[1::2, 1::2] = cam[1::2, 1::2, 2]
+        p = tmp_path_factory.mktemp("raw") / "test.dng"
+        write_dng(str(p), np.clip(mosaic, 0, 1) * 60000, white_level=60000)
+        return str(p)
+
+    def test_process_smoke_config(self, dng):
+        proc = Processor()
+        out = proc.process(
+            dng, PORTRA, print_film=PAPER, half_size=False, grain=0
+        )
+        assert out.dtype == np.uint8 and out.shape[-1] == 3
+        assert 20 < out.mean() < 230
+
+    def test_process_accepts_stock_names(self, dng):
+        proc = Processor()
+        out = proc.process(dng, "Kodak Portra 400", print_film="Kodak 2383")
+        assert out.dtype == np.uint8
+
+    def test_full_effects_chain(self, dng):
+        proc = Processor()
+        out = proc.process(
+            dng,
+            PORTRA,
+            print_film=PAPER,
+            half_size=False,
+            halation=True,
+            grain=2,
+            sharpness=True,
+            highlight_burn=0.3,
+            chroma_nr=1,
+        )
+        assert out.dtype == np.uint8
+
+    def test_settings_roundtrip_reference_keys(self, dng):
+        """A reference-style merged settings dict drives process() directly."""
+        merged = merge_params(
+            ProfileParams(negative_film="Kodak Ektar 100", print_film=None),
+            ImageParams(exp_comp=0.5, rotate_times=1),
+        )
+        proc = Processor()
+        out = proc.process(
+            dng,
+            merged.pop("negative_film"),
+            print_film=merged.pop("print_film"),
+            **merged,
+        )
+        assert out.dtype == np.uint8
+        # rotate_times=1 swaps aspect
+        assert out.shape[0] > out.shape[1]
+
+    def test_resolution_and_canvas(self, dng):
+        proc = Processor()
+        out = proc.process(
+            dng,
+            PORTRA,
+            print_film=PAPER,
+            resolution=(48, 72),
+            canvas_mode="Uniform black",
+            canvas_scale=1.2,
+            grain=0,
+        )
+        assert max(out.shape[:2]) <= 72
+
+    def test_determinism_across_calls(self, dng):
+        proc = Processor()
+        kw = dict(print_film=PAPER, half_size=False, grain=2, seed=3)
+        a = proc.process(dng, PORTRA, **kw)
+        b = proc.process(dng, PORTRA, **kw)
+        np.testing.assert_array_equal(a, b)
+
+
+class TestExport:
+    def test_jpeg_roundtrip_with_exif(self, tmp_path):
+        from PIL import Image
+
+        from raw2film_tpu.io.export import save_image
+
+        img = (RNG.random((32, 48, 3)) * 255).astype(np.uint8)
+        dst = str(tmp_path / "out.jpg")
+        save_image(
+            img,
+            dst,
+            quality=95,
+            metadata={"EXIF:Make": "raw2film-tpu", "EXIF:ISO": 400},
+            exp_comp=0.5,
+        )
+        back = Image.open(dst)
+        exif = back.getexif()
+        assert exif[271] == "raw2film-tpu"
+        assert back.size == (48, 32)
