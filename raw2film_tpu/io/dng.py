@@ -34,6 +34,10 @@ _TAGS = {
     "SamplesPerPixel": 277,
     "RowsPerStrip": 278,
     "StripByteCounts": 279,
+    "TileWidth": 322,
+    "TileLength": 323,
+    "TileOffsets": 324,
+    "TileByteCounts": 325,
     "SubIFDs": 330,
     "ExifIFD": 34665,
     "CFARepeatPatternDim": 33421,
@@ -145,20 +149,63 @@ def read_dng(path: str) -> RawImage:
     )
 
     comp = (ifd.get(_TAGS["Compression"]) or [1])[0]
-    if comp != 1:
+    if comp not in (1, 7):
         raise NotImplementedError(
-            f"{path}: compression {comp} unsupported (only uncompressed DNG)"
+            f"{path}: compression {comp} unsupported (uncompressed + "
+            "lossless-JPEG DNGs are handled)"
         )
     w = ifd[_TAGS["ImageWidth"]][0]
     h = ifd[_TAGS["ImageLength"]][0]
     bits = (ifd.get(_TAGS["BitsPerSample"]) or [16])[0]
     spp = (ifd.get(_TAGS["SamplesPerPixel"]) or [1])[0]
-    offsets = ifd[_TAGS["StripOffsets"]]
-    counts = ifd.get(_TAGS["StripByteCounts"]) or [h * w * spp * bits // 8]
-    payload = b"".join(buf[o : o + c] for o, c in zip(offsets, counts))
-    dtype = np.dtype(endian + ("u2" if bits == 16 else "u1"))
-    data = np.frombuffer(payload, dtype=dtype, count=h * w * spp)
-    data = data.reshape((h, w) if spp == 1 else (h, w, spp)).astype(np.float32)
+
+    tiled = _TAGS["TileOffsets"] in ifd
+    if comp == 7:
+        from raw2film_tpu.native import decode_ljpeg
+
+        data = np.zeros((h, w, spp), np.float32)
+        if tiled:
+            tw = ifd[_TAGS["TileWidth"]][0]
+            tl = ifd[_TAGS["TileLength"]][0]
+            offsets = ifd[_TAGS["TileOffsets"]]
+            counts = ifd[_TAGS["TileByteCounts"]]
+            tiles_across = (w + tw - 1) // tw
+            for idx, (o, cnt) in enumerate(zip(offsets, counts)):
+                flat, dw, dh, dc = decode_ljpeg(
+                    bytes(buf[o : o + cnt]), tw * tl * spp * 2
+                )
+                # DNG LJPEG tiles often split a row into 2 components; fold
+                # components back into width.
+                tile = flat.reshape(dh, dw * dc)
+                ty = (idx // tiles_across) * tl
+                tx = (idx % tiles_across) * tw
+                eh = min(tl, h - ty)
+                ew = min(tw, w - tx)
+                data[ty : ty + eh, tx : tx + ew, 0] = tile[:eh, :ew]
+        else:
+            offsets = ifd[_TAGS["StripOffsets"]]
+            counts = ifd[_TAGS["StripByteCounts"]]
+            rows_per = (ifd.get(_TAGS["RowsPerStrip"]) or [h])[0]
+            y = 0
+            for o, cnt in zip(offsets, counts):
+                flat, dw, dh, dc = decode_ljpeg(
+                    bytes(buf[o : o + cnt]), w * rows_per * spp * 2
+                )
+                strip = flat.reshape(dh, dw * dc)
+                eh = min(dh, h - y)
+                if spp == 1:
+                    data[y : y + eh, :, 0] = strip[:eh, :w]
+                else:
+                    data[y : y + eh] = strip[:eh, : w * spp].reshape(eh, w, spp)
+                y += dh
+        data = data[..., 0] if spp == 1 else data
+    else:
+        offsets = ifd[_TAGS["StripOffsets"]]
+        counts = ifd.get(_TAGS["StripByteCounts"]) or [h * w * spp * bits // 8]
+        payload = b"".join(buf[o : o + c] for o, c in zip(offsets, counts))
+        dtype = np.dtype(endian + ("u2" if bits == 16 else "u1"))
+        data = np.frombuffer(payload, dtype=dtype, count=h * w * spp)
+        data = data.reshape((h, w) if spp == 1 else (h, w, spp)).astype(np.float32)
 
     cfa = None
     if photometric(ifd) == 32803:
@@ -240,11 +287,19 @@ def write_dng(
     f_number: float = 4.0,
     make: str = "raw2film-tpu",
     model: str = "synthetic",
+    compression: int = 1,
 ) -> None:
-    """Write a minimal uncompressed 16-bit CFA DNG (test fixtures)."""
+    """Write a minimal 16-bit CFA DNG (test fixtures). ``compression``:
+    1 = none, 7 = lossless JPEG (SOF3, via io.ljpeg)."""
     endian = "<"
     h, w = mosaic.shape
-    data = np.clip(np.asarray(mosaic), 0, white_level).astype("<u2").tobytes()
+    pixels = np.clip(np.asarray(mosaic), 0, white_level).astype(np.uint16)
+    if compression == 7:
+        from raw2film_tpu.io.ljpeg import encode_ljpeg
+
+        data = encode_ljpeg(pixels)
+    else:
+        data = pixels.astype("<u2").tobytes()
     code = {"R": 0, "G": 1, "B": 2}
     cfa_bytes = [code[c] for c in cfa_pattern]
     if color_matrix is None:
@@ -273,7 +328,7 @@ def write_dng(
     E(256, 4, [w])
     E(257, 4, [h])
     E(258, 3, [16])
-    E(259, 3, [1])
+    E(259, 3, [compression])
     E(262, 3, [32803])
     E(271, 2, make)
     E(272, 2, model)

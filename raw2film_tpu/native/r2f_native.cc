@@ -1,0 +1,274 @@
+// raw2film-tpu native host kernels.
+//
+// The reference delegates RAW unpacking to LibRaw (C++ via rawpy,
+// reference: src/raw2film/raw_conversion.py:36-48). This library owns the
+// equivalent byte-crunching host path:
+//   * lossless JPEG (ITU T.81 process 14 / SOF3) decode — the compression
+//     used by most real-world DNGs (Compression=7),
+//   * fast 16-bit strip unpack with black/white normalization.
+//
+// Exposed with a plain C ABI for ctypes. Build: see Makefile (g++ -O3
+// -shared -fPIC).
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+struct BitReader {
+  const uint8_t* p;
+  const uint8_t* end;
+  uint32_t bits = 0;
+  int nbits = 0;
+  bool ok = true;
+
+  BitReader(const uint8_t* data, size_t len) : p(data), end(data + len) {}
+
+  // JPEG entropy stream: 0xFF is followed by a 0x00 stuffing byte.
+  inline int fill() {
+    while (nbits <= 24) {
+      if (p >= end) {
+        // Pad with zeros at the end (valid for the final code).
+        bits |= 0;
+        nbits += 8;
+        continue;
+      }
+      uint8_t b = *p++;
+      if (b == 0xFF) {
+        if (p < end && *p == 0x00) {
+          ++p;
+        } else {
+          // Marker hit: behave as end of stream.
+          --p;
+          bits |= 0;
+          nbits += 8;
+          continue;
+        }
+      }
+      bits |= uint32_t(b) << (24 - nbits);
+      nbits += 8;
+    }
+    return 0;
+  }
+
+  inline uint32_t peek(int n) {
+    fill();
+    return bits >> (32 - n);
+  }
+
+  inline void consume(int n) {
+    bits <<= n;
+    nbits -= n;
+  }
+};
+
+struct Huff {
+  // code lengths 1..16 -> symbols; decoded via canonical code ranges.
+  int32_t maxcode[17];
+  int32_t mincode[17];
+  int32_t valptr[17];
+  uint8_t values[256];
+  bool valid = false;
+
+  void build(const uint8_t counts[16], const uint8_t* vals, int nvals) {
+    int code = 0, k = 0;
+    for (int l = 1; l <= 16; ++l) {
+      valptr[l] = k;
+      mincode[l] = code;
+      code += counts[l - 1];
+      k += counts[l - 1];
+      maxcode[l] = code - 1;
+      code <<= 1;
+      if (counts[l - 1] == 0) maxcode[l] = -1;
+    }
+    std::memcpy(values, vals, size_t(nvals) < sizeof(values) ? nvals : sizeof(values));
+    valid = true;
+  }
+
+  inline int decode(BitReader& br) const {
+    int code = 0;
+    for (int l = 1; l <= 16; ++l) {
+      code = (code << 1) | int(br.peek(1));
+      br.consume(1);
+      if (maxcode[l] >= 0 && code <= maxcode[l]) {
+        return values[valptr[l] + code - mincode[l]];
+      }
+    }
+    return -1;
+  }
+};
+
+inline int extend(int v, int ssss) {
+  // T.81 F.2.2.1 sign extension.
+  if (ssss == 0) return 0;
+  if (ssss == 16) return 32768;
+  if (v < (1 << (ssss - 1))) return v - (1 << ssss) + 1;
+  return v;
+}
+
+inline int receive(BitReader& br, int ssss) {
+  if (ssss == 0) return 0;
+  if (ssss == 16) return 0;  // no extra bits for 16
+  uint32_t v = br.peek(ssss);
+  br.consume(ssss);
+  return int(v);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode a lossless JPEG (SOF3) buffer into interleaved uint16 output.
+// Returns 0 on success; negative error codes otherwise. Caller provides
+// out sized >= max_out_samples; actual dims written to w/h/comps.
+int r2f_decode_ljpeg(const uint8_t* src, long len, uint16_t* out,
+                     long max_out_samples, int* out_w, int* out_h,
+                     int* out_comps) {
+  const uint8_t* p = src;
+  const uint8_t* end = src + len;
+  if (len < 4 || p[0] != 0xFF || p[1] != 0xD8) return -1;  // SOI
+  p += 2;
+
+  int precision = 0, height = 0, width = 0, ncomp = 0;
+  int comp_id[4] = {0}, comp_tbl[4] = {0};
+  Huff tables[4];
+  int predictor = 1, pt = 0;
+  int scan_comp[4] = {0};
+  int nscan = 0;
+  const uint8_t* entropy = nullptr;
+
+  while (p + 4 <= end) {
+    if (p[0] != 0xFF) return -2;
+    int marker = p[1];
+    p += 2;
+    if (marker == 0xD8) continue;
+    int seglen = (p[0] << 8) | p[1];
+    if (p + seglen > end) return -3;
+    const uint8_t* seg = p + 2;
+
+    if (marker == 0xC3) {  // SOF3
+      precision = seg[0];
+      height = (seg[1] << 8) | seg[2];
+      width = (seg[3] << 8) | seg[4];
+      ncomp = seg[5];
+      if (ncomp > 4) return -4;
+      for (int i = 0; i < ncomp; ++i) {
+        comp_id[i] = seg[6 + 3 * i];
+        // sampling factors seg[7+3i] assumed 0x11 (true for DNG LJPEG)
+      }
+    } else if (marker == 0xC4) {  // DHT
+      const uint8_t* q = seg;
+      while (q < p + seglen) {
+        int tc_th = *q++;
+        int th = tc_th & 0x0F;
+        if (th > 3) return -5;
+        uint8_t counts[16];
+        int nvals = 0;
+        for (int i = 0; i < 16; ++i) {
+          counts[i] = q[i];
+          nvals += q[i];
+        }
+        q += 16;
+        tables[th].build(counts, q, nvals);
+        q += nvals;
+      }
+    } else if (marker == 0xDA) {  // SOS
+      nscan = seg[0];
+      for (int i = 0; i < nscan; ++i) {
+        int cid = seg[1 + 2 * i];
+        int tbl = (seg[2 + 2 * i] >> 4) & 0x0F;
+        for (int c = 0; c < ncomp; ++c) {
+          if (comp_id[c] == cid) comp_tbl[c] = tbl;
+        }
+        scan_comp[i] = cid;
+      }
+      predictor = seg[1 + 2 * nscan];
+      pt = seg[3 + 2 * nscan] & 0x0F;
+      entropy = p + seglen;
+      break;
+    } else if (marker == 0xD9) {
+      break;
+    }
+    p += seglen;
+  }
+
+  if (!entropy || width <= 0 || height <= 0 || ncomp <= 0) return -6;
+  long total = long(width) * height * ncomp;
+  if (total > max_out_samples) return -7;
+
+  BitReader br(entropy, size_t(end - entropy));
+  std::vector<int32_t> prev_row(size_t(width) * ncomp);
+  std::vector<int32_t> cur_row(size_t(width) * ncomp);
+  int default_pred = 1 << (precision - pt - 1);
+
+  for (int y = 0; y < height; ++y) {
+    for (int x = 0; x < width; ++x) {
+      for (int c = 0; c < ncomp; ++c) {
+        const Huff& h = tables[comp_tbl[c]];
+        if (!h.valid) return -8;
+        int ssss = h.decode(br);
+        if (ssss < 0) return -9;
+        int diff = extend(receive(br, ssss), ssss);
+        if (ssss == 16) diff = 32768;
+
+        int32_t pred;
+        int32_t a = x > 0 ? cur_row[size_t(x - 1) * ncomp + c] : 0;
+        int32_t b = y > 0 ? prev_row[size_t(x) * ncomp + c] : 0;
+        int32_t cc = (x > 0 && y > 0) ? prev_row[size_t(x - 1) * ncomp + c] : 0;
+        if (y == 0 && x == 0) {
+          pred = default_pred;
+        } else if (y == 0) {
+          pred = a;
+        } else if (x == 0) {
+          pred = b;
+        } else {
+          switch (predictor) {
+            case 1: pred = a; break;
+            case 2: pred = b; break;
+            case 3: pred = cc; break;
+            case 4: pred = a + b - cc; break;
+            case 5: pred = a + ((b - cc) >> 1); break;
+            case 6: pred = b + ((a - cc) >> 1); break;
+            case 7: pred = (a + b) >> 1; break;
+            default: pred = a; break;
+          }
+        }
+        int32_t val = (pred + diff) & 0xFFFF;
+        cur_row[size_t(x) * ncomp + c] = val;
+        out[(size_t(y) * width + x) * ncomp + c] = uint16_t(val);
+      }
+    }
+    std::swap(prev_row, cur_row);
+  }
+
+  *out_w = width;
+  *out_h = height;
+  *out_comps = ncomp;
+  return 0;
+}
+
+// Fast strip unpack: 16-bit (little/big endian) or 8-bit source to float32
+// with black-level subtraction and normalization.
+void r2f_unpack_normalize(const uint8_t* src, long n_samples, int bits,
+                          int big_endian, float black, float inv_range,
+                          float* dst) {
+  if (bits == 16) {
+    const uint8_t* q = src;
+    for (long i = 0; i < n_samples; ++i, q += 2) {
+      uint16_t v = big_endian ? uint16_t((q[0] << 8) | q[1])
+                              : uint16_t(q[0] | (q[1] << 8));
+      float f = (float(v) - black) * inv_range;
+      dst[i] = f < 0.f ? 0.f : (f > 1.f ? 1.f : f);
+    }
+  } else {
+    for (long i = 0; i < n_samples; ++i) {
+      float f = (float(src[i]) - black) * inv_range;
+      dst[i] = f < 0.f ? 0.f : (f > 1.f ? 1.f : f);
+    }
+  }
+}
+
+int r2f_abi_version() { return 1; }
+
+}  // extern "C"

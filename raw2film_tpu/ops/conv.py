@@ -21,6 +21,17 @@ from jax import lax
 PAD_MODE = "reflect"
 
 
+def _use_pallas() -> bool:
+    """Route convs through the Pallas streaming kernels on TPU: XLA's fusion
+    of many-term shift-adds is unreliable at 45MP (observed 46GB of
+    materialized slice temps), while the Pallas path is one HBM read + one
+    write per axis."""
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
 def _pad_hw(img: jnp.ndarray, ph: int, pw: int) -> jnp.ndarray:
     if ph == 0 and pw == 0:
         return img
@@ -41,6 +52,18 @@ def depthwise_conv2d(img: jnp.ndarray, kernels: jnp.ndarray) -> jnp.ndarray:
     kernels = np.asarray(kernels)
     per_channel = kernels.ndim == 3
     kh, kw = kernels.shape[-2:]
+    if _use_pallas() and min(kh, kw) >= 3:
+        from raw2film_tpu.ops import pallas_conv
+
+        def one(image, k2d):
+            u, v = svd_separable(k2d, tol=1e-5, max_rank=10)
+            return pallas_conv.sep_conv2d_rank(image, u, v, interpret=False)
+
+        if not per_channel:
+            return one(img, kernels)
+        return jnp.concatenate(
+            [one(img[c : c + 1], kernels[c]) for c in range(kernels.shape[0])]
+        )
     p = _pad_hw(img, kh // 2, kw // 2)
     h, w = img.shape[-2:]
     out = None
@@ -97,8 +120,14 @@ def separable_conv(img: jnp.ndarray, kv, kh) -> jnp.ndarray:
     """Separable conv: 1D kernel ``kv`` down columns then ``kh`` along rows.
 
     img: (C, H, W); kv: (C, k) or (k,); kh likewise. Host-side (numpy)
-    kernels only — taps unroll into the fused shift-add at trace time.
+    kernels only — taps unroll into the kernel at trace time.
     """
+    kv = np.asarray(kv)
+    kh = np.asarray(kh)
+    if _use_pallas() and kv.ndim == 1 and kh.ndim == 1:
+        from raw2film_tpu.ops import pallas_conv
+
+        return pallas_conv.sep_conv2d(img, kv, kh, interpret=False)
     return _conv1d_axis(_conv1d_axis(img, kv, -2), kh, -1)
 
 
@@ -124,7 +153,20 @@ def conv2d_svd(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
 
     u: (r, kh) or (C, r, kh) per-channel; v likewise (r, kw) / (C, r, kw).
     """
+    u = np.asarray(u)
+    v = np.asarray(v)
     per_channel = u.ndim == 3
+    if _use_pallas():
+        from raw2film_tpu.ops import pallas_conv
+
+        if not per_channel:
+            return pallas_conv.sep_conv2d_rank(img, u, v, interpret=False)
+        return jnp.concatenate(
+            [
+                pallas_conv.sep_conv2d_rank(img[c : c + 1], u[c], v[c], interpret=False)
+                for c in range(u.shape[0])
+            ]
+        )
     r = u.shape[-2]
     out = None
     for i in range(r):

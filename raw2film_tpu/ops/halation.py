@@ -121,11 +121,35 @@ def halation_with_factors(
         blur = convops.conv2d_svd(img, u, v)
     else:
         sigmas, weights, inner, _ = fit_gaussian_mixture(size)
-        blur = convops.depthwise_conv2d(img, inner)
-        for s, w in zip(sigmas, weights):
-            if w <= 1e-6:
-                continue
-            blur = blur + w * _gaussian_pyramid_blur(img, s)
+        if convops._use_pallas():
+            # Fuse the full-resolution terms (dense inner correction via SVD
+            # + every sigma<=8 Gaussian) into ONE streaming rank-tiled pass;
+            # only the wide pyramid terms run separately on decimated levels.
+            from raw2film_tpu.ops import pallas_conv
+
+            us, vs = [], []
+            ui, vi = convops.svd_separable(inner, tol=1e-4, max_rank=8)
+            us.extend(list(ui))
+            vs.extend(list(vi))
+            pyramid = []
+            for s, w in zip(sigmas, weights):
+                if w <= 1e-6:
+                    continue
+                if s <= 8.0:
+                    g = convops.gaussian_kernel1d(s, truncate=3.0)
+                    us.append(w * g)
+                    vs.append(g)
+                else:
+                    pyramid.append((s, w))
+            blur = pallas_conv.sep_conv2d_rank_tiled(img, us, vs, interpret=False)
+            for s, w in pyramid:
+                blur = blur + w * _gaussian_pyramid_blur(img, s)
+        else:
+            blur = convops.depthwise_conv2d(img, inner)
+            for s, w in zip(sigmas, weights):
+                if w <= 1e-6:
+                    continue
+                blur = blur + w * _gaussian_pyramid_blur(img, s)
     return (img + factors * blur) / (1.0 + factors)
 
 

@@ -356,6 +356,13 @@ class Processor:
         out = render_jit(xyz, bundle, cfg, key)  # (3, H, W) uint8
 
         image = np.asarray(out).transpose(1, 2, 0)  # HWC for the host side
+        if icc_transform is not None:
+            # The reference bakes ICC into its 33^3 output LUT
+            # (cpu_processor.py:255-263); the closed-form chain has no output
+            # LUT, so the transform applies to the rendered uint8 directly.
+            from raw2film_tpu.io.icc import apply_transform_to_image
+
+            image = apply_transform_to_image(image, icc_transform)
         image = add_canvas(image, canvas_mode, canvas_scale, canvas_ratio)
         if orig_resolution is not None and tuple(image.shape[:2]) != tuple(
             orig_resolution

@@ -1,0 +1,136 @@
+"""I/O: DNG round-trip, cube LUTs, ICC, raw decode, thumbnails."""
+
+import numpy as np
+import pytest
+
+from raw2film_tpu.data import REC709_TO_XYZ, XYZ_TO_REC709
+from raw2film_tpu.film.loader import load_film_stocks
+from raw2film_tpu.io.cube import export_film_lut, read_cube, write_cube
+from raw2film_tpu.io.dng import read_dng, write_dng
+from raw2film_tpu.io.raw import calc_exposure, decode_raw, raw_to_linear
+
+STOCKS = load_film_stocks()
+RNG = np.random.default_rng(2)
+
+
+def _mosaic_from_rgb(rgb_hwc, pattern="RGGB"):
+    h, w = rgb_hwc.shape[:2]
+    out = np.zeros((h, w), np.float32)
+    ry, rx = {"RGGB": (0, 0), "BGGR": (1, 1), "GRBG": (0, 1), "GBRG": (1, 0)}[pattern]
+    out[ry::2, rx::2] = rgb_hwc[ry::2, rx::2, 0]
+    out[1 - ry :: 2, 1 - rx :: 2] = rgb_hwc[1 - ry :: 2, 1 - rx :: 2, 2]
+    out[ry::2, 1 - rx :: 2] = rgb_hwc[ry::2, 1 - rx :: 2, 1]
+    out[1 - ry :: 2, rx::2] = rgb_hwc[1 - ry :: 2, rx::2, 1]
+    return out
+
+
+class TestDNG:
+    def test_round_trip_smooth_scene(self, tmp_path):
+        h, w = 64, 96
+        yy, xx = np.mgrid[0:h, 0:w]
+        rgb = np.stack(
+            [0.1 + 0.5 * xx / w, 0.1 + 0.4 * yy / h, 0.35 - 0.2 * xx / w], -1
+        )
+        xyz = rgb @ REC709_TO_XYZ.T
+        cam = xyz @ XYZ_TO_REC709.T
+        p = str(tmp_path / "t.dng")
+        write_dng(
+            p,
+            np.clip(_mosaic_from_rgb(cam), 0, 1) * 60000,
+            white_level=60000,
+            iso=320,
+            exposure_time=1 / 250,
+            f_number=5.6,
+        )
+        raw = read_dng(p)
+        assert raw.cfa_pattern == "RGGB"
+        assert raw.metadata["EXIF:ISO"] == 320
+        assert abs(raw.metadata["EXIF:FNumber"] - 5.6) < 1e-6
+        out = np.asarray(decode_raw(raw))
+        err = np.abs(out[:, 8:-8, 8:-8] - xyz.transpose(2, 0, 1)[:, 8:-8, 8:-8])
+        assert err.max() < 0.03
+
+    def test_bad_file_raises(self, tmp_path):
+        p = tmp_path / "bad.dng"
+        p.write_bytes(b"not a tiff at all")
+        with pytest.raises(ValueError):
+            read_dng(str(p))
+
+    def test_patterns(self, tmp_path):
+        for pattern in ("RGGB", "BGGR"):
+            rgb = np.full((16, 16, 3), 0.5)
+            p = str(tmp_path / f"{pattern}.dng")
+            write_dng(
+                p, _mosaic_from_rgb(rgb, pattern) * 60000, cfa_pattern=pattern,
+                white_level=60000,
+            )
+            assert read_dng(p).cfa_pattern == pattern
+
+    def test_auto_exposure_targets_grey(self, tmp_path):
+        rgb = np.full((32, 32, 3), 0.05)
+        p = str(tmp_path / "dark.dng")
+        write_dng(p, _mosaic_from_rgb(rgb @ XYZ_TO_REC709.T @ np.eye(3)) * 60000, white_level=60000)
+        img, _ = raw_to_linear(p, half_size=False, cache=False)
+        assert abs(float(np.asarray(img)[1].mean()) - 0.18) < 0.05
+
+    def test_calc_exposure_exif_factor(self):
+        img = np.full((3, 32, 32), 0.09)
+        ec_plain = calc_exposure(img)
+        ec_exif = calc_exposure(
+            img,
+            metadata={
+                "EXIF:FNumber": 2.8,
+                "EXIF:ISO": 1600,
+                "EXIF:ExposureTime": 1 / 30,
+            },
+        )
+        assert abs(ec_plain - 1.0) < 0.01  # 0.09 -> 0.18 is exactly +1 stop
+        assert np.isfinite(ec_exif)
+
+
+class TestCube:
+    def test_write_read_round_trip(self, tmp_path):
+        lut = RNG.random((9, 9, 9, 3)).astype(np.float32)
+        p = str(tmp_path / "test.cube")
+        write_cube(p, lut)
+        back, dmin, dmax = read_cube(p)
+        np.testing.assert_allclose(back, lut, atol=1e-5)
+
+    def test_export_film_lut(self, tmp_path):
+        p = str(tmp_path / "portra.cube")
+        export_film_lut(
+            p,
+            STOCKS["Kodak Portra 400"],
+            STOCKS["Fuji Crystal Archive Maxima"],
+            size=9,
+        )
+        lut, _, _ = read_cube(p)
+        assert lut.shape == (9, 9, 9, 3)
+        assert np.all(lut >= 0) and np.all(lut <= 1)
+        # brighter input -> brighter output along the neutral axis
+        assert lut[7, 7, 7, 1] > lut[1, 1, 1, 1]
+
+    def test_density_domain_export(self, tmp_path):
+        p = str(tmp_path / "dens.cube")
+        export_film_lut(
+            p, STOCKS["Kodak Portra 400"], None, size=9, input_encoding="density"
+        )
+        lut, _, _ = read_cube(p)
+        assert lut.shape == (9, 9, 9, 3)
+
+
+class TestICC:
+    def test_graceful_without_littlecms(self):
+        from raw2film_tpu.io import icc
+
+        # Whether or not ImageCms is importable, the None-transform path
+        # must be an exact no-op.
+        lut = RNG.random((5, 5, 5, 3)).astype(np.float32)
+        np.testing.assert_array_equal(icc.apply_transform_to_lut(lut, None), lut)
+        img = (RNG.random((8, 8, 3)) * 255).astype(np.uint8)
+        np.testing.assert_array_equal(icc.apply_transform_to_image(img, None), img)
+
+    def test_have_icc_reports(self):
+        from raw2film_tpu.io import icc
+
+        assert isinstance(icc.have_icc(), bool)

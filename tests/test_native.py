@@ -1,0 +1,67 @@
+"""Native C++ host kernels: lossless JPEG decode, strip unpack."""
+
+import numpy as np
+import pytest
+
+from raw2film_tpu.native import have_native, unpack_normalize
+
+RNG = np.random.default_rng(9)
+
+pytestmark = pytest.mark.skipif(
+    not have_native(), reason="native library unavailable (no g++)"
+)
+
+
+class TestLJPEG:
+    @pytest.mark.parametrize("shape", [(32, 48), (17, 23), (64, 64, 2), (8, 8, 3)])
+    def test_round_trip_exact(self, shape):
+        from raw2film_tpu.io.ljpeg import encode_ljpeg
+        from raw2film_tpu.native import decode_ljpeg
+
+        img = RNG.integers(0, 65535, shape).astype(np.uint16)
+        blob = encode_ljpeg(img)
+        flat, w, h, comps = decode_ljpeg(blob, img.size)
+        np.testing.assert_array_equal(flat.reshape(h, w, comps).squeeze(), img.squeeze())
+
+    def test_smooth_image_compresses(self):
+        from raw2film_tpu.io.ljpeg import encode_ljpeg
+
+        yy, xx = np.mgrid[0:64, 0:64]
+        img = (yy + xx).astype(np.uint16)  # diffs of 1: short codes
+        blob = encode_ljpeg(img)
+        assert len(blob) < img.nbytes  # gradients compress
+
+    def test_garbage_rejected(self):
+        from raw2film_tpu.native import decode_ljpeg
+
+        with pytest.raises(ValueError):
+            decode_ljpeg(b"\x00" * 64, 1024)
+
+    def test_compressed_dng_round_trip(self, tmp_path):
+        from raw2film_tpu.io.dng import read_dng, write_dng
+
+        mosaic = RNG.integers(0, 60000, (48, 64)).astype(np.uint16)
+        p = str(tmp_path / "c.dng")
+        write_dng(p, mosaic, white_level=60000, compression=7)
+        raw = read_dng(p)
+        np.testing.assert_array_equal(raw.data.astype(np.uint16), mosaic)
+
+
+class TestUnpack:
+    def test_unpack16_le(self):
+        vals = RNG.integers(0, 65535, 257).astype("<u2")
+        out = unpack_normalize(vals.tobytes(), 257, 16, False, 100.0, 1 / 59900.0)
+        want = np.clip((vals.astype(np.float32) - 100.0) / 59900.0, 0, 1)
+        np.testing.assert_allclose(out, want, atol=1e-6)
+
+    def test_unpack16_be(self):
+        vals = RNG.integers(0, 65535, 64).astype(">u2")
+        out = unpack_normalize(vals.tobytes(), 64, 16, True, 0.0, 1 / 65535.0)
+        np.testing.assert_allclose(
+            out, vals.astype(np.float32) / 65535.0, atol=1e-6
+        )
+
+    def test_unpack8(self):
+        vals = RNG.integers(0, 255, 100).astype(np.uint8)
+        out = unpack_normalize(vals.tobytes(), 100, 8, False, 0.0, 1 / 255.0)
+        np.testing.assert_allclose(out, vals / 255.0, atol=1e-6)
