@@ -28,6 +28,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ext", default=".jpg", choices=[".jpg", ".png", ".tiff"])
     p.add_argument("--list-stocks", action="store_true", help="list film stocks and exit")
     p.add_argument("--organize-by-date", action="store_true")
+    p.add_argument(
+        "--archive-raw",
+        choices=["none", "copy", "move"],
+        default="none",
+        help="copy/move the source RAW into <output>/RAW after export",
+    )
     p.add_argument("--seed", type=int, default=0, help="grain seed")
     p.add_argument("--full-res", action="store_true", help="disable half-size decode")
     p.add_argument("--trace", action="store_true", help="print per-stage timings")
@@ -150,6 +156,10 @@ def main(argv: list[str] | None = None) -> int:
             metadata=meta_by_src.get(str(src), {}),
             exp_comp=args.exp_comp,
         )
+        if args.archive_raw != "none":
+            from raw2film_tpu.pipeline.batch import archive_raw
+
+            archive_raw(str(src), args.output, args.archive_raw)
         return dst
 
     runner = BatchRunner(process, export)

@@ -247,6 +247,33 @@ class FilmStock:
 
         return render_color_checker(self)
 
+    # ------------------------------------------------ reference API parity
+    # (the reference calls these as FilmSpectral methods:
+    # cpu_processor.py:160, :182; gpu_processor.py:913)
+
+    def get_input_lut(self, exp_kelvin=6500.0, tint=0.0, exp_comp=0.0, size=None):
+        from raw2film_tpu.config import INPUT_LUT_SIZE
+        from raw2film_tpu.film.luts import get_input_lut
+
+        return get_input_lut(
+            self, exp_kelvin, tint, exp_comp, size or INPUT_LUT_SIZE
+        )
+
+    def get_density_curve(self, push_pull=0.0, color_masking=None):
+        from raw2film_tpu.film.luts import get_density_curve
+
+        return get_density_curve(self, push_pull, color_masking)
+
+    def get_grain_curve(self, scale, adx=False, bw_grain=False):
+        from raw2film_tpu.film.grain import get_grain_curve
+
+        return get_grain_curve(self, scale, adx, bw_grain)
+
+    def grain_transform(self, rgb, scale, adx=False, bw_grain=False):
+        from raw2film_tpu.film.grain import grain_amplitude
+
+        return grain_amplitude(self, rgb, scale, bw_grain=bw_grain)
+
     # ------------------------------------------------- spectral calibration
     def normalized_dye_spectra(self) -> np.ndarray:
         """Dye spectral densities normalized to unit densitometer response in

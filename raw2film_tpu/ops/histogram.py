@@ -72,3 +72,12 @@ def generate_histogram(img_u8, height: int = 100) -> np.ndarray:
     """Full pipeline: device counts + host strip."""
     counts = np.asarray(histogram_counts(jnp.asarray(img_u8)))
     return render_histogram(counts, height)
+
+
+def scale_strip(strip: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor scale of the histogram strip onto a UI canvas
+    (role of reference shaders/scale_texture.wgsl)."""
+    h, w = strip.shape[:2]
+    ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return strip[ys][:, xs]

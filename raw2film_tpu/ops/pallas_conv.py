@@ -123,43 +123,73 @@ def _sep_tile_kernel(x_hbm, o_ref, xs, ts, sem, *, kv, kh, th, tw, th2, tw2):
         o_ref[0] = o_ref[0] + kh[t] * ts[:, t : t + tw]
 
 
-def _rank_tile_kernel(x_hbm, o_ref, xs, ts, sem, *, tap_rows_v, tap_rows_h, th, tw, th2, tw2):
-    """Rank-fused tile: one DMA of tile+halo, R separable terms accumulated.
+def _rank_tile_kernel(
+    x_hbm, o_ref, xs2, ts, sem2, *, tap_rows_v, tap_rows_h, th, tw, th2, tw2, nh, nw
+):
+    """Rank-fused tile with double-buffered input DMA.
 
-    All rank rows are zero-padded to a common tap count with the kernel
-    centers aligned, so every term reads the same halo window.
+    Grid is flattened to 1D (channel-major); scratch persists across grid
+    steps, so step t waits on the copy started at t-1 while kicking off the
+    prefetch for t+1. All rank rows are zero-padded to a common tap count
+    with centers aligned, so every term reads the same halo window.
     """
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-    k = pl.program_id(2)
-    cp = pltpu.make_async_copy(
-        x_hbm.at[i, pl.ds(j * th, th2), pl.ds(k * tw, tw2)],
-        xs,
-        sem,
-    )
-    cp.start()
-    cp.wait()
-    for r, (kv, kh) in enumerate(zip(tap_rows_v, tap_rows_h)):
-        first_v = True
-        for t in range(len(kv)):
-            if kv[t] == 0.0:
-                continue
-            term = kv[t] * xs[t : t + th, :]
-            if first_v:
-                ts[...] = term
-                first_v = False
-            else:
-                ts[...] = ts[...] + term
-        first_h = True
-        for t in range(len(kh)):
-            if kh[t] == 0.0:
-                continue
-            term = kh[t] * ts[:, t : t + tw]
-            if r == 0 and first_h:
-                o_ref[0] = term
-                first_h = False
-            else:
-                o_ref[0] = o_ref[0] + term
+    t = pl.program_id(0)
+    n = pl.num_programs(0)
+
+    def dma(step, slot):
+        i = step // (nh * nw)
+        j = (step // nw) % nh
+        k = step % nw
+        return pltpu.make_async_copy(
+            x_hbm.at[i, pl.ds(j * th, th2), pl.ds(k * tw, tw2)],
+            xs2.at[slot],
+            sem2.at[slot],
+        )
+
+    slot = jax.lax.rem(t, 2)
+
+    @pl.when(t == 0)
+    def _():
+        dma(0, 0).start()
+
+    @pl.when(t + 1 < n)
+    def _():
+        dma(t + 1, jax.lax.rem(t + 1, 2)).start()
+
+    dma(t, slot).wait()
+
+    def body(s):
+        for r, (kv, kh) in enumerate(zip(tap_rows_v, tap_rows_h)):
+            first_v = True
+            for q in range(len(kv)):
+                if kv[q] == 0.0:
+                    continue
+                term = kv[q] * xs2[s, q : q + th, :]
+                if first_v:
+                    ts[...] = term
+                    first_v = False
+                else:
+                    ts[...] = ts[...] + term
+            first_h = True
+            for q in range(len(kh)):
+                if kh[q] == 0.0:
+                    continue
+                term = kh[q] * ts[:, q : q + tw]
+                if r == 0 and first_h:
+                    o_ref[0] = term
+                    first_h = False
+                else:
+                    o_ref[0] = o_ref[0] + term
+
+    # Static unroll over the two slots (dynamic leading-index reads of VMEM
+    # scratch are avoided for Mosaic friendliness).
+    @pl.when(slot == 0)
+    def _():
+        body(0)
+
+    @pl.when(slot == 1)
+    def _():
+        body(1)
 
 
 def _pad_taps(rows: np.ndarray, taps: int) -> np.ndarray:
@@ -176,10 +206,11 @@ def sep_conv2d_rank_tiled(
     img: jnp.ndarray,
     u,
     v,
-    tile: tuple[int, int] = (256, 512),
+    tile: tuple[int, int] = (256, 1024),
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Sum of R separable passes in ONE streaming pass (manual-DMA tiles).
+    """Sum of R separable passes in ONE streaming pass (manual-DMA tiles,
+    double-buffered prefetch).
 
     u: list/array of column-tap rows; v: matching row-tap rows (any lengths —
     they are center-aligned and zero-padded to the longest)."""
@@ -209,22 +240,26 @@ def sep_conv2d_rank_tiled(
     pad_h = (hp - h) + (th2 - (th + 2 * rv))
     pad_w = (wp - w) + (tw2 - (tw + 2 * rh))
     x = jnp.pad(x, [(0, 0), (0, pad_h), (0, pad_w)], mode="edge")
+    nh = hp // th
+    nw = wp // tw
     out = pl.pallas_call(
-        lambda x_hbm, o_ref, xs, ts, sem: _rank_tile_kernel(
-            x_hbm, o_ref, xs, ts, sem,
+        lambda x_hbm, o_ref, xs2, ts, sem2: _rank_tile_kernel(
+            x_hbm, o_ref, xs2, ts, sem2,
             tap_rows_v=tap_rows_v, tap_rows_h=tap_rows_h,
-            th=th, tw=tw, th2=th2, tw2=tw2,
+            th=th, tw=tw, th2=th2, tw2=tw2, nh=nh, nw=nw,
         ),
         out_shape=jax.ShapeDtypeStruct((c, hp, wp), img.dtype),
-        grid=(c, hp // th, wp // tw),
+        grid=(c * nh * nw,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(
-            (1, th, tw), lambda i, j, k: (i, j, k), memory_space=pltpu.VMEM
+            (1, th, tw),
+            lambda t: (t // (nh * nw), (t // nw) % nh, t % nw),
+            memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((th2, tw2), img.dtype),
+            pltpu.VMEM((2, th2, tw2), img.dtype),
             pltpu.VMEM((th, tw2), img.dtype),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(x)
@@ -354,7 +389,7 @@ def sep_conv2d(
         from raw2film_tpu.ops import conv as convops
 
         return convops.separable_conv(img, np.asarray(kv), np.asarray(kh))
-    return sep_conv2d_tiled(img, kv, kh, interpret=bool(interpret))
+    return sep_conv2d_rank_tiled(img, [kv], [kh], interpret=bool(interpret))
 
 
 def sep_conv2d_rank(

@@ -139,3 +139,22 @@ def export_path(
         year = date.split(":")[0].split("-")[0]
         return os.path.join(out_dir, year, date.replace(":", "-")[:10], base)
     return os.path.join(out_dir, base)
+
+
+def archive_raw(src: str, dst_dir: str, mode: str = "copy") -> str | None:
+    """Move/copy the RAW next to the export under a RAW/ subdir (the
+    reference's move/copy-raw export option, gui.py:2526-2594)."""
+    import shutil
+
+    if mode not in ("copy", "move"):
+        return None
+    raw_dir = os.path.join(dst_dir, "RAW")
+    os.makedirs(raw_dir, exist_ok=True)
+    dst = os.path.join(raw_dir, os.path.basename(src))
+    if os.path.abspath(dst) == os.path.abspath(src):
+        return dst
+    if mode == "move":
+        shutil.move(src, dst)
+    else:
+        shutil.copy2(src, dst)
+    return dst
