@@ -53,11 +53,11 @@ def depthwise_conv2d(img: jnp.ndarray, kernels: jnp.ndarray) -> jnp.ndarray:
     per_channel = kernels.ndim == 3
     kh, kw = kernels.shape[-2:]
     if _use_pallas() and min(kh, kw) >= 3:
-        from raw2film_tpu.ops import pallas_conv
+        from raw2film_tpu.ops import pallas_conv2
 
         def one(image, k2d):
-            u, v = svd_separable(k2d, tol=1e-5, max_rank=10)
-            return pallas_conv.sep_conv2d_rank(image, u, v, interpret=False)
+            u, v = svd_separable(k2d, tol=1e-4, max_rank=6)
+            return pallas_conv2.sep_conv_rank(image, u, v)
 
         if not per_channel:
             return one(img, kernels)
@@ -125,9 +125,9 @@ def separable_conv(img: jnp.ndarray, kv, kh) -> jnp.ndarray:
     kv = np.asarray(kv)
     kh = np.asarray(kh)
     if _use_pallas() and kv.ndim == 1 and kh.ndim == 1:
-        from raw2film_tpu.ops import pallas_conv
+        from raw2film_tpu.ops import pallas_conv2
 
-        return pallas_conv.sep_conv2d(img, kv, kh, interpret=False)
+        return pallas_conv2.sep_conv(img, kv, kh)
     return _conv1d_axis(_conv1d_axis(img, kv, -2), kh, -1)
 
 
@@ -157,13 +157,13 @@ def conv2d_svd(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     v = np.asarray(v)
     per_channel = u.ndim == 3
     if _use_pallas():
-        from raw2film_tpu.ops import pallas_conv
+        from raw2film_tpu.ops import pallas_conv2
 
         if not per_channel:
-            return pallas_conv.sep_conv2d_rank(img, u, v, interpret=False)
+            return pallas_conv2.sep_conv_rank(img, u, v)
         return jnp.concatenate(
             [
-                pallas_conv.sep_conv2d_rank(img[c : c + 1], u[c], v[c], interpret=False)
+                pallas_conv2.sep_conv_rank(img[c : c + 1], u[c], v[c])
                 for c in range(u.shape[0])
             ]
         )

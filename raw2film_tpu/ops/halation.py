@@ -125,10 +125,10 @@ def halation_with_factors(
             # Fuse the full-resolution terms (dense inner correction via SVD
             # + every sigma<=8 Gaussian) into ONE streaming rank-tiled pass;
             # only the wide pyramid terms run separately on decimated levels.
-            from raw2film_tpu.ops import pallas_conv
+            from raw2film_tpu.ops import pallas_conv2
 
             us, vs = [], []
-            ui, vi = convops.svd_separable(inner, tol=1e-4, max_rank=8)
+            ui, vi = convops.svd_separable(inner, tol=1e-3, max_rank=4)
             us.extend(list(ui))
             vs.extend(list(vi))
             pyramid = []
@@ -141,7 +141,7 @@ def halation_with_factors(
                     vs.append(g)
                 else:
                     pyramid.append((s, w))
-            blur = pallas_conv.sep_conv2d_rank_tiled(img, us, vs, interpret=False)
+            blur = pallas_conv2.sep_conv_rank(img, us, vs)
             for s, w in pyramid:
                 blur = blur + w * _gaussian_pyramid_blur(img, s)
         else:

@@ -355,7 +355,20 @@ class Processor:
         key = jax.random.PRNGKey(seed)
         out = render_jit(xyz, bundle, cfg, key)  # (3, H, W) uint8
 
-        image = np.asarray(out).transpose(1, 2, 0)  # HWC for the host side
+        image = self._finish(np.asarray(out), icc_transform, canvas_mode,
+                             canvas_scale, canvas_ratio, orig_resolution)
+        return image
+
+    def _finish(
+        self,
+        out_chw: np.ndarray,
+        icc_transform,
+        canvas_mode,
+        canvas_scale,
+        canvas_ratio,
+        orig_resolution,
+    ) -> np.ndarray:
+        image = out_chw.transpose(1, 2, 0)  # HWC for the host side
         if icc_transform is not None:
             # The reference bakes ICC into its 33^3 output LUT
             # (cpu_processor.py:255-263); the closed-form chain has no output
@@ -373,3 +386,95 @@ class Processor:
             )
             image = np.clip(np.asarray(scaled), 0, 255).astype(np.uint8).transpose(1, 2, 0)
         return image
+
+    # ---------------------------------------------------------- batch
+
+    def process_batch(
+        self,
+        srcs: list,
+        negative_film,
+        mesh=None,
+        seed: int = 0,
+        **params,
+    ) -> list[np.ndarray]:
+        """Render many images through ONE vmapped (optionally mesh-sharded)
+        device call per same-shape bucket.
+
+        The TPU-native replacement for the reference's per-image GPU loop
+        (gui_objects.py:65-115): images are decoded on host, grouped by
+        pipeline shape, stacked to (B, 3, H, W), and the whole batch renders
+        in a single dispatch — sharded over the mesh's 'batch' axis when a
+        mesh is given. Canvas/resize/ICC finishing stays per-image on host.
+        """
+        import jax as _jax
+
+        from raw2film_tpu.parallel.mesh import batch_render_fn, sharded_batch_render
+
+        negative_film = _resolve_stock(negative_film)
+        print_film = _resolve_stock(params.pop("print_film", None))
+
+        load_keys = (
+            "frame_width", "frame_height", "rotation", "zoom", "rotate_times",
+            "flip", "resolution", "half_size", "cache", "chroma_nr",
+            "max_scale", "lens_correction", "cam", "lens",
+        )
+        load_kw = {k: params[k] for k in load_keys if k in params}
+        finish_kw = dict(
+            icc_transform=params.get("icc_transform"),
+            canvas_mode=params.get("canvas_mode", "No"),
+            canvas_scale=params.get("canvas_scale", 1.0),
+            canvas_ratio=params.get("canvas_ratio", 1.0),
+        )
+
+        merged = {
+            k: v
+            for k, v in dict(
+                exp_kelvin=6500.0, tint=0.0, exp_comp=0.0, push_pull=0.0,
+                color_masking=1.0, red_light=0.0, green_light=0.0,
+                blue_light=0.0, projector_kelvin=6500.0, shadow_comp=0.0,
+                sat_adjust=1.0, inversion_gamma=4.0, idealized_curve=False,
+                inversion=False, white_balance=False, white_clip=False,
+                gamma_func="sRGB", halation_intensity=1.0,
+                halation_green_factor=0.4, highlight_burn=0.0, halation=True,
+                halation_size=1.0, sharpness=True, sharpening_strength=0.0,
+                sharpening_sigma=1.0, grain=2, grain_size=6.0, grain_sigma=0.4,
+                burn_scale=50.0, chroma_nr=0,
+            ).items()
+        }
+        merged.update({k: v for k, v in params.items() if k in merged})
+        bundle, prt_mode = self.load_film_bundle(negative_film, print_film, merged)
+
+        # Decode + geometry per image; bucket by resulting shape.
+        buckets: dict[tuple, list[tuple[int, np.ndarray, tuple]]] = {}
+        for idx, src in enumerate(srcs):
+            xyz, orig_res, _m = self.load_image(src, cache=False, **load_kw)
+            arr = np.asarray(xyz)
+            buckets.setdefault(arr.shape, []).append((idx, arr, orig_res))
+
+        fw = float(params.get("frame_width", 36.0))
+        fh = float(params.get("frame_height", 24.0))
+        results: list = [None] * len(srcs)
+        for shape, items in buckets.items():
+            scale = max(shape[-2:]) / max(fw, fh)
+            cfg = build_render_config(negative_film, print_film, prt_mode, scale, merged)
+            batch = jnp.asarray(np.stack([a for _, a, _ in items]))
+            keys = _jax.random.split(
+                _jax.random.PRNGKey(seed), batch.shape[0]
+            )
+            if mesh is not None:
+                b = batch.shape[0]
+                per = mesh.shape["batch"]
+                pad = (-b) % per
+                if pad:
+                    batch = jnp.concatenate([batch, batch[:pad]], axis=0)
+                    keys = jnp.concatenate([keys, keys[:pad]], axis=0)
+                with mesh:
+                    out = sharded_batch_render(mesh, cfg)(batch, bundle, keys)
+                out = np.asarray(out)[:b]
+            else:
+                out = np.asarray(
+                    _jax.jit(batch_render_fn(cfg))(batch, bundle, keys)
+                )
+            for (idx, _, orig_res), img in zip(items, out):
+                results[idx] = self._finish(img, orig_resolution=orig_res, **finish_kw)
+        return results

@@ -70,3 +70,39 @@ class TestPallasConv:
         want = np.asarray(convops.separable_conv(img, kv, kh))
         got = np.asarray(sep_conv2d_tiled(img, kv, kh, tile=(16, 128), interpret=True))
         np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+class TestPallasConvV2:
+    """v2: Mosaic-pipelined blocks with neighbor-block H halos."""
+
+    @pytest.mark.parametrize("hw", [(600, 320), (137, 260), (64, 96)])
+    def test_sep_conv_matches_xla(self, hw):
+        from raw2film_tpu.ops import pallas_conv2 as pc2
+
+        img = _img(*hw)
+        kv = convops.gaussian_kernel1d(2.0)
+        kh = convops.gaussian_kernel1d(1.4)
+        want = np.asarray(convops.separable_conv(img, kv, kh))
+        got = np.asarray(pc2.sep_conv(img, kv, kh, interpret=True))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_conv_h_neighbor_blocks(self):
+        from raw2film_tpu.ops import pallas_conv2 as pc2
+
+        img = _img(600, 256)
+        k = convops.gaussian_kernel1d(3.0)  # 13 taps
+        want = np.asarray(convops._conv1d_axis(img, k, -2))
+        got = np.asarray(pc2.conv_h(img, k, interpret=True))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_rank_sum(self):
+        from raw2film_tpu.ops import pallas_conv2 as pc2
+
+        img = _img(300, 200)
+        us = [convops.gaussian_kernel1d(1.0), 0.3 * convops.gaussian_kernel1d(2.0)]
+        vs = [convops.gaussian_kernel1d(1.0), convops.gaussian_kernel1d(2.0)]
+        want = sum(
+            np.asarray(convops.separable_conv(img, u, v)) for u, v in zip(us, vs)
+        )
+        got = np.asarray(pc2.sep_conv_rank(img, us, vs, interpret=True))
+        np.testing.assert_allclose(got, want, atol=1e-5)
