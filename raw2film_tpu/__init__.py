@@ -19,15 +19,36 @@ pipeline designed for TPU hardware:
 
 from raw2film_tpu._version import __version__
 from raw2film_tpu.film.stock import FilmStock
-from raw2film_tpu.film.loader import load_film_stocks
+from raw2film_tpu.film.loader import camera_stocks, load_film_stocks, print_stocks
+from raw2film_tpu.pipeline.params import ImageParams, ProfileParams, merge_params
 from raw2film_tpu.pipeline.processor import Processor
 
 R2F_BASE_DIR = __path__[0]
+
+
+def __getattr__(name):  # lazy: these pull in threading/io machinery
+    if name == "PreviewEngine":
+        from raw2film_tpu.pipeline.preview import PreviewEngine
+
+        return PreviewEngine
+    if name == "BatchRunner":
+        from raw2film_tpu.pipeline.batch import BatchRunner
+
+        return BatchRunner
+    raise AttributeError(name)
+
 
 __all__ = [
     "__version__",
     "FilmStock",
     "load_film_stocks",
+    "camera_stocks",
+    "print_stocks",
     "Processor",
+    "ProfileParams",
+    "ImageParams",
+    "merge_params",
+    "PreviewEngine",
+    "BatchRunner",
     "R2F_BASE_DIR",
 ]

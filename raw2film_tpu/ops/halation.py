@@ -141,7 +141,7 @@ def halation_with_factors(
                     vs.append(g)
                 else:
                     pyramid.append((s, w))
-            blur = pallas_conv2.sep_conv_rank(img, us, vs)
+            blur = pallas_conv2.fused_sep_rank(img, us, vs)
             for s, w in pyramid:
                 blur = blur + w * _gaussian_pyramid_blur(img, s)
         else:

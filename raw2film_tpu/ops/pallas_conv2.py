@@ -181,3 +181,318 @@ def sep_conv_rank(img: jnp.ndarray, u, v, interpret: bool = False) -> jnp.ndarra
         term = sep_conv(img, kv, kh, interpret=interpret)
         out = term if out is None else out + term
     return out
+
+
+# ---------------------------------------------------------------------------
+# v3: both axes + all rank terms fused in a single streaming kernel.
+# ---------------------------------------------------------------------------
+
+
+def _fused_rank_kernel(
+    prev_ref, cur_ref, next_ref, o_ref, win, tmp,
+    *, ranks, th, chunk, w, rh_max,
+):
+    """One row-band: for every rank, column-conv into tmp then row-conv
+    accumulated into o_ref. W edges reflect in-kernel (full width in block);
+    H halos come from the neighbor blocks.
+
+    ranks: tuple of (taps_v, taps_h, rw) — rw = row-kernel radius.
+    win: (th + 2*rh_max, chunk + 2*rw_max) scratch
+    tmp: (th, chunk + 2*rw_max) scratch
+    """
+    for c0 in range(0, w, chunk):
+        cw = min(chunk, w - c0)
+        for ri, (tv, thaps, rw) in enumerate(ranks):
+            rv = len(tv) // 2
+            ew = cw + 2 * rw  # extended chunk width for the row conv
+            # ---- assemble win rows [th+2rv] x cols [ew] with W reflection
+            def fill(dst_rows, src_ref, src_rows):
+                # columns c0-rw .. c0+cw+rw with reflect-101 at 0 and w
+                lo = c0 - rw
+                hi = c0 + cw + rw
+                # interior fast path
+                if lo >= 0 and hi <= w:
+                    win[dst_rows, 0:ew] = src_ref[0, src_rows, lo:hi]
+                    return
+                # Edge chunks: reflect column-by-column (Mosaic has no `rev`;
+                # at most rw tiny copies on the first/last chunk only).
+                pos = 0
+                if lo < 0:
+                    n = -lo
+                    for idx in range(n):
+                        win[dst_rows, idx : idx + 1] = src_ref[
+                            0, src_rows, n - idx : n - idx + 1
+                        ]
+                    pos = n
+                    lo = 0
+                take = min(hi, w) - lo
+                win[dst_rows, pos : pos + take] = src_ref[0, src_rows, lo : lo + take]
+                pos += take
+                if hi > w:
+                    n = hi - w
+                    for idx in range(n):
+                        win[dst_rows, pos + idx : pos + idx + 1] = src_ref[
+                            0, src_rows, w - 2 - idx : w - 1 - idx
+                        ]
+
+            if rv:
+                fill(slice(0, rv), prev_ref, slice(th - rv, th))
+            fill(slice(rv, rv + th), cur_ref, slice(0, th))
+            if rv:
+                fill(slice(rv + th, rv + th + rv), next_ref, slice(0, rv))
+            # ---- column conv -> tmp (th, ew)
+            first = True
+            for q in range(len(tv)):
+                if tv[q] == 0.0:
+                    continue
+                term = tv[q] * win[q : q + th, 0:ew]
+                if first:
+                    tmp[:, 0:ew] = term
+                    first = False
+                else:
+                    tmp[:, 0:ew] = tmp[:, 0:ew] + term
+            # ---- row conv -> accumulate out
+            first_h = ri == 0
+            for q in range(len(thaps)):
+                if thaps[q] == 0.0:
+                    continue
+                term = thaps[q] * tmp[:, q : q + cw]
+                if first_h:
+                    o_ref[0, :, c0 : c0 + cw] = term
+                    first_h = False
+                else:
+                    o_ref[0, :, c0 : c0 + cw] = (
+                        o_ref[0, :, c0 : c0 + cw] + term
+                    )
+
+
+def fused_sep_rank(
+    img: jnp.ndarray,
+    u,
+    v,
+    tile_h: int = 32,
+    chunk: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Sum of R separable (u[r], v[r]) passes in ONE streaming kernel:
+    one read (x3 for H neighbor blocks) + one write regardless of rank."""
+    u = [np.asarray(r_, np.float64).ravel() for r_ in u]
+    v = [np.asarray(r_, np.float64).ravel() for r_ in v]
+    c, h, w = img.shape
+    th = min(tile_h, _round_up(h, SUBLANE))
+    hp = _round_up(h, th)
+    rh_max = max(len(r_) // 2 for r_ in u)
+    rw_max = max(len(r_) // 2 for r_ in v)
+    if rh_max > th or h <= 2 * th + 1 or hp - h + th >= h or w <= 2 * rw_max + chunk // 8:
+        from raw2film_tpu.ops import conv as convops
+
+        out = None
+        for kv, kh in zip(u, v):
+            term = convops._conv1d_axis(
+                convops._conv1d_axis(img, np.asarray(kv, np.float32), -2),
+                np.asarray(kh, np.float32),
+                -1,
+            )
+            out = term if out is None else out + term
+        return out
+    ranks = tuple(
+        (
+            tuple(float(t) for t in kv),
+            tuple(float(t) for t in kh),
+            len(kh) // 2,
+        )
+        for kv, kh in zip(u, v)
+    )
+    x = jnp.pad(img, [(0, 0), (th, hp - h + th), (0, 0)], mode="reflect")
+    nh = hp // th
+    out = pl.pallas_call(
+        lambda p_ref, c_ref, n_ref, o_ref, win, tmp: _fused_rank_kernel(
+            p_ref, c_ref, n_ref, o_ref, win, tmp,
+            ranks=ranks, th=th, chunk=chunk, w=w, rh_max=rh_max,
+        ),
+        out_shape=jax.ShapeDtypeStruct((c, hp, w), img.dtype),
+        grid=(c, nh),
+        in_specs=[
+            pl.BlockSpec((1, th, w), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, th, w), lambda i, j: (i, j + 1, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, th, w), lambda i, j: (i, j + 2, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, th, w), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((th + 2 * rh_max, chunk + 2 * rw_max), img.dtype),
+            pltpu.VMEM((th, chunk + 2 * rw_max), img.dtype),
+        ],
+        interpret=interpret,
+    )(x, x, x)
+    return out[:, :h, :]
+
+
+# ---------------------------------------------------------------------------
+# v4: row conv on the MXU (banded constant matmul), column conv on the VPU.
+# ---------------------------------------------------------------------------
+
+
+def _band_matrix(taps, ew: int, cw: int) -> np.ndarray:
+    """(ew, cw) banded matrix B with B[q + j, j] = taps[q]: row-conv as
+    tmp(th, ew) @ B -> (th, cw)."""
+    b = np.zeros((ew, cw), np.float32)
+    for q, t in enumerate(taps):
+        if t == 0.0:
+            continue
+        idx = np.arange(cw)
+        b[q + idx, idx] = t
+    return b
+
+
+def _fused_rank_mxu_kernel(
+    prev_ref, cur_ref, next_ref, *rest,
+    ranks, th, chunk, w, rh_max,
+):
+    # rest = [band_main_0, band_last_0, band_main_1, ...], o_ref, win, tmp
+    nr = len(ranks)
+    band_refs = rest[: 2 * nr]
+    o_ref, win, tmp = rest[2 * nr], rest[2 * nr + 1], rest[2 * nr + 2]
+    """Like _fused_rank_kernel but the row conv is tmp @ B on the MXU."""
+    n_chunks = len(_chunks(w, chunk))
+    for ci, (c0, cw) in enumerate(_chunks(w, chunk)):
+        for ri, (tv, thaps, rw) in enumerate(ranks):
+            rv = len(tv) // 2
+            ew = cw + 2 * rw
+
+            def fill(dst_rows, src_ref, src_rows):
+                lo = c0 - rw
+                hi = c0 + cw + rw
+                if lo >= 0 and hi <= w:
+                    win[dst_rows, 0:ew] = src_ref[0, src_rows, lo:hi]
+                    return
+                pos = 0
+                if lo < 0:
+                    n = -lo
+                    for idx in range(n):
+                        win[dst_rows, idx : idx + 1] = src_ref[
+                            0, src_rows, n - idx : n - idx + 1
+                        ]
+                    pos = n
+                    lo = 0
+                take = min(hi, w) - lo
+                win[dst_rows, pos : pos + take] = src_ref[0, src_rows, lo : lo + take]
+                pos += take
+                if hi > w:
+                    n = hi - w
+                    for idx in range(n):
+                        win[dst_rows, pos + idx : pos + idx + 1] = src_ref[
+                            0, src_rows, w - 2 - idx : w - 1 - idx
+                        ]
+
+            if rv:
+                fill(slice(0, rv), prev_ref, slice(th - rv, th))
+            fill(slice(rv, rv + th), cur_ref, slice(0, th))
+            if rv:
+                fill(slice(rv + th, rv + th + rv), next_ref, slice(0, rv))
+
+            first = True
+            for q in range(len(tv)):
+                if tv[q] == 0.0:
+                    continue
+                term = tv[q] * win[q : q + th, 0:ew]
+                if first:
+                    tmp[:, 0:ew] = term
+                    first = False
+                else:
+                    tmp[:, 0:ew] = tmp[:, 0:ew] + term
+
+            band_ref = band_refs[2 * ri + (1 if ci == n_chunks - 1 else 0)]
+            res = jnp.dot(
+                tmp[:, 0:ew], band_ref[...], preferred_element_type=jnp.float32
+            )
+            if ri == 0:
+                o_ref[0, :, c0 : c0 + cw] = res
+            else:
+                o_ref[0, :, c0 : c0 + cw] = o_ref[0, :, c0 : c0 + cw] + res
+
+
+def fused_sep_rank_mxu(
+    img: jnp.ndarray,
+    u,
+    v,
+    tile_h: int = 32,
+    chunk: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """fused_sep_rank with the row conv on the MXU via banded matmuls.
+
+    Requires W % chunk handling: a distinct band matrix serves the (possibly
+    shorter) last chunk.
+    """
+    u = [np.asarray(r_, np.float64).ravel() for r_ in u]
+    v = [np.asarray(r_, np.float64).ravel() for r_ in v]
+    c, h, w = img.shape
+    th = min(tile_h, _round_up(h, SUBLANE))
+    hp = _round_up(h, th)
+    rh_max = max(len(r_) // 2 for r_ in u)
+    rw_max = max(len(r_) // 2 for r_ in v)
+    if rh_max > th or h <= 2 * th + 1 or hp - h + th >= h or w <= chunk:
+        return fused_sep_rank(img, u, v, tile_h=tile_h, chunk=chunk,
+                              interpret=interpret)
+    ranks = tuple(
+        (
+            tuple(float(t) for t in kv),
+            tuple(float(t) for t in kh),
+            len(kh) // 2,
+        )
+        for kv, kh in zip(u, v)
+    )
+    last_cw = w - (len(_chunks(w, chunk)) - 1) * chunk
+    bands = tuple(
+        (
+            _band_matrix(kh, chunk + 2 * (len(kh) // 2), chunk),
+            _band_matrix(kh, last_cw + 2 * (len(kh) // 2), last_cw),
+        )
+        for _, kh in zip(u, v)
+    )
+    x = jnp.pad(img, [(0, 0), (th, hp - h + th), (0, 0)], mode="reflect")
+    nh = hp // th
+    band_specs = []
+    band_args = []
+    for bm, bl in bands:
+        band_specs.append(
+            pl.BlockSpec(bm.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+        )
+        band_args.append(jnp.asarray(bm))
+        band_specs.append(
+            pl.BlockSpec(bl.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+        )
+        band_args.append(jnp.asarray(bl))
+    out = pl.pallas_call(
+        lambda p_ref, c_ref, n_ref, *rest: _fused_rank_mxu_kernel(
+            p_ref, c_ref, n_ref, *rest,
+            ranks=ranks, th=th, chunk=chunk, w=w, rh_max=rh_max,
+        ),
+        out_shape=jax.ShapeDtypeStruct((c, hp, w), img.dtype),
+        grid=(c, nh),
+        in_specs=[
+            pl.BlockSpec((1, th, w), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, th, w), lambda i, j: (i, j + 1, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, th, w), lambda i, j: (i, j + 2, 0), memory_space=pltpu.VMEM
+            ),
+            *band_specs,
+        ],
+        out_specs=pl.BlockSpec(
+            (1, th, w), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((th + 2 * rh_max, chunk + 2 * rw_max), img.dtype),
+            pltpu.VMEM((th, chunk + 2 * rw_max), img.dtype),
+        ],
+        interpret=interpret,
+    )(x, x, x, *band_args)
+    return out[:, :h, :]

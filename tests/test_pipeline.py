@@ -231,3 +231,59 @@ class TestExport:
         exif = back.getexif()
         assert exif[271] == "raw2film-tpu"
         assert back.size == (48, 32)
+
+
+class TestProcessBatch:
+    def test_matches_single_renders(self):
+        rng = np.random.default_rng(0)
+        imgs = [
+            np.abs(rng.normal(0.2, 0.1, (3, 48, 72))).astype(np.float32)
+            for _ in range(3)
+        ]
+        proc = Processor()
+        kw = dict(
+            print_film="Kodak 2383", grain=0, halation=False, sharpness=False,
+            half_size=False, max_scale=None,
+        )
+        batch = proc.process_batch(imgs, "Kodak Portra 400", **kw)
+        for img, out in zip(imgs, batch):
+            single = proc.process(img, "Kodak Portra 400", **kw)
+            np.testing.assert_array_equal(out, single)
+
+    def test_mixed_shapes_bucketed(self):
+        rng = np.random.default_rng(1)
+        imgs = [
+            np.abs(rng.normal(0.2, 0.1, (3, 48, 72))).astype(np.float32),
+            np.abs(rng.normal(0.2, 0.1, (3, 64, 96))).astype(np.float32),
+            np.abs(rng.normal(0.2, 0.1, (3, 48, 72))).astype(np.float32),
+        ]
+        proc = Processor()
+        outs = proc.process_batch(
+            imgs, "Kodak Portra 400", print_film=None, grain=0, halation=False,
+            sharpness=False, half_size=False, max_scale=None,
+        )
+        assert outs[0].shape == outs[2].shape != outs[1].shape
+
+    def test_sharded_over_mesh(self):
+        import jax as _jax
+
+        if len(_jax.devices()) < 8:
+            import pytest
+
+            pytest.skip("needs 8 virtual devices")
+        from raw2film_tpu.parallel.mesh import make_mesh
+
+        rng = np.random.default_rng(2)
+        imgs = [
+            np.abs(rng.normal(0.2, 0.1, (3, 48, 72))).astype(np.float32)
+            for _ in range(5)  # not divisible by mesh batch -> exercises pad
+        ]
+        proc = Processor()
+        kw = dict(print_film=None, grain=0, halation=False, sharpness=False,
+                  half_size=False, max_scale=None)
+        plain = proc.process_batch(imgs, "Kodak Portra 400", **kw)
+        sharded = proc.process_batch(
+            imgs, "Kodak Portra 400", mesh=make_mesh(8, batch=8, space=1), **kw
+        )
+        for a, b in zip(plain, sharded):
+            np.testing.assert_array_equal(a, b)
