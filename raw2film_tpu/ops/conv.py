@@ -57,7 +57,7 @@ def depthwise_conv2d(img: jnp.ndarray, kernels: jnp.ndarray) -> jnp.ndarray:
 
         def one(image, k2d):
             u, v = svd_separable(k2d, tol=1e-4, max_rank=6)
-            return pallas_conv2.fused_sep_rank(image, u, v)
+            return pallas_conv2.fused_sep_rank_mxu(image, u, v)
 
         if not per_channel:
             return one(img, kernels)
@@ -127,7 +127,7 @@ def separable_conv(img: jnp.ndarray, kv, kh) -> jnp.ndarray:
     if _use_pallas() and kv.ndim == 1 and kh.ndim == 1:
         from raw2film_tpu.ops import pallas_conv2
 
-        return pallas_conv2.fused_sep_rank(img, [kv], [kh])
+        return pallas_conv2.fused_sep_rank_mxu(img, [kv], [kh])
     return _conv1d_axis(_conv1d_axis(img, kv, -2), kh, -1)
 
 
@@ -160,10 +160,10 @@ def conv2d_svd(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
         from raw2film_tpu.ops import pallas_conv2
 
         if not per_channel:
-            return pallas_conv2.fused_sep_rank(img, list(u), list(v))
+            return pallas_conv2.fused_sep_rank_mxu(img, list(u), list(v))
         return jnp.concatenate(
             [
-                pallas_conv2.fused_sep_rank(img[c : c + 1], list(u[c]), list(v[c]))
+                pallas_conv2.fused_sep_rank_mxu(img[c : c + 1], list(u[c]), list(v[c]))
                 for c in range(u.shape[0])
             ]
         )

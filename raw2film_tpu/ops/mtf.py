@@ -92,7 +92,7 @@ def film_sharpness_from_key(
     us, vs = [], []
     rank = 0
     for c in range(3):
-        u, v = convops.svd_separable(k[c], tol=5e-4, max_rank=6)
+        u, v = convops.svd_separable(k[c], tol=2e-3, max_rank=4)
         us.append(u)
         vs.append(v)
         rank = max(rank, u.shape[0])
