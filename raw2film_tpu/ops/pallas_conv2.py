@@ -354,10 +354,11 @@ def _fused_rank_mxu_kernel(
     prev_ref, cur_ref, next_ref, *rest,
     ranks, th, chunk, w, rh_max,
 ):
-    # rest = [band_main_0, band_last_0, band_main_1, ...], o_ref, win, tmp
+    # rest = [band_main_0, band_last_0, ...] + [colband_0, ...], o_ref, win, tmp
     nr = len(ranks)
     band_refs = rest[: 2 * nr]
-    o_ref, win, tmp = rest[2 * nr], rest[2 * nr + 1], rest[2 * nr + 2]
+    colband_refs = rest[2 * nr : 3 * nr]
+    o_ref, win, tmp = rest[3 * nr], rest[3 * nr + 1], rest[3 * nr + 2]
     """Like _fused_rank_kernel but the row conv is tmp @ B on the MXU."""
     n_chunks = len(_chunks(w, chunk))
     for ci, (c0, cw) in enumerate(_chunks(w, chunk)):
@@ -396,16 +397,12 @@ def _fused_rank_mxu_kernel(
             if rv:
                 fill(slice(rv + th, rv + th + rv), next_ref, slice(0, rv))
 
-            first = True
-            for q in range(len(tv)):
-                if tv[q] == 0.0:
-                    continue
-                term = tv[q] * win[q : q + th, 0:ew]
-                if first:
-                    tmp[:, 0:ew] = term
-                    first = False
-                else:
-                    tmp[:, 0:ew] = tmp[:, 0:ew] + term
+            # Column conv on the MXU: (th, th+2rv) banded @ (th+2rv, ew).
+            tmp[:, 0:ew] = jnp.dot(
+                colband_refs[ri][...],
+                win[0 : th + 2 * rv, 0:ew],
+                preferred_element_type=jnp.float32,
+            )
 
             band_ref = band_refs[2 * ri + (1 if ci == n_chunks - 1 else 0)]
             res = jnp.dot(
@@ -469,6 +466,14 @@ def fused_sep_rank_mxu(
             pl.BlockSpec(bl.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM)
         )
         band_args.append(jnp.asarray(bl))
+    for kv, _ in zip(u, v):
+        # (th, th+2rv): row i picks sum_q tv[q] * win[q+i]
+        cb = _band_matrix(tuple(float(t) for t in kv), th + 2 * (len(kv) // 2), th).T
+        cb = np.ascontiguousarray(cb, np.float32)
+        band_specs.append(
+            pl.BlockSpec(cb.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+        )
+        band_args.append(jnp.asarray(cb))
     out = pl.pallas_call(
         lambda p_ref, c_ref, n_ref, *rest: _fused_rank_mxu_kernel(
             p_ref, c_ref, n_ref, *rest,
