@@ -38,9 +38,18 @@ def generate_grain_field(
     bw: bool = False,
 ) -> jnp.ndarray:
     """Unit-variance correlated grain field, planar (3, H, W)."""
+    sigma_px = correlation_sigma_px(scale, grain_size_mm, grain_sigma)
+    from raw2film_tpu.ops.conv import _use_pallas
+
+    if _use_pallas():
+        # Stateless-hash pallas kernel: noise + correlation fused in one
+        # write; halos regenerated from the hash (no neighbor reads).
+        from raw2film_tpu.ops.pallas_grain import grain_field_pallas
+
+        seed = (key[0] ^ key[1]).astype(jnp.uint32).reshape(1)
+        return grain_field_pallas(seed, hw, sigma_px, bw=bw)
     channels = 1 if bw else 3
     noise = jax.random.normal(key, (channels, *hw), jnp.float32)
-    sigma_px = correlation_sigma_px(scale, grain_size_mm, grain_sigma)
     if sigma_px >= 0.3:
         k = convops.gaussian_kernel1d(sigma_px, truncate=2.5)
         # L2-normalize the 1D kernel: the separable pass applies it twice, so
