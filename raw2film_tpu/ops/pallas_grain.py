@@ -54,34 +54,44 @@ def _gauss_pair(u_bits, v_bits):
     mantissa.
     """
     inv24 = np.float32(1.0 / 16777216.0)
-    u1 = jnp.maximum(
-        (u_bits >> np.uint32(8)).astype(jnp.float32) * inv24, np.float32(1e-7)
-    )
-    u2 = (v_bits >> np.uint32(8)).astype(jnp.float32) * inv24
+
+    def to_unit(bits):
+        # Mosaic has no uint32->f32 cast; >>8 clears the top byte so a
+        # bitcast to int32 is value-preserving, and int32->f32 is supported.
+        i32 = pltpu.bitcast(bits >> np.uint32(8), jnp.int32)
+        return i32.astype(jnp.float32) * inv24
+
+    u1 = jnp.maximum(to_unit(u_bits), np.float32(1e-7))
+    u2 = to_unit(v_bits)
     r = jnp.sqrt(np.float32(-2.0) * jnp.log(u1))
     return r * jnp.cos(np.float32(2.0 * np.pi) * u2)
 
 
 def _grain_kernel(seed_ref, o_ref, *, taps, th, w, chunk, row0_offset):
     """Write one (1, th, w) block of correlated unit-variance noise."""
-    # program_id returns int32 tracers; any int32 leaking into the hash
-    # demotes the uint32 chain to int32 (sign-extending shifts, negative
-    # casts) — keep every term explicitly uint32.
-    ch = pl.program_id(0).astype(jnp.uint32)
-    j = pl.program_id(1).astype(jnp.uint32)
+    # Mosaic restrictions shape this: program_id is int32 (and int32 leaking
+    # into uint32 math demotes the whole hash chain to sign-extending int32),
+    # scalar bitcasts are unsupported, and uint32->f32 casts don't exist. So:
+    # build coordinates in int32 2-D arrays, bitcast the ARRAYS to uint32.
+    ch = pl.program_id(0)
+    j = pl.program_id(1)
     r = len(taps) // 2
     eh = th + 2 * r
-    seed = seed_ref[0].astype(jnp.uint32) + ch * jnp.uint32(0x9E3779B9)
     for c0 in range(0, w, chunk):
         cw = min(chunk, w - c0)
         ew = cw + 2 * r
         # Global coordinates of the extended window (halo regenerated, may
-        # be negative or beyond the image - the hash doesn't care).
-        yy = jax.lax.broadcasted_iota(jnp.uint32, (eh, ew), 0) + j * jnp.uint32(th)
-        xx = jax.lax.broadcasted_iota(jnp.uint32, (eh, ew), 1) + jnp.uint32(
+        # run beyond the image - the hash doesn't care).
+        yy_i = jax.lax.broadcasted_iota(jnp.int32, (eh, ew), 0) + j * np.int32(th)
+        xx_i = jax.lax.broadcasted_iota(jnp.int32, (eh, ew), 1) + np.int32(
             c0 + row0_offset
         )
-        a, b, _ = _pcg3d(xx, yy, jnp.broadcast_to(seed, (eh, ew)))
+        # 0x9E3779B9 as a signed 32-bit literal: -1640531527.
+        z_i = jnp.full((eh, ew), 1, jnp.int32) * (ch * np.int32(-1640531527))
+        yy = pltpu.bitcast(yy_i, jnp.uint32)
+        xx = pltpu.bitcast(xx_i, jnp.uint32)
+        zz = pltpu.bitcast(z_i, jnp.uint32) + seed_ref[0]
+        a, b, _ = _pcg3d(xx, yy, zz)
         noise = _gauss_pair(a, b)
         # Separable correlation: columns then rows (taps tiny).
         col = None
@@ -136,3 +146,109 @@ def grain_field_pallas(
     if bw:
         out = jnp.broadcast_to(out, (3, h, w))
     return out
+
+
+def _grain_apply_kernel(seed_ref, prm_ref, d_ref, o_ref, *, taps, th, w, chunk):
+    """out = max(density + amplitude(density) * field, 0) in one pass.
+
+    prm: SMEM f32 [rms_eff, floor, peak_over_rng_half, inv_width, lo, inv_rng]
+    with amplitude = rms_eff * (floor + (1-floor) *
+    exp(-0.5 * ((t - peak_over_rng_half - 0.25) * inv_width)^2)), t = (d-lo)*inv_rng.
+    """
+    ch = pl.program_id(0)
+    j = pl.program_id(1)
+    r = len(taps) // 2
+    eh = th + 2 * r
+    rms_eff = prm_ref[0]
+    floor = prm_ref[1]
+    peak_half = prm_ref[2]
+    inv_width = prm_ref[3]
+    lo = prm_ref[4]
+    inv_rng = prm_ref[5]
+    for c0 in range(0, w, chunk):
+        cw = min(chunk, w - c0)
+        ew = cw + 2 * r
+        yy_i = jax.lax.broadcasted_iota(jnp.int32, (eh, ew), 0) + j * np.int32(th)
+        xx_i = jax.lax.broadcasted_iota(jnp.int32, (eh, ew), 1) + np.int32(c0)
+        z_i = jnp.full((eh, ew), 1, jnp.int32) * (ch * np.int32(-1640531527))
+        a, b, _ = _pcg3d(
+            pltpu.bitcast(xx_i, jnp.uint32),
+            pltpu.bitcast(yy_i, jnp.uint32),
+            pltpu.bitcast(z_i, jnp.uint32) + seed_ref[0],
+        )
+        noise = _gauss_pair(a, b)
+        col = None
+        for q in range(len(taps)):
+            term = taps[q] * noise[q : q + th, :]
+            col = term if col is None else col + term
+        field = None
+        for q in range(len(taps)):
+            term = taps[q] * col[:, q : q + cw]
+            field = term if field is None else field + term
+        d = d_ref[0, :, c0 : c0 + cw]
+        t = (d - lo) * inv_rng
+        shape = floor + (np.float32(1.0) - floor) * jnp.exp(
+            np.float32(-0.5) * ((t - peak_half - np.float32(0.25)) * inv_width) ** 2
+        )
+        o_ref[0, :, c0 : c0 + cw] = jnp.maximum(
+            d + rms_eff * shape * field, np.float32(0.0)
+        )
+
+
+def grain_apply_pallas(
+    density: jnp.ndarray,
+    seed,
+    sigma_px: float,
+    rms_eff,
+    floor,
+    peak_half,
+    inv_width,
+    lo,
+    inv_rng,
+    tile_h: int = 64,
+    chunk: int = 1024,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused color-grain apply (independent per-channel fields)."""
+    c, h, w = density.shape
+    if sigma_px >= 0.3:
+        from raw2film_tpu.ops.conv import gaussian_kernel1d
+
+        k = gaussian_kernel1d(sigma_px, truncate=2.5).astype(np.float64)
+        k = k / np.linalg.norm(k)
+    else:
+        k = np.ones(1, np.float64)
+    taps = tuple(float(t) for t in k)
+    th = min(tile_h, _round_up(h, SUBLANE))
+    hp = _round_up(h, th)
+    d = density
+    if hp != h:
+        d = jnp.pad(density, [(0, 0), (0, hp - h), (0, 0)], mode="edge")
+    seed_arr = (
+        jnp.asarray([seed], jnp.uint32)
+        if np.isscalar(seed)
+        else seed.astype(jnp.uint32).reshape(1)
+    )
+    prm = jnp.stack(
+        [
+            jnp.asarray(v, jnp.float32).reshape(())
+            for v in (rms_eff, floor, peak_half, inv_width, lo, inv_rng)
+        ]
+    )
+    out = pl.pallas_call(
+        lambda s_ref, p_ref, d_ref, o_ref: _grain_apply_kernel(
+            s_ref, p_ref, d_ref, o_ref, taps=taps, th=th, w=w, chunk=chunk
+        ),
+        out_shape=jax.ShapeDtypeStruct((c, hp, w), jnp.float32),
+        grid=(c, hp // th),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, th, w), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, th, w), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(seed_arr, prm, d)
+    return out[:, :h, :]

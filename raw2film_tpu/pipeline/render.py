@@ -174,14 +174,6 @@ def render_chain(
         )
 
     if cfg.grain and cfg.has_grain:
-        field = grain_ops.generate_grain_field(
-            noise_key,
-            d.shape[-2:],
-            cfg.scale,
-            cfg.grain_size_mm,
-            cfg.grain_sigma,
-            bw=cfg.grain == 1,
-        )
         peak, width, floor, d_lo, d_hi = (
             bundle["grain_shape"][0],
             bundle["grain_shape"][1],
@@ -190,15 +182,45 @@ def render_chain(
             bundle["grain_shape"][4],
         )
         rng = jnp.maximum(d_hi - d_lo, 1e-3)
-        t = (d - d_lo) / rng
-        shape = floor + (1 - floor) * jnp.exp(
-            -0.5 * ((t - peak / rng * 0.5 - 0.25) / (width * 0.35)) ** 2
-        )
         pixel_um = 1000.0 / cfg.scale
-        amp = (bundle["grain_rms"] / 1000.0) * shape * (48.0 / pixel_um)
-        if cfg.grain == 1:
-            amp = jnp.broadcast_to(amp.mean(axis=0, keepdims=True), amp.shape)
-        d = jnp.maximum(d + amp * field, 0.0)
+        rms_eff = (bundle["grain_rms"] / 1000.0) * (48.0 / pixel_um)
+        from raw2film_tpu.ops.conv import _use_pallas
+
+        if cfg.grain == 2 and _use_pallas():
+            # Fully fused: hash noise + correlation + amplitude + add in one
+            # streaming pass (ops/pallas_grain.py).
+            from raw2film_tpu.ops.grain import correlation_sigma_px
+            from raw2film_tpu.ops.pallas_grain import grain_apply_pallas
+
+            seed = (noise_key[0] ^ noise_key[1]).astype(jnp.uint32).reshape(1)
+            d = grain_apply_pallas(
+                d,
+                seed,
+                correlation_sigma_px(cfg.scale, cfg.grain_size_mm, cfg.grain_sigma),
+                rms_eff,
+                floor,
+                peak / rng * 0.5,
+                1.0 / (width * 0.35),
+                d_lo,
+                1.0 / rng,
+            )
+        else:
+            field = grain_ops.generate_grain_field(
+                noise_key,
+                d.shape[-2:],
+                cfg.scale,
+                cfg.grain_size_mm,
+                cfg.grain_sigma,
+                bw=cfg.grain == 1,
+            )
+            t = (d - d_lo) / rng
+            shape = floor + (1 - floor) * jnp.exp(
+                -0.5 * ((t - peak / rng * 0.5 - 0.25) / (width * 0.35)) ** 2
+            )
+            amp = rms_eff * shape
+            if cfg.grain == 1:
+                amp = jnp.broadcast_to(amp.mean(axis=0, keepdims=True), amp.shape)
+            d = jnp.maximum(d + amp * field, 0.0)
 
     if cfg.highlight_burn:
         d = burn_ops.burn(
