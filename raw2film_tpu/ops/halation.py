@@ -133,7 +133,7 @@ def halation_with_factors(
             from raw2film_tpu.ops import pallas_conv2
 
             us, vs = [], []
-            ui, vi = convops.svd_separable(inner, tol=1e-3, max_rank=4)
+            ui, vi = convops.svd_separable(inner, tol=1e-3, max_rank=3)
             us.extend(list(ui))
             vs.extend(list(vi))
             pyramid = []

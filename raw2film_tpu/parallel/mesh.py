@@ -39,11 +39,17 @@ def make_mesh(
 
 
 def batch_render_fn(cfg: RenderConfig):
-    """Batched render: (B, 3, H, W) xyz + per-image keys -> (B, 3, H, W) u8."""
+    """Batched render: (B, 3, H, W) xyz + per-image keys -> (B, 3, H, W) u8.
+
+    Uses lax.map (a device-side loop), not vmap: the Pallas conv/grain
+    kernels have fixed block layouts that don't admit a vmapped batch dim,
+    and a loop has identical throughput for full-frame work.
+    """
 
     def fn(xyz_batch, bundle, keys):
-        return jax.vmap(lambda x, k: render_chain(x, bundle, cfg, k))(
-            xyz_batch, keys
+        return jax.lax.map(
+            lambda xk: render_chain(xk[0], bundle, cfg, xk[1]),
+            (xyz_batch, keys),
         )
 
     return fn
@@ -51,11 +57,29 @@ def batch_render_fn(cfg: RenderConfig):
 
 def sharded_batch_render(mesh: Mesh, cfg: RenderConfig):
     """jit the batched render with the batch axis sharded over the mesh's
-    'batch' axis and image rows over 'space'. Bundle arrays are replicated."""
-    in_shard = NamedSharding(mesh, P("batch", None, "space", None))
-    key_shard = NamedSharding(mesh, P("batch"))
-    repl = NamedSharding(mesh, P())
+    'batch' axis (each device loops its local shard) and image rows over
+    'space'. Bundle arrays are replicated."""
+    from jax.experimental.shard_map import shard_map
+
+    in_spec = P("batch", None, "space", None)
+    key_spec = P("batch")
     fn = batch_render_fn(cfg)
+
+    if mesh.shape.get("space", 1) == 1:
+        body = shard_map(
+            fn,
+            mesh=mesh,
+            in_specs=(in_spec, P(), key_spec),
+            out_specs=in_spec,
+            check_rep=False,
+        )
+        return jax.jit(body)
+
+    # With a space axis the conv halos need cross-shard exchange - delegate
+    # to XLA's SPMD partitioner via shardings (vmap-free loop body).
+    in_shard = NamedSharding(mesh, in_spec)
+    key_shard = NamedSharding(mesh, key_spec)
+    repl = NamedSharding(mesh, P())
     return jax.jit(
         fn,
         in_shardings=(in_shard, repl, key_shard),

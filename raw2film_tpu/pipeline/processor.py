@@ -457,24 +457,33 @@ class Processor:
         for shape, items in buckets.items():
             scale = max(shape[-2:]) / max(fw, fh)
             cfg = build_render_config(negative_film, print_film, prt_mode, scale, merged)
-            batch = jnp.asarray(np.stack([a for _, a, _ in items]))
-            keys = _jax.random.split(
-                _jax.random.PRNGKey(seed), batch.shape[0]
-            )
+            # Sub-batch so a bucket of 100x45MP frames never tries to stack
+            # into one HBM array (~2GB of f32 inputs per group).
+            img_bytes = int(np.prod(shape)) * 4
+            group = max(1, int(2e9 // max(img_bytes, 1)))
             if mesh is not None:
-                b = batch.shape[0]
-                per = mesh.shape["batch"]
-                pad = (-b) % per
-                if pad:
-                    batch = jnp.concatenate([batch, batch[:pad]], axis=0)
-                    keys = jnp.concatenate([keys, keys[:pad]], axis=0)
-                with mesh:
-                    out = sharded_batch_render(mesh, cfg)(batch, bundle, keys)
-                out = np.asarray(out)[:b]
-            else:
-                out = np.asarray(
-                    _jax.jit(batch_render_fn(cfg))(batch, bundle, keys)
-                )
-            for (idx, _, orig_res), img in zip(items, out):
-                results[idx] = self._finish(img, orig_resolution=orig_res, **finish_kw)
+                group = max(group, mesh.shape["batch"])
+            all_keys = _jax.random.split(_jax.random.PRNGKey(seed), len(srcs))
+            for g0 in range(0, len(items), group):
+                part = items[g0 : g0 + group]
+                batch = jnp.asarray(np.stack([a for _, a, _ in part]))
+                keys = jnp.stack([all_keys[idx] for idx, _, _ in part])
+                if mesh is not None:
+                    b = batch.shape[0]
+                    per = mesh.shape["batch"]
+                    pad = (-b) % per
+                    if pad:
+                        batch = jnp.concatenate([batch, batch[:pad]], axis=0)
+                        keys = jnp.concatenate([keys, keys[:pad]], axis=0)
+                    with mesh:
+                        out = sharded_batch_render(mesh, cfg)(batch, bundle, keys)
+                    out = np.asarray(out)[:b]
+                else:
+                    out = np.asarray(
+                        _jax.jit(batch_render_fn(cfg))(batch, bundle, keys)
+                    )
+                for (idx, _, orig_res), img in zip(part, out):
+                    results[idx] = self._finish(
+                        img, orig_resolution=orig_res, **finish_kw
+                    )
         return results

@@ -106,3 +106,57 @@ class TestPallasConvV2:
         )
         got = np.asarray(pc2.sep_conv_rank(img, us, vs, interpret=True))
         np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+class TestPallasGrain:
+    """Stateless-hash grain kernel (interpret mode)."""
+
+    def test_statistics(self):
+        from scipy import stats as sstats
+
+        from raw2film_tpu.ops.pallas_grain import grain_field_pallas
+
+        f = np.asarray(grain_field_pallas(7, (256, 256), sigma_px=0.0, interpret=True))
+        assert abs(float(f.mean())) < 0.02
+        assert 0.97 < float(f.std()) < 1.03
+        assert abs(float(sstats.kurtosis(f.ravel()))) < 0.1  # gaussian
+
+    def test_correlated_field_unit_variance(self):
+        from raw2film_tpu.ops.pallas_grain import grain_field_pallas
+
+        f = np.asarray(grain_field_pallas(3, (256, 256), sigma_px=1.2, interpret=True))
+        assert 0.9 < float(f.std()) < 1.1
+        # Neighbor correlation present after the correlation kernel.
+        c = np.corrcoef(f[0, :, :-1].ravel(), f[0, :, 1:].ravel())[0, 1]
+        assert c > 0.2
+
+    def test_tile_size_invariance(self):
+        from raw2film_tpu.ops.pallas_grain import grain_field_pallas
+
+        a = np.asarray(grain_field_pallas(7, (128, 192), 0.9, interpret=True, tile_h=64))
+        b = np.asarray(grain_field_pallas(7, (128, 192), 0.9, interpret=True, tile_h=16))
+        np.testing.assert_array_equal(a, b)
+
+    def test_deterministic_and_seed_sensitive(self):
+        from raw2film_tpu.ops.pallas_grain import grain_field_pallas
+
+        a = np.asarray(grain_field_pallas(7, (64, 128), 0.9, interpret=True))
+        b = np.asarray(grain_field_pallas(7, (64, 128), 0.9, interpret=True))
+        c = np.asarray(grain_field_pallas(8, (64, 128), 0.9, interpret=True))
+        np.testing.assert_array_equal(a, b)
+        assert not np.array_equal(a, c)
+
+    def test_fused_apply_matches_composition(self):
+        from raw2film_tpu.ops.pallas_grain import grain_apply_pallas, grain_field_pallas
+
+        rng = np.random.default_rng(0)
+        d = jnp.asarray(rng.uniform(0.3, 2.5, (3, 96, 200)).astype(np.float32))
+        out = np.asarray(
+            grain_apply_pallas(d, 7, 0.9, 0.04, 0.15, 0.17, 2.38, 0.2, 0.37, interpret=True)
+        )
+        f = np.asarray(grain_field_pallas(7, (96, 200), 0.9, interpret=True))
+        dd = np.asarray(d)
+        t = (dd - 0.2) * 0.37
+        shape = 0.15 + 0.85 * np.exp(-0.5 * ((t - 0.17 - 0.25) * 2.38) ** 2)
+        want = np.maximum(dd + 0.04 * shape * f, 0)
+        np.testing.assert_allclose(out, want, atol=1e-6)
