@@ -153,8 +153,19 @@ def _stocks() -> list[FilmStock]:
             year=2004,
             iso=400,
             resolution=110,
-            curve=_neg_curve(0.59, dmin=(0.18, 0.60, 0.92), latitude=3.4, toe=0.45),
-            sens=Sensitivities(peaks=(636.0, 552.0, 470.0), widths=(38.0, 38.0, 34.0)),
+            # Pastel, cool-leaning: soft per-channel contrast spread (greens
+            # slightly favored), broader sensitivities, softer dye purity.
+            curve=HDCurve(
+                d_min=(0.18, 0.60, 0.92),
+                gamma=(0.565, 0.615, 0.635),
+                x_toe=(-2.45, -2.45, -2.45),
+                x_shoulder=(0.95, 0.95, 0.95),
+                w_toe=(0.5, 0.45, 0.45),
+                w_shoulder=(0.62, 0.62, 0.62),
+            ),
+            sens=Sensitivities(peaks=(634.0, 554.0, 472.0), widths=(42.0, 41.0, 37.0)),
+            dyes=DyeSet(unwanted=(0.16, 0.22, 0.06)),
+            color_masking_strength=0.16,
             grain=GrainModel(rms=4.5),
             mtf_model=MTFModel(f50=50.0, adj=0.26),
             comment="Cool-leaning, pastel 4th-layer negative.",

@@ -1,19 +1,12 @@
-"""Pallas TPU kernels for separable convolution stacks.
+"""Pallas separable conv kernels, v1 — SUPERSEDED by pallas_conv2.
 
-The XLA shift-and-add formulation (ops/conv.py) is correct everywhere but
-leaves fusion to the compiler; at 45MP XLA materializes many full-frame
-slice temps (observed 46GB for the full chain). These kernels make the data
-movement explicit: each pass streams row-tiles (W-axis convs) or column
-strips (H-axis convs) through VMEM — one HBM read + one write per pass,
-taps unrolled in-register.
-
-Two public entry points:
-
-* :func:`sep_conv2d` — one separable (kv, kh) pass.
-* :func:`sep_conv2d_rank` — a sum of R separable passes (SVD-factored dense
-  kernels, e.g. MTF) fused so the image is read once per axis.
-
-Both support per-channel kernels and fall back to the XLA path off-TPU.
+Kept as a measured record (tests exercise it in interpret mode): the
+manual-DMA tile design here turned out latency-bound on hardware — HBM DMAs
+of row-strided tiles decompose into per-row descriptors (~180ms for one
+9-tap pass at 45MP) and the double-buffered variant was worse. The
+production path is ops/pallas_conv2.py (Mosaic-pipelined BlockSpecs,
+neighbor-block halos, banded MXU matmuls). Nothing in the pipeline
+dispatches here anymore.
 """
 
 from __future__ import annotations

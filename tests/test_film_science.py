@@ -260,3 +260,61 @@ class TestGrain:
         amp = grain_amplitude(PORTRA, d, scale=200.0)
         assert np.argmax(amp) not in (0, len(d) - 1)
         assert np.all(amp >= 0)
+
+
+class TestLookDifferentiation:
+    """Different stocks must produce measurably different looks (the whole
+    point of a film-emulation framework)."""
+
+    def test_stocks_render_distinctly(self):
+        # Chromatic patches differentiate stocks far more than neutrals
+        # (printer calibration forces every stock neutral at grey).
+        from raw2film_tpu.data import REC709_TO_XYZ
+
+        pats = (
+            np.array(
+                [
+                    [0.8, 0.2, 0.15], [0.2, 0.6, 0.2], [0.2, 0.3, 0.7],
+                    [0.8, 0.7, 0.2], [0.6, 0.3, 0.5], [0.3, 0.5, 0.6],
+                    [0.18, 0.18, 0.18], [0.6, 0.45, 0.35],
+                ]
+            )
+            * 0.6
+        )
+        xyz = np.einsum("ij,pj->ip", REC709_TO_XYZ, pats).reshape(3, -1, 1)
+        renders = {}
+        for name in ("Kodak Portra 400", "Kodak Ektar 100", "Fuji Pro 400H"):
+            neg = STOCKS[name]
+            neg_p = chain.build_negative_params(neg)
+            prt_p = chain.build_print_params(neg, PAPER, neg_params=neg_p)
+            out_p = chain.build_output_params(neg, PAPER, prt_p, neg_p)
+            renders[name] = chain.render_oracle(xyz, neg_p, prt_p, out_p)
+        names = list(renders)
+        for i in range(len(names)):
+            for j in range(i + 1, len(names)):
+                diff = np.abs(renders[names[i]] - renders[names[j]]).mean()
+                assert diff > 0.004, (names[i], names[j], diff)
+
+    def test_contrast_ordering(self):
+        """Ektar (gamma .72) renders a steeper mid-tone ramp than Portra (.60)."""
+        g, xyz = _grey_ramp(9)
+
+        def midslope(name):
+            neg = STOCKS[name]
+            neg_p = chain.build_negative_params(neg)
+            prt_p = chain.build_print_params(neg, PAPER, neg_params=neg_p)
+            out_p = chain.build_output_params(neg, PAPER, prt_p, neg_p)
+            out = chain.render_oracle(xyz, neg_p, prt_p, out_p)[1, :, 0]
+            return float(out[5] - out[3])
+
+        assert midslope("Kodak Ektar 100") > midslope("Kodak Portra 400")
+
+    def test_push_changes_look(self):
+        g, xyz = _grey_ramp(9)
+        outs = []
+        for pp in (0.0, 2.0):
+            neg_p = chain.build_negative_params(PORTRA, push_pull=pp)
+            prt_p = chain.build_print_params(PORTRA, PAPER, neg_params=neg_p)
+            out_p = chain.build_output_params(PORTRA, PAPER, prt_p, neg_p)
+            outs.append(chain.render_oracle(xyz, neg_p, prt_p, out_p))
+        assert np.abs(outs[0] - outs[1]).mean() > 0.01
