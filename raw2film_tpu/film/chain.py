@@ -123,6 +123,12 @@ def build_negative_params(
     reference's ``get_input_lut(exp_kelvin, tint, exp_comp)``
     (reference: src/raw2film/cpu_processor.py:160).
     """
+    if not (1000.0 <= float(exp_kelvin) <= 40000.0):
+        raise ValueError(
+            f"exp_kelvin={exp_kelvin!r} out of range [1000, 40000] K"
+        )
+    if abs(float(tint)) > 100.0:
+        raise ValueError(f"tint={tint!r} out of range [-100, 100]")
     scene_white = spectra.white_with_tint(exp_kelvin, tint)
     native_white = spectra.kelvin_to_xyz(stock.native_kelvin)
     cat = spectra.adaptation_matrix(scene_white, native_white)

@@ -252,3 +252,113 @@ def grain_apply_pallas(
         interpret=interpret,
     )(seed_arr, prm, d)
     return out[:, :h, :]
+
+
+def _grain_apply_bw_kernel(seed_ref, prm_ref, d_ref, o_ref, *, taps, th, w, chunk):
+    """BW grain (reference grain==1): ONE shared field for all channels and
+    the amplitude averaged across channels. Blocks carry all 3 channels."""
+    j = pl.program_id(0)
+    r = len(taps) // 2
+    eh = th + 2 * r
+    rms_eff = prm_ref[0]
+    floor = prm_ref[1]
+    peak_half = prm_ref[2]
+    inv_width = prm_ref[3]
+    lo = prm_ref[4]
+    inv_rng = prm_ref[5]
+    third = np.float32(1.0 / 3.0)
+    for c0 in range(0, w, chunk):
+        cw = min(chunk, w - c0)
+        ew = cw + 2 * r
+        yy_i = jax.lax.broadcasted_iota(jnp.int32, (eh, ew), 0) + j * np.int32(th)
+        xx_i = jax.lax.broadcasted_iota(jnp.int32, (eh, ew), 1) + np.int32(c0)
+        z_i = jnp.zeros((eh, ew), jnp.int32)
+        a, b, _ = _pcg3d(
+            pltpu.bitcast(xx_i, jnp.uint32),
+            pltpu.bitcast(yy_i, jnp.uint32),
+            pltpu.bitcast(z_i, jnp.uint32) + seed_ref[0],
+        )
+        noise = _gauss_pair(a, b)
+        col = None
+        for q in range(len(taps)):
+            term = taps[q] * noise[q : q + th, :]
+            col = term if col is None else col + term
+        field = None
+        for q in range(len(taps)):
+            term = taps[q] * col[:, q : q + cw]
+            field = term if field is None else field + term
+
+        def shape_of(d):
+            t = (d - lo) * inv_rng
+            return floor + (np.float32(1.0) - floor) * jnp.exp(
+                np.float32(-0.5)
+                * ((t - peak_half - np.float32(0.25)) * inv_width) ** 2
+            )
+
+        d0 = d_ref[0, :, c0 : c0 + cw]
+        d1 = d_ref[1, :, c0 : c0 + cw]
+        d2 = d_ref[2, :, c0 : c0 + cw]
+        amp = rms_eff * third * (shape_of(d0) + shape_of(d1) + shape_of(d2))
+        g = amp * field
+        o_ref[0, :, c0 : c0 + cw] = jnp.maximum(d0 + g, np.float32(0.0))
+        o_ref[1, :, c0 : c0 + cw] = jnp.maximum(d1 + g, np.float32(0.0))
+        o_ref[2, :, c0 : c0 + cw] = jnp.maximum(d2 + g, np.float32(0.0))
+
+
+def grain_apply_bw_pallas(
+    density: jnp.ndarray,
+    seed,
+    sigma_px: float,
+    rms_eff,
+    floor,
+    peak_half,
+    inv_width,
+    lo,
+    inv_rng,
+    tile_h: int = 32,
+    chunk: int = 1024,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused BW-grain apply (shared field, channel-mean amplitude)."""
+    c, h, w = density.shape
+    if sigma_px >= 0.3:
+        from raw2film_tpu.ops.conv import gaussian_kernel1d
+
+        k = gaussian_kernel1d(sigma_px, truncate=2.5).astype(np.float64)
+        k = k / np.linalg.norm(k)
+    else:
+        k = np.ones(1, np.float64)
+    taps = tuple(float(t) for t in k)
+    th = min(tile_h, _round_up(h, SUBLANE))
+    hp = _round_up(h, th)
+    d = density
+    if hp != h:
+        d = jnp.pad(density, [(0, 0), (0, hp - h), (0, 0)], mode="edge")
+    seed_arr = (
+        jnp.asarray([seed], jnp.uint32)
+        if np.isscalar(seed)
+        else seed.astype(jnp.uint32).reshape(1)
+    )
+    prm = jnp.stack(
+        [
+            jnp.asarray(v, jnp.float32).reshape(())
+            for v in (rms_eff, floor, peak_half, inv_width, lo, inv_rng)
+        ]
+    )
+    out = pl.pallas_call(
+        lambda s_ref, p_ref, d_ref, o_ref: _grain_apply_bw_kernel(
+            s_ref, p_ref, d_ref, o_ref, taps=taps, th=th, w=w, chunk=chunk
+        ),
+        out_shape=jax.ShapeDtypeStruct((c, hp, w), jnp.float32),
+        grid=(hp // th,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((3, th, w), lambda j: (0, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (3, th, w), lambda j: (0, j, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(seed_arr, prm, d)
+    return out[:, :h, :]

@@ -186,14 +186,19 @@ def render_chain(
         rms_eff = (bundle["grain_rms"] / 1000.0) * (48.0 / pixel_um)
         from raw2film_tpu.ops.conv import _use_pallas
 
-        if cfg.grain == 2 and _use_pallas():
+        if cfg.grain in (1, 2) and _use_pallas():
             # Fully fused: hash noise + correlation + amplitude + add in one
-            # streaming pass (ops/pallas_grain.py).
+            # streaming pass (ops/pallas_grain.py). grain==1 shares one field
+            # across channels with the channel-mean amplitude.
             from raw2film_tpu.ops.grain import correlation_sigma_px
-            from raw2film_tpu.ops.pallas_grain import grain_apply_pallas
+            from raw2film_tpu.ops.pallas_grain import (
+                grain_apply_bw_pallas,
+                grain_apply_pallas,
+            )
 
             seed = (noise_key[0] ^ noise_key[1]).astype(jnp.uint32).reshape(1)
-            d = grain_apply_pallas(
+            apply_fn = grain_apply_pallas if cfg.grain == 2 else grain_apply_bw_pallas
+            d = apply_fn(
                 d,
                 seed,
                 correlation_sigma_px(cfg.scale, cfg.grain_size_mm, cfg.grain_sigma),

@@ -318,3 +318,11 @@ class TestLookDifferentiation:
             out_p = chain.build_output_params(PORTRA, PAPER, prt_p, neg_p)
             outs.append(chain.render_oracle(xyz, neg_p, prt_p, out_p))
         assert np.abs(outs[0] - outs[1]).mean() > 0.01
+
+
+class TestValidation:
+    def test_kelvin_out_of_range_rejected(self):
+        with pytest.raises(ValueError, match="exp_kelvin"):
+            chain.build_negative_params(PORTRA, exp_kelvin=-100)
+        with pytest.raises(ValueError, match="tint"):
+            chain.build_negative_params(PORTRA, tint=1e6)
