@@ -89,7 +89,7 @@ def fit_gaussian_mixture(size: float, n_terms: int = 5):
     )
 
 
-PYRAMID_SIGMA = 8.0  # sigmas above this run on a decimated level (measured: upsample passes cost more than extra fused taps)
+PYRAMID_SIGMA = 8.0  # sigmas above this run on a decimated level
 
 
 def _gaussian_pyramid_blur(img: jnp.ndarray, sigma: float) -> jnp.ndarray:

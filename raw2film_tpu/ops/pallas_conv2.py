@@ -430,10 +430,12 @@ def fused_sep_rank_mxu(
     u = [np.asarray(r_, np.float64).ravel() for r_ in u]
     v = [np.asarray(r_, np.float64).ravel() for r_ in v]
     c, h, w = img.shape
-    th = min(tile_h, _round_up(h, SUBLANE))
-    hp = _round_up(h, th)
     rh_max = max(len(r_) // 2 for r_ in u)
     rw_max = max(len(r_) // 2 for r_ in v)
+    # The H halo must fit in one neighbor block: grow the tile for wide
+    # kernels instead of silently falling back.
+    th = min(max(tile_h, _round_up(rh_max, SUBLANE)), _round_up(h, SUBLANE))
+    hp = _round_up(h, th)
     if rh_max > th or h <= 2 * th + 1 or hp - h + th >= h or w <= chunk:
         return fused_sep_rank(img, u, v, tile_h=tile_h, chunk=chunk,
                               interpret=interpret)
