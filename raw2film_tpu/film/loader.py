@@ -240,6 +240,53 @@ def _stocks() -> list[FilmStock]:
         )
     )
 
+    s.append(
+        FilmStock(
+            name="Fuji C200",
+            manufacturer="Fujifilm",
+            year=2001,
+            iso=200,
+            resolution=100,
+            curve=_neg_curve(0.63, dmin=(0.20, 0.63, 0.94), latitude=3.0),
+            sens=Sensitivities(peaks=(636.0, 555.0, 470.0), widths=(38.0, 38.0, 34.0)),
+            grain=GrainModel(rms=5.0),
+            mtf_model=MTFModel(f50=47.0, adj=0.26),
+            comment="Budget daily-driver with a green-leaning palette.",
+        )
+    )
+    s.append(
+        FilmStock(
+            name="Kodak Portra 160 NC",
+            manufacturer="Kodak",
+            year=1998,
+            iso=160,
+            resolution=120,
+            alias=("Portra NC",),
+            curve=_neg_curve(0.54, latitude=3.5, toe=0.48, sh=0.66),
+            sens=Sensitivities(peaks=(642.0, 549.0, 467.0), widths=(38.0, 37.0, 34.0)),
+            dyes=DyeSet(unwanted=(0.14, 0.20, 0.05)),
+            grain=GrainModel(rms=3.4),
+            mtf_model=MTFModel(f50=55.0, adj=0.24),
+            comment="Neutral-contrast wedding classic (pre-2010 Portra).",
+        )
+    )
+    s.append(
+        FilmStock(
+            name="Kodak Portra 160 VC",
+            manufacturer="Kodak",
+            year=1998,
+            iso=160,
+            resolution=120,
+            alias=("Portra VC",),
+            curve=_neg_curve(0.66, latitude=3.0, toe=0.36, sh=0.5),
+            sens=Sensitivities(peaks=(644.0, 548.0, 465.0), widths=(35.0, 34.0, 31.0)),
+            dyes=DyeSet(unwanted=(0.09, 0.14, 0.03)),
+            grain=GrainModel(rms=3.6),
+            mtf_model=MTFModel(f50=55.0, adj=0.28),
+            comment="Vivid-contrast sibling of the NC.",
+        )
+    )
+
     # ----------------------------------------------------- black & white
     s.append(
         FilmStock(
@@ -279,6 +326,35 @@ def _stocks() -> list[FilmStock]:
             curve=_bw_curve(0.70, dmin=0.10, latitude=3.0),
             grain=GrainModel(rms=2.8, floor=0.18),
             mtf_model=MTFModel(f50=90.0, adj=0.30),
+        )
+    )
+
+    s.append(
+        FilmStock(
+            name="Fuji Acros 100",
+            manufacturer="Fujifilm",
+            year=2002,
+            iso=100,
+            resolution=180,
+            density_measure="bw",
+            curve=_bw_curve(0.66, dmin=0.09, latitude=3.2),
+            grain=GrainModel(rms=2.2, floor=0.16),
+            mtf_model=MTFModel(f50=95.0, adj=0.32),
+            comment="Ultra-fine orthopanchromatic BW.",
+        )
+    )
+    s.append(
+        FilmStock(
+            name="Fomapan 400",
+            manufacturer="Foma",
+            year=1995,
+            iso=400,
+            resolution=90,
+            density_measure="bw",
+            curve=_bw_curve(0.60, dmin=0.16, latitude=3.1),
+            grain=GrainModel(rms=7.2, floor=0.25),
+            mtf_model=MTFModel(f50=45.0, adj=0.36),
+            comment="Gritty budget BW with pronounced grain.",
         )
     )
 
