@@ -27,6 +27,13 @@ def make_mesh(
     """Build a (batch, space) mesh. Defaults: all devices on the batch axis."""
     devices = np.asarray(jax.devices())
     n = n_devices or len(devices)
+    if n > len(devices):
+        raise ValueError(
+            f"make_mesh: {n} devices requested but only {len(devices)} "
+            f"available ({jax.devices()[0].platform}); for a virtual mesh set "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count={n} and "
+            f"JAX_PLATFORMS=cpu before jax initializes backends"
+        )
     devices = devices[:n]
     if batch is None and space is None:
         batch, space = n, 1
@@ -34,7 +41,10 @@ def make_mesh(
         batch = n // space
     elif space is None:
         space = n // batch
-    assert batch * space == n, (batch, space, n)
+    if batch * space != n:
+        raise ValueError(
+            f"make_mesh: batch*space ({batch}*{space}) must equal n devices ({n})"
+        )
     return Mesh(devices.reshape(batch, space), ("batch", "space"))
 
 
@@ -59,7 +69,14 @@ def sharded_batch_render(mesh: Mesh, cfg: RenderConfig):
     """jit the batched render with the batch axis sharded over the mesh's
     'batch' axis (each device loops its local shard) and image rows over
     'space'. Bundle arrays are replicated."""
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map as _sm
+
+        shard_map = partial(_sm, check_vma=False)
+    except ImportError:  # jax < 0.8
+        from jax.experimental.shard_map import shard_map as _sm
+
+        shard_map = partial(_sm, check_rep=False)
 
     in_spec = P("batch", None, "space", None)
     key_spec = P("batch")
@@ -71,7 +88,6 @@ def sharded_batch_render(mesh: Mesh, cfg: RenderConfig):
             mesh=mesh,
             in_specs=(in_spec, P(), key_spec),
             out_specs=in_spec,
-            check_rep=False,
         )
         return jax.jit(body)
 

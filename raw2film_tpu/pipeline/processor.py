@@ -473,8 +473,13 @@ class Processor:
                     per = mesh.shape["batch"]
                     pad = (-b) % per
                     if pad:
-                        batch = jnp.concatenate([batch, batch[:pad]], axis=0)
-                        keys = jnp.concatenate([keys, keys[:pad]], axis=0)
+                        # Tile: pad may exceed b (e.g. 2 images on an 8-wide
+                        # batch axis -> pad=6), so a single slice is short.
+                        reps = -(-pad // b)
+                        filler = jnp.concatenate([batch] * reps, axis=0)[:pad]
+                        kfiller = jnp.concatenate([keys] * reps, axis=0)[:pad]
+                        batch = jnp.concatenate([batch, filler], axis=0)
+                        keys = jnp.concatenate([keys, kfiller], axis=0)
                     with mesh:
                         out = sharded_batch_render(mesh, cfg)(batch, bundle, keys)
                     out = np.asarray(out)[:b]

@@ -287,3 +287,35 @@ class TestProcessBatch:
         )
         for a, b in zip(plain, sharded):
             np.testing.assert_array_equal(a, b)
+
+    def test_sharded_trailing_group_smaller_than_mesh(self):
+        """2 images on an 8-wide batch axis: pad (6) > b (2) must tile."""
+        import jax as _jax
+
+        if len(_jax.devices()) < 8:
+            import pytest
+
+            pytest.skip("needs 8 virtual devices")
+        from raw2film_tpu.parallel.mesh import make_mesh
+
+        rng = np.random.default_rng(3)
+        imgs = [
+            np.abs(rng.normal(0.2, 0.1, (3, 48, 72))).astype(np.float32)
+            for _ in range(2)
+        ]
+        proc = Processor()
+        kw = dict(print_film=None, grain=0, halation=False, sharpness=False,
+                  half_size=False, max_scale=None)
+        plain = proc.process_batch(imgs, "Kodak Portra 400", **kw)
+        sharded = proc.process_batch(
+            imgs, "Kodak Portra 400", mesh=make_mesh(8, batch=8, space=1), **kw
+        )
+        for a, b in zip(plain, sharded):
+            np.testing.assert_array_equal(a, b)
+
+    def test_make_mesh_too_many_devices_raises(self):
+        from raw2film_tpu.parallel.mesh import make_mesh
+        import pytest
+
+        with pytest.raises(ValueError, match="devices requested"):
+            make_mesh(1024)
