@@ -134,7 +134,6 @@ int r2f_decode_ljpeg(const uint8_t* src, long len, uint16_t* out,
   int comp_id[4] = {0}, comp_tbl[4] = {0};
   Huff tables[4];
   int predictor = 1, pt = 0;
-  int scan_comp[4] = {0};
   int nscan = 0;
   const uint8_t* entropy = nullptr;
 
@@ -144,25 +143,29 @@ int r2f_decode_ljpeg(const uint8_t* src, long len, uint16_t* out,
     p += 2;
     if (marker == 0xD8) continue;
     int seglen = (p[0] << 8) | p[1];
-    if (p + seglen > end) return -3;
+    if (seglen < 2 || p + seglen > end) return -3;
     const uint8_t* seg = p + 2;
+    const uint8_t* seg_end = p + seglen;  // seglen counts its own 2 bytes
 
     if (marker == 0xC3) {  // SOF3
+      if (seg + 6 > seg_end) return -3;
       precision = seg[0];
       height = (seg[1] << 8) | seg[2];
       width = (seg[3] << 8) | seg[4];
       ncomp = seg[5];
       if (ncomp > 4) return -4;
+      if (seg + 6 + 3 * ncomp > seg_end) return -3;
       for (int i = 0; i < ncomp; ++i) {
         comp_id[i] = seg[6 + 3 * i];
         // sampling factors seg[7+3i] assumed 0x11 (true for DNG LJPEG)
       }
     } else if (marker == 0xC4) {  // DHT
       const uint8_t* q = seg;
-      while (q < p + seglen) {
+      while (q < seg_end) {
         int tc_th = *q++;
         int th = tc_th & 0x0F;
         if (th > 3) return -5;
+        if (q + 16 > seg_end) return -3;
         uint8_t counts[16];
         int nvals = 0;
         for (int i = 0; i < 16; ++i) {
@@ -170,18 +173,21 @@ int r2f_decode_ljpeg(const uint8_t* src, long len, uint16_t* out,
           nvals += q[i];
         }
         q += 16;
+        if (nvals > 256 || q + nvals > seg_end) return -3;
         tables[th].build(counts, q, nvals);
         q += nvals;
       }
     } else if (marker == 0xDA) {  // SOS
+      if (seg + 1 > seg_end) return -3;
       nscan = seg[0];
+      if (nscan > 4 || seg + 4 + 2 * nscan > seg_end) return -3;
       for (int i = 0; i < nscan; ++i) {
         int cid = seg[1 + 2 * i];
         int tbl = (seg[2 + 2 * i] >> 4) & 0x0F;
+        if (tbl > 3) return -5;
         for (int c = 0; c < ncomp; ++c) {
           if (comp_id[c] == cid) comp_tbl[c] = tbl;
         }
-        scan_comp[i] = cid;
       }
       predictor = seg[1 + 2 * nscan];
       pt = seg[3 + 2 * nscan] & 0x0F;
@@ -194,6 +200,7 @@ int r2f_decode_ljpeg(const uint8_t* src, long len, uint16_t* out,
   }
 
   if (!entropy || width <= 0 || height <= 0 || ncomp <= 0) return -6;
+  if (precision < 2 || precision > 16 || pt < 0 || pt >= precision) return -6;
   long total = long(width) * height * ncomp;
   if (total > max_out_samples) return -7;
 

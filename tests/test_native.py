@@ -37,6 +37,44 @@ class TestLJPEG:
         with pytest.raises(ValueError):
             decode_ljpeg(b"\x00" * 64, 1024)
 
+    def test_malformed_inputs_rejected_not_crashed(self):
+        """Truncations and bit-flips of a valid stream must error cleanly
+        (the decoder parses untrusted files)."""
+        from raw2film_tpu.io.ljpeg import encode_ljpeg
+        from raw2film_tpu.native import decode_ljpeg
+
+        img = RNG.integers(0, 65535, (16, 16)).astype(np.uint16)
+        blob = bytearray(encode_ljpeg(img))
+        # Truncate at every prefix of the header region.
+        for cut in range(2, min(len(blob), 64)):
+            try:
+                decode_ljpeg(bytes(blob[:cut]), img.size)
+            except ValueError:
+                pass
+        # Corrupt each header byte (table selectors, counts, lengths).
+        for i in range(2, min(len(blob), 96)):
+            for val in (0x00, 0xFF, 0x3F):
+                mut = bytearray(blob)
+                mut[i] = val
+                try:
+                    decode_ljpeg(bytes(mut), img.size)
+                except ValueError:
+                    pass
+
+    def test_sos_bad_table_selector_rejected(self):
+        """A DC table selector > 3 in SOS must be rejected, not index OOB."""
+        from raw2film_tpu.io.ljpeg import encode_ljpeg
+        from raw2film_tpu.native import decode_ljpeg
+
+        img = RNG.integers(0, 65535, (8, 8)).astype(np.uint16)
+        blob = bytearray(encode_ljpeg(img))
+        i = blob.find(b"\xff\xda")
+        assert i >= 0
+        # SOS layout: FFDA len2 ns (cid tbl)*ns ...; tbl byte = i+6
+        blob[i + 6] = 0x70  # DC selector 7
+        with pytest.raises(ValueError):
+            decode_ljpeg(bytes(blob), img.size)
+
     def test_compressed_dng_round_trip(self, tmp_path):
         from raw2film_tpu.io.dng import read_dng, write_dng
 
