@@ -128,15 +128,18 @@ def halation_with_factors(
         sigmas, weights, inner, _ = fit_gaussian_mixture(size)
         if convops._use_pallas():
             # Fuse the full-resolution terms (dense inner correction via SVD
-            # + every sigma<=8 Gaussian) into ONE streaming rank-tiled pass;
-            # only the wide pyramid terms run separately on decimated levels.
-            from raw2film_tpu.ops import pallas_conv2
+            # + every sigma<=8 Gaussian) into ONE streaming rank-tiled pass.
+            # Wide pyramid terms share ONE decimated level per factor: one
+            # Pallas box downsample, one fused multi-rank blur summing every
+            # sigma at that level, one Pallas bilinear upsample (measured:
+            # XLA reduce_window/resize cost ~20 ms each at 45MP).
+            from raw2film_tpu.ops import pallas_conv2, pallas_pyramid
 
             us, vs = [], []
             ui, vi = convops.svd_separable(inner, tol=1e-3, max_rank=3)
             us.extend(list(ui))
             vs.extend(list(vi))
-            pyramid = []
+            by_factor: dict[int, list[tuple[float, float]]] = {}
             for s, w in zip(sigmas, weights):
                 if w <= 1e-6:
                     continue
@@ -145,10 +148,16 @@ def halation_with_factors(
                     us.append(w * g)
                     vs.append(g)
                 else:
-                    pyramid.append((s, w))
+                    by_factor.setdefault(4 if s <= 48.0 else 8, []).append((s, w))
             blur = pallas_conv2.fused_sep_rank_mxu(img, us, vs)
-            for s, w in pyramid:
-                blur = blur + w * _gaussian_pyramid_blur(img, s)
+            for f, terms in by_factor.items():
+                small = pallas_pyramid.box_downsample_pallas(img, f)
+                su = [w * convops.gaussian_kernel1d(s / f, truncate=3.0) for s, w in terms]
+                sv = [convops.gaussian_kernel1d(s / f, truncate=3.0) for s, _ in terms]
+                small_blur = pallas_conv2.fused_sep_rank_mxu(small, su, sv)
+                blur = blur + pallas_pyramid.bilinear_upsample_pallas(
+                    small_blur, f, img.shape[-2:]
+                )
         else:
             blur = convops.depthwise_conv2d(img, inner)
             for s, w in zip(sigmas, weights):

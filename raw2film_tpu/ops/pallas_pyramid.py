@@ -1,0 +1,245 @@
+"""Pallas pyramid resample kernels: box downsample + bilinear upsample.
+
+The halation/burn glow pyramids need integer-factor box downsamples and
+half-pixel bilinear upsamples at 45MP. XLA's `reduce_window` and
+`jax.image.resize` cost ~20 ms each at that size (measured round 2 —
+~30x off the bandwidth bound), so both are re-expressed here as banded
+constant matmuls on the MXU inside Mosaic-pipelined row-band blocks, the
+same scheme as ops/pallas_conv2.py:
+
+    down:  out = Dh @ x @ Dw      Dh (th/f, th), Dw (cw, cw/f) averaging bands
+    up:    out = Uh @ win @ Uw    Uh (th, th/f+2), Uw lerp bands
+
+Boundary convention matches the XLA ops they replace: box downsample crops
+to multiples of f (caller's contract), bilinear upsample uses half-pixel
+centers with edge clamp (jax.image.resize "bilinear").
+
+Replaces the reference's cv2.INTER_AREA / ndimage.zoom pyramid
+(reference: src/raw2film/effects.py:360-390) on the TPU hot path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+SUBLANE = 8
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _chunks(total: int, chunk: int):
+    out = []
+    c0 = 0
+    while c0 < total:
+        out.append((c0, min(chunk, total - c0)))
+        c0 += chunk
+    return out
+
+
+# ------------------------------------------------------------------ down
+
+
+def _down_kernel(x_ref, dh_ref, dwm_ref, dwl_ref, o_ref, *, f, chunk, w_in):
+    pieces = _chunks(w_in, chunk)
+    for ci, (c0, cw) in enumerate(pieces):
+        dw = dwm_ref if cw == chunk else dwl_ref
+        t = jnp.dot(
+            dh_ref[...],
+            x_ref[0, :, c0 : c0 + cw],
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, :, c0 // f : (c0 + cw) // f] = jnp.dot(
+            t, dw[..., 0 : cw // f], preferred_element_type=jnp.float32
+        )
+
+
+def box_downsample_pallas(
+    img: jnp.ndarray, f: int, chunk: int = 512, interpret: bool = False
+) -> jnp.ndarray:
+    """(C, H, W) -> (C, H//f, W//f) block mean; f in {2, 4, 8}.
+
+    Same semantics as ops.conv.box_downsample (crops the remainder).
+    """
+    assert chunk % f == 0
+    c, h, w = img.shape
+    h2, w2 = h // f, w // f
+    th_out = max(SUBLANE, 32 // f)
+    th = th_out * f
+    hp2 = _round_up(h2, th_out)
+    hp = hp2 * f
+    if h2 < th_out or w2 * f < 2 * chunk:
+        from raw2film_tpu.ops import conv as convops
+
+        return convops.box_downsample(img, f)
+    x = img[:, : h2 * f, : w2 * f]
+    if hp != h2 * f:
+        x = jnp.pad(x, [(0, 0), (0, hp - h2 * f), (0, 0)], mode="edge")
+    w_in = w2 * f
+
+    dh = np.zeros((th_out, th), np.float32)
+    for i in range(th_out):
+        dh[i, i * f : (i + 1) * f] = 1.0 / f
+    last_cw = w_in - (len(_chunks(w_in, chunk)) - 1) * chunk
+
+    def wmat(cw):
+        m = np.zeros((cw, chunk // f), np.float32)
+        for j in range(cw // f):
+            m[j * f : (j + 1) * f, j] = 1.0 / f
+        return m
+
+    dwm, dwl = wmat(chunk), wmat(last_cw)
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        lambda x_ref, dh_ref, dwm_ref, dwl_ref, o_ref: _down_kernel(
+            x_ref, dh_ref, dwm_ref, dwl_ref, o_ref, f=f, chunk=chunk, w_in=w_in
+        ),
+        out_shape=jax.ShapeDtypeStruct((c, hp2, w2), img.dtype),
+        grid=(c, hp2 // th_out),
+        in_specs=[
+            pl.BlockSpec((1, th, w_in), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            const(dh.shape),
+            const(dwm.shape),
+            const(dwl.shape),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, th_out, w2), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(x, jnp.asarray(dh), jnp.asarray(dwm), jnp.asarray(dwl))
+    return out[:, :h2, :]
+
+
+# -------------------------------------------------------------------- up
+
+
+def _up_kernel(
+    prev_ref, cur_ref, next_ref, uh_ref, uwf_ref, uwm_ref, uwl_ref,
+    o_ref, win, *, f, th_in, chunk, w_out,
+):
+    # Window rows: last row of prev + cur + first row of next (an output row
+    # at a block boundary interpolates across it in both directions).
+    win[0:1, :] = prev_ref[0, th_in - 1 : th_in, :]
+    win[1 : th_in + 1, :] = cur_ref[0, :, :]
+    win[th_in + 1 : th_in + 2, :] = next_ref[0, 0:1, :]
+    pieces = _chunks(w_out, chunk)
+    for ci, (c0, cw) in enumerate(pieces):
+        cs = cw // f
+        if ci == 0:
+            uw, lo, n_in = uwf_ref, 0, cs + 1
+        elif ci == len(pieces) - 1:
+            uw, lo, n_in = uwl_ref, c0 // f - 1, cs + 1
+        else:
+            uw, lo, n_in = uwm_ref, c0 // f - 1, cs + 2
+        t = jnp.dot(
+            uh_ref[...],
+            win[:, lo : lo + n_in],
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, :, c0 : c0 + cw] = jnp.dot(
+            t, uw[0:n_in, 0:cw], preferred_element_type=jnp.float32
+        )
+
+
+def _lerp_matrix(n_out: int, f: int, clamp_lo: bool, clamp_hi: bool) -> np.ndarray:
+    """Half-pixel bilinear band matrix (n_in, n_out). The window starts one
+    input sample before the chunk unless ``clamp_lo`` (window starts AT the
+    chunk; sample -1 clamps to 0); ``clamp_hi`` folds the past-the-end sample
+    into the last one (right/bottom edge)."""
+    n_in = n_out // f + (1 if (clamp_lo or clamp_hi) else 2)
+    m = np.zeros((n_in, n_out), np.float32)
+    for o in range(n_out):
+        rel = (o + 0.5) / f - 0.5  # in-sample coordinate rel. to chunk start
+        base = int(np.floor(rel))
+        frac = rel - base
+        idx = base if clamp_lo else base + 1
+        if clamp_lo and base < 0:
+            idx, frac = 0, 0.0  # left/top clamp
+        m[idx, o] += 1.0 - frac
+        if frac > 0.0:
+            m[min(idx + 1, n_in - 1), o] += frac
+    return m
+
+
+def bilinear_upsample_pallas(
+    img: jnp.ndarray,
+    f: int,
+    out_hw: tuple[int, int] | None = None,
+    tile_out: int = 32,
+    chunk: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(C, h, w) -> (C, oh, ow) half-pixel bilinear upsample by integer
+    factor f, cropped to ``out_hw`` (<= (h*f, w*f)). Matches
+    jax.image.resize(..., method="bilinear") for the f-times shape."""
+    assert chunk % f == 0
+    c, hs, ws = img.shape
+    oh, ow = out_hw if out_hw is not None else (hs * f, ws * f)
+    th = tile_out
+    th_in = th // f
+    w_out = ws * f
+    if hs <= 2 * th_in or w_out < 3 * chunk or oh > hs * f or ow > w_out:
+        return jax.image.resize(img, (c, oh, ow), method="bilinear")
+    hp_in = _round_up(hs, th_in)
+    # One extra edge-replicated block on top and bottom: stored block j+1
+    # holds input band j, and edge replication IS the bilinear edge clamp.
+    x = jnp.pad(img, [(0, 0), (th_in, hp_in - hs + th_in), (0, 0)], mode="edge")
+    nh = hp_in // th_in
+
+    uh = _lerp_matrix(th, f, clamp_lo=False, clamp_hi=False)  # (th_in+2, th)
+    uwf = _lerp_matrix(chunk, f, clamp_lo=True, clamp_hi=False)
+    uwm = _lerp_matrix(chunk, f, clamp_lo=False, clamp_hi=False)
+    last_cw = w_out - (len(_chunks(w_out, chunk)) - 1) * chunk
+    uwl = _lerp_matrix(last_cw, f, clamp_lo=False, clamp_hi=True)
+    # Pad ragged matrices to fixed specs (kernel slices the live region).
+    if uwl.shape[1] < chunk:
+        uwl = np.pad(uwl, [(0, 0), (0, chunk - uwl.shape[1])])
+    if uwl.shape[0] < uwm.shape[0]:
+        uwl = np.pad(uwl, [(0, uwm.shape[0] - uwl.shape[0]), (0, 0)])
+    if uwf.shape[0] < uwm.shape[0]:
+        uwf = np.pad(uwf, [(0, uwm.shape[0] - uwf.shape[0]), (0, 0)])
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM
+    )
+
+    def band(idx_off):
+        return pl.BlockSpec(
+            (1, th_in, ws),
+            lambda i, j, _o=idx_off: (i, j + _o, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    # uh.T is (th_in+2, th); we need Uh (th, th_in+2) on the left.
+    uh_t = np.ascontiguousarray(uh.T)
+    out = pl.pallas_call(
+        lambda p_ref, c_ref, n_ref, uh_ref, uwf_ref, uwm_ref, uwl_ref, o_ref, win: _up_kernel(
+            p_ref, c_ref, n_ref, uh_ref, uwf_ref, uwm_ref, uwl_ref, o_ref, win,
+            f=f, th_in=th_in, chunk=chunk, w_out=w_out,
+        ),
+        out_shape=jax.ShapeDtypeStruct((c, nh * th, w_out), img.dtype),
+        grid=(c, nh),
+        in_specs=[
+            band(0),
+            band(1),
+            band(2),
+            const(uh_t.shape),
+            const(uwf.shape),
+            const(uwm.shape),
+            const(uwl.shape),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, th, w_out), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.VMEM((th_in + 2, ws), img.dtype)],
+        interpret=interpret,
+    )(x, x, x, jnp.asarray(uh_t), jnp.asarray(uwf), jnp.asarray(uwm), jnp.asarray(uwl))
+    if (nh * th, w_out) == (oh, ow):
+        return out
+    return out[:, :oh, :ow]
