@@ -1,16 +1,31 @@
-"""Minimal self-contained DNG/TIFF reader + writer.
+"""Self-contained RAW container reader + DNG writer.
 
 The reference leans on LibRaw via rawpy for container parsing + demosaic
-(reference: src/raw2film/raw_conversion.py:33-53). This framework owns its
-RAW path: a pure-Python TIFF/DNG parser here (uncompressed CFA and linear
-DNGs — the documentable interchange subset), device-side demosaic in
-:mod:`raw2film_tpu.ops.demosaic`, and a matching writer used for synthetic
-test fixtures. A C++ fast-path unpacker can slot under the same API.
+(reference: src/raw2film/raw_conversion.py:33-53, supported extension list
+src/raw2film/data.py:87-102). This framework owns its RAW path: a
+pure-Python TIFF-family parser here, device-side demosaic in
+:mod:`raw2film_tpu.ops.demosaic`, native lossless-JPEG decode in
+:mod:`raw2film_tpu.native`, and a matching DNG writer used for synthetic
+test fixtures.
 
-Supported: TIFF little/big endian, IFD chains + SubIFDs, strips, 8/16-bit
-unsigned, Compression=1 (none), PhotometricInterpretation 32803 (CFA) and
-34892 (LinearRaw)/2 (RGB), CFAPattern, BlackLevel/WhiteLevel, ColorMatrix1,
-AsShotNeutral, core EXIF (ISO, exposure time, f-number, make/model).
+Containers handled by :func:`read_raw`:
+
+* **DNG** — uncompressed + lossless-JPEG (Compression 7), CFA + LinearRaw.
+* **NEF/ARW/PEF** (TIFF dialects) — raw IFD discovered via photometric
+  32803 across the IFD chain + SubIFDs; uncompressed strips stored 16-bit
+  or bit-packed 12/14-bit (packing inferred from StripByteCounts);
+  vendor black-level defaults where the TIFF-EP tags are absent.
+* **ORF** — same TIFF structure under Olympus magics (0x4F52 'RO' /
+  0x5352 'RS').
+* **CR2** — lossless-JPEG raw IFD (Compression 6) decoded with the native
+  SOF3 decoder, slice-interleaved columns reassembled via tag 0xC640.
+
+Vendor-compressed bitstreams (Nikon compressed NEF, Sony cRAW, Pentax
+Huffman, Olympus compressed, CR3/CRW/RAF containers) are rejected with a
+clear error — converting to DNG is the documented ingest path for those.
+
+Also parsed: CFAPattern, BlackLevel/WhiteLevel, ColorMatrix1, AsShotNeutral,
+core EXIF (ISO, exposure time, f-number, focal length, make/model/lens).
 """
 
 from __future__ import annotations
@@ -52,7 +67,10 @@ _TAGS = {
     "FNumber": 33437,
     "ISO": 34855,
     "FocalLength": 37386,
+    "MakerNote": 37500,
     "LensModel": 42036,
+    # Vendor
+    "CR2Slices": 50752,
 }
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
@@ -89,6 +107,24 @@ def _read_ifd(buf: bytes, offset: int, endian: str) -> tuple[dict, int]:
     return entries, next_ifd
 
 
+def _entry_value_offset(
+    buf: bytes, ifd_offset: int, endian: str, want_tag: int
+) -> int | None:
+    """File-absolute offset of a tag's value block (None if inline/absent)."""
+    (count,) = struct.unpack_from(endian + "H", buf, ifd_offset)
+    pos = ifd_offset + 2
+    for _ in range(count):
+        tag, typ, n = struct.unpack_from(endian + "HHI", buf, pos)
+        if tag == want_tag:
+            size = _TYPE_SIZES.get(typ, 1) * n
+            if size <= 4:
+                return pos + 8
+            (ptr,) = struct.unpack_from(endian + "I", buf, pos + 8)
+            return ptr
+        pos += 12
+    return None
+
+
 def _decode_values(raw: bytes, typ: int, n: int, endian: str):
     if typ == 2:  # ASCII
         return raw.split(b"\0")[0].decode("ascii", "replace")
@@ -105,19 +141,64 @@ def _decode_values(raw: bytes, typ: int, n: int, endian: str):
 
 _CFA_CODES = {0: "R", 1: "G", 2: "B"}
 
+# TIFF magic numbers: classic TIFF (DNG/NEF/ARW/PEF/CR2) + Olympus ORF.
+_TIFF_MAGICS = {42, 0x4F52, 0x5352}
 
-def read_dng(path: str) -> RawImage:
+# Vendor black-level defaults where the TIFF-EP tags are absent (the vendors
+# store them in MakerNotes; these are the conventional sensor pedestals).
+_MAKE_BLACK_DEFAULTS = {"SONY": 512.0}
+
+
+def _unpack_12bit(payload: bytes, n: int) -> np.ndarray:
+    """Big-endian MSB-first 12-bit packing: 3 bytes -> 2 samples."""
+    b = np.frombuffer(payload, np.uint8)
+    b = b[: (n + 1) // 2 * 3].reshape(-1, 3).astype(np.uint16)
+    p0 = (b[:, 0] << 4) | (b[:, 1] >> 4)
+    p1 = ((b[:, 1] & 0x0F) << 8) | b[:, 2]
+    return np.stack([p0, p1], axis=1).ravel()[:n]
+
+
+def _unpack_14bit(payload: bytes, n: int) -> np.ndarray:
+    """Big-endian MSB-first 14-bit packing: 7 bytes -> 4 samples."""
+    b = np.frombuffer(payload, np.uint8)
+    b = b[: (n + 3) // 4 * 7].reshape(-1, 7).astype(np.uint16)
+    p0 = (b[:, 0] << 6) | (b[:, 1] >> 2)
+    p1 = ((b[:, 1] & 0x03) << 12) | (b[:, 2] << 4) | (b[:, 3] >> 4)
+    p2 = ((b[:, 3] & 0x0F) << 10) | (b[:, 4] << 2) | (b[:, 5] >> 6)
+    p3 = ((b[:, 5] & 0x3F) << 8) | b[:, 6]
+    return np.stack([p0, p1, p2, p3], axis=1).ravel()[:n]
+
+
+def read_raw(path: str) -> RawImage:
+    """Decode any supported RAW container (see module docstring)."""
     with open(path, "rb") as f:
         buf = f.read()
+    if buf[:8].startswith(b"FUJIFILM"):
+        raise NotImplementedError(
+            f"{path}: Fuji RAF containers are not supported; convert to DNG"
+        )
+    if len(buf) >= 8 and buf[4:8] == b"ftyp":
+        raise NotImplementedError(
+            f"{path}: CR3 (ISO-BMFF) containers are not supported; convert to DNG"
+        )
+    return _read_tiff_raw(buf, path)
+
+
+def read_dng(path: str) -> RawImage:
+    return read_raw(path)
+
+
+def _read_tiff_raw(buf: bytes, path: str) -> RawImage:
     if buf[:2] == b"II":
         endian = "<"
     elif buf[:2] == b"MM":
         endian = ">"
     else:
-        raise ValueError(f"{path}: not a TIFF/DNG file")
+        raise ValueError(f"{path}: not a TIFF-family RAW file")
     (magic, first_ifd) = struct.unpack_from(endian + "HI", buf, 2)
-    if magic != 42:
+    if magic not in _TIFF_MAGICS:
         raise ValueError(f"{path}: bad TIFF magic {magic}")
+    is_cr2 = buf[8:10] == b"CR"
 
     # Collect IFDs: walk the chain plus SubIFDs.
     ifds = []
@@ -134,6 +215,18 @@ def read_dng(path: str) -> RawImage:
         return (i.get(_TAGS["Photometric"]) or [0])[0]
 
     raw_ifds = [i for i in ifds if photometric(i) == 32803]
+    if not raw_ifds and is_cr2:
+        # CR2 raw IFD carries no photometric: it is the lossless-JPEG IFD
+        # with the largest strip (the preview JPEGs use Compression 6 too
+        # but are far smaller).
+        cands = [
+            i
+            for i in ifds
+            if (i.get(_TAGS["Compression"]) or [0])[0] == 6
+            and _TAGS["StripByteCounts"] in i
+        ]
+        if cands:
+            raw_ifds = [max(cands, key=lambda i: sum(i[_TAGS["StripByteCounts"]]))]
     if not raw_ifds:
         raw_ifds = [
             i
@@ -145,14 +238,22 @@ def read_dng(path: str) -> RawImage:
     ifd = max(
         raw_ifds,
         key=lambda i: (i.get(_TAGS["ImageWidth"]) or [0])[0]
-        * (i.get(_TAGS["ImageLength"]) or [0])[0],
+        * (i.get(_TAGS["ImageLength"]) or [0])[0]
+        + sum(i.get(_TAGS["StripByteCounts"]) or [0]),
     )
 
     comp = (ifd.get(_TAGS["Compression"]) or [1])[0]
-    if comp not in (1, 7):
+    if comp not in (1, 6, 7):
+        known = {
+            34713: "Nikon-compressed NEF",
+            32767: "Sony cRAW/ARW-compressed",
+            65535: "Pentax-Huffman PEF",
+            65536: "Olympus-compressed ORF",
+        }
+        what = known.get(comp, f"compression {comp}")
         raise NotImplementedError(
-            f"{path}: compression {comp} unsupported (uncompressed + "
-            "lossless-JPEG DNGs are handled)"
+            f"{path}: {what} is unsupported (uncompressed and lossless-JPEG "
+            "raws are handled; convert vendor-compressed files to DNG)"
         )
     w = ifd[_TAGS["ImageWidth"]][0]
     h = ifd[_TAGS["ImageLength"]][0]
@@ -199,13 +300,58 @@ def read_dng(path: str) -> RawImage:
                     data[y : y + eh] = strip[:eh, : w * spp].reshape(eh, w, spp)
                 y += dh
         data = data[..., 0] if spp == 1 else data
+    elif comp == 6:
+        # CR2: one lossless-JPEG blob; columns stored as vertical slices
+        # (tag 0xC640: [n, slice_w, last_slice_w]).
+        from raw2film_tpu.native import decode_ljpeg
+
+        offsets = ifd[_TAGS["StripOffsets"]]
+        counts = ifd[_TAGS["StripByteCounts"]]
+        blob0 = bytes(buf[offsets[0] : offsets[0] + counts[0]])
+        sof3 = blob0.find(b"\xff\xc3")
+        if sof3 >= 0 and _TAGS["BitsPerSample"] not in ifd:
+            bits = blob0[sof3 + 4]  # SOF3 sample precision
+        flat, dw, dh, dc = decode_ljpeg(blob0, (h * w + 16) * 2)
+        full_w = dw * dc
+        if not w or not h:
+            w, h = full_w, dh
+        slices = ifd.get(_TAGS["CR2Slices"])
+        frame = np.empty((dh, full_w), np.float32)
+        if slices and len(slices) == 3 and slices[0]:
+            n_sl, w_a, w_b = int(slices[0]), int(slices[1]), int(slices[2])
+            widths = [w_a] * n_sl + [w_b]
+            flat = flat[: dh * full_w]
+            pos = 0
+            x0 = 0
+            for wi in widths:
+                frame[:, x0 : x0 + wi] = flat[pos : pos + dh * wi].reshape(dh, wi)
+                pos += dh * wi
+                x0 += wi
+        else:
+            frame[:] = flat[: dh * full_w].reshape(dh, full_w)
+        data = frame[:h, :w]
     else:
         offsets = ifd[_TAGS["StripOffsets"]]
         counts = ifd.get(_TAGS["StripByteCounts"]) or [h * w * spp * bits // 8]
         payload = b"".join(buf[o : o + c] for o, c in zip(offsets, counts))
-        dtype = np.dtype(endian + ("u2" if bits == 16 else "u1"))
-        data = np.frombuffer(payload, dtype=dtype, count=h * w * spp)
-        data = data.reshape((h, w) if spp == 1 else (h, w, spp)).astype(np.float32)
+        n = h * w * spp
+        if bits == 8:
+            data = np.frombuffer(payload, np.uint8, count=n).astype(np.float32)
+        elif len(payload) >= 2 * n:
+            data = np.frombuffer(
+                payload, np.dtype(endian + "u2"), count=n
+            ).astype(np.float32)
+        elif bits == 12 and len(payload) * 2 >= 3 * n:
+            # NEF/ORF-style bit-packed strips (inferred from byte counts).
+            data = _unpack_12bit(payload, n).astype(np.float32)
+        elif bits == 14 and len(payload) * 4 >= 7 * n:
+            data = _unpack_14bit(payload, n).astype(np.float32)
+        else:
+            raise NotImplementedError(
+                f"{path}: cannot infer sample packing "
+                f"({len(payload)} bytes for {n} {bits}-bit samples)"
+            )
+        data = data.reshape((h, w) if spp == 1 else (h, w, spp))
 
     cfa = None
     if photometric(ifd) == 32803:
@@ -222,6 +368,7 @@ def read_dng(path: str) -> RawImage:
         if tag in ifd0:
             meta[f"EXIF:{name}"] = ifd0[tag]
     exif_ptr = ifd0.get(_TAGS["ExifIFD"])
+    sensor_info = None
     if exif_ptr:
         exif, _ = _read_ifd(buf, exif_ptr[0], endian)
         for name in ("ExposureTime", "FNumber", "ISO", "FocalLength", "LensModel"):
@@ -229,13 +376,48 @@ def read_dng(path: str) -> RawImage:
             if tag in exif:
                 v = exif[tag]
                 meta[f"EXIF:{name}"] = v[0] if isinstance(v, list) else v
+        make = str(meta.get("EXIF:Make", ""))
+        if is_cr2 or make.lower().startswith("canon"):
+            mn_off = _entry_value_offset(
+                buf, exif_ptr[0], endian, _TAGS["MakerNote"]
+            )
+            if mn_off is not None:
+                try:
+                    # Canon MakerNote is a plain IFD whose value offsets are
+                    # file-absolute — the easy vendor.
+                    mn, _ = _read_ifd(buf, mn_off, endian)
+                    si = mn.get(0x00E0)
+                    if si and len(si) >= 9:
+                        sensor_info = [int(x) for x in si]
+                except Exception:
+                    sensor_info = None
 
     def tag0(name, default=None):
         v = ifd.get(_TAGS[name]) or ifd0.get(_TAGS[name])
         return v if v is not None else default
 
-    black = float(np.mean(tag0("BlackLevel", [0.0])))
+    black_tag = tag0("BlackLevel")
+    black = float(np.mean(black_tag)) if black_tag is not None else None
     white = float(tag0("WhiteLevel", [(1 << bits) - 1])[0])
+
+    if sensor_info is not None and data.ndim == 2:
+        # Canon SensorInfo: [_, w, h, _, _, left, top, right, bottom, ...];
+        # the masked region left of `left` is the optical-black pedestal.
+        left, top, right, bottom = sensor_info[5:9]
+        if 0 <= top < bottom < data.shape[0] and 0 <= left < right < data.shape[1]:
+            if black is None and left >= 8:
+                black = float(np.median(data[top : bottom + 1, : left - 2]))
+            # Even Bayer phase: start the crop on an even coordinate.
+            left += left % 2
+            top += top % 2
+            data = data[top : bottom + 1, left : right + 1]
+            meta["EXIF:SensorLeftBorder"] = left
+            meta["EXIF:SensorTopBorder"] = top
+    if black is None:
+        make = str(meta.get("EXIF:Make", "")).upper()
+        black = next(
+            (v for k, v in _MAKE_BLACK_DEFAULTS.items() if k in make), 0.0
+        )
     cm = tag0("ColorMatrix1")
     color_matrix = (
         np.asarray(cm, np.float64).reshape(3, 3) if cm is not None and len(cm) == 9 else None

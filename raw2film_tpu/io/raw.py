@@ -15,7 +15,7 @@ from functools import lru_cache
 import numpy as np
 import jax.numpy as jnp
 
-from raw2film_tpu.io.dng import RawImage, read_dng
+from raw2film_tpu.io.dng import RawImage, read_raw
 from raw2film_tpu.ops import demosaic as dm
 
 
@@ -70,7 +70,7 @@ def decode_raw(
 
 @lru_cache(maxsize=16)
 def _load_cached(src: str, half_size: bool):
-    raw = read_dng(src)
+    raw = read_raw(src)
     xyz = decode_raw(raw, half_size=half_size)
     return xyz, raw.metadata
 
@@ -86,7 +86,7 @@ def raw_to_linear(
     if cache:
         xyz, metadata = _load_cached(src, half_size)
     else:
-        raw = read_dng(src)
+        raw = read_raw(src)
         xyz = decode_raw(raw, half_size=half_size)
         metadata = raw.metadata
     gain = 2.0 ** calc_exposure(np.asarray(xyz), metadata=metadata)

@@ -1,0 +1,308 @@
+"""Synthetic RAW fixture writers for the vendor TIFF dialects.
+
+Each writer emits the structural skeleton a real camera file has (magic,
+IFD layout, tag dialect, bit packing), so the parser's format handling is
+exercised without camera files (mirroring how the reference's test_gui.py
+fakes its generators).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+def _pack12(vals: np.ndarray) -> bytes:
+    v = vals.astype(np.uint16).ravel()
+    if v.size % 2:
+        v = np.append(v, 0)
+    v = v.reshape(-1, 2)
+    out = np.empty((v.shape[0], 3), np.uint8)
+    out[:, 0] = v[:, 0] >> 4
+    out[:, 1] = ((v[:, 0] & 0x0F) << 4) | (v[:, 1] >> 8)
+    out[:, 2] = v[:, 1] & 0xFF
+    return out.tobytes()
+
+
+def _pack14(vals: np.ndarray) -> bytes:
+    v = vals.astype(np.uint16).ravel()
+    pad = (-v.size) % 4
+    if pad:
+        v = np.append(v, np.zeros(pad, np.uint16))
+    v = v.reshape(-1, 4)
+    out = np.empty((v.shape[0], 7), np.uint8)
+    out[:, 0] = v[:, 0] >> 6
+    out[:, 1] = ((v[:, 0] & 0x3F) << 2) | (v[:, 1] >> 12)
+    out[:, 2] = (v[:, 1] >> 4) & 0xFF
+    out[:, 3] = ((v[:, 1] & 0x0F) << 4) | (v[:, 2] >> 10)
+    out[:, 4] = (v[:, 2] >> 2) & 0xFF
+    out[:, 5] = ((v[:, 2] & 0x03) << 6) | (v[:, 3] >> 8)
+    out[:, 6] = v[:, 3] & 0xFF
+    return out.tobytes()
+
+
+class _Ifd:
+    """Minimal TIFF IFD builder with a shared out-of-line heap."""
+
+    def __init__(self):
+        self.entries: list[tuple[int, int, list]] = []
+
+    def add(self, tag: int, typ: int, values):
+        self.entries.append((tag, typ, values))
+
+    def size(self) -> int:
+        return 2 + 12 * len(self.entries) + 4
+
+
+def _serialize(
+    ifds: list[_Ifd], data_blobs: list[bytes], next_links=None, header: int = 8
+) -> bytes:
+    """Layout: header, IFDs in order, heap, data blobs. Placeholder tag
+    values of the form ("blob", i) / ("ifd", i) resolve to offsets."""
+    offsets = []
+    pos = header
+    for ifd in ifds:
+        offsets.append(pos)
+        pos += ifd.size()
+    heap = bytearray()
+    heap_base = pos
+
+    def entry_bytes(tag, typ, values, heap_pos):
+        if typ == 2:
+            raw = values.encode("ascii") + b"\0"
+            n = len(raw)
+        elif typ in (5, 10):
+            fmt = "II" if typ == 5 else "ii"
+            raw = b"".join(struct.pack("<" + fmt, *v) for v in values)
+            n = len(values)
+        elif typ == 7:
+            raw = bytes(values)
+            n = len(raw)
+        else:
+            fmt = {1: "B", 3: "H", 4: "I"}[typ]
+            raw = struct.pack("<" + fmt * len(values), *values)
+            n = len(values)
+        if len(raw) <= 4:
+            return struct.pack("<HHI", tag, typ, n) + raw + b"\0" * (4 - len(raw)), None
+        return struct.pack("<HHI", tag, typ, n) + struct.pack("<I", heap_pos), raw
+
+    # Two passes: first compute heap size with placeholders resolved late.
+    # Simpler: resolve placeholders now (blob offsets depend on heap size,
+    # so compute heap first with dummy zeros, then patch).
+    serialized = []
+    blob_refs = []  # (ifd_idx, entry_idx) needing blob offset patch
+    heap_cursor = heap_base
+    for i, ifd in enumerate(ifds):
+        ents = []
+        for j, (tag, typ, values) in enumerate(ifd.entries):
+            vals = values
+            if isinstance(values, tuple) and values and values[0] in ("blob", "blob7"):
+                blob_refs.append((i, j, values[1], 7 if values[0] == "blob7" else 4))
+                vals = [0]
+                typ = 4
+            elif isinstance(values, tuple) and values and values[0] == "ifd":
+                vals = [offsets[values[1]]]
+                typ = 4
+            eb, raw = entry_bytes(tag, typ, vals, heap_cursor)
+            if raw is not None:
+                heap += raw if len(raw) % 2 == 0 else raw + b"\0"
+                heap_cursor = heap_base + len(heap)
+            ents.append(eb)
+        serialized.append(ents)
+
+    data_base = heap_base + len(heap)
+    blob_offsets = []
+    pos = data_base
+    for blob in data_blobs:
+        blob_offsets.append(pos)
+        pos += len(blob) + (len(blob) % 2)
+    for i, j, bi, ptyp in blob_refs:
+        tag, _, _ = ifds[i].entries[j]
+        count = len(data_blobs[bi]) if ptyp == 7 else 1
+        serialized[i][j] = struct.pack("<HHI", tag, ptyp, count) + struct.pack(
+            "<I", blob_offsets[bi]
+        )
+
+    out = bytearray(b"II" + struct.pack("<HI", 42, header))
+    out += b"\0" * (header - len(out))
+    next_links = next_links or {}
+    for i, (ifd, ents) in enumerate(zip(ifds, serialized)):
+        nxt = next_links.get(i)
+        nxt_off = offsets[nxt] if nxt is not None else 0
+        out += struct.pack("<H", len(ents)) + b"".join(ents) + struct.pack("<I", nxt_off)
+    out += heap
+    for blob in data_blobs:
+        out += blob
+        if len(blob) % 2:
+            out += b"\0"
+    return bytes(out)
+
+
+def write_nef(path, mosaic, bits=14, make="NIKON CORPORATION", model="NIKON Z 6"):
+    """NEF skeleton: IFD0 (metadata + SubIFD pointer), raw in the SubIFD,
+    bit-packed samples."""
+    h, w = mosaic.shape
+    payload = _pack14(mosaic) if bits == 14 else _pack12(mosaic)
+    raw = _Ifd()
+    raw.add(254, 4, [0])
+    raw.add(256, 4, [w])
+    raw.add(257, 4, [h])
+    raw.add(258, 3, [bits])
+    raw.add(259, 3, [1])
+    raw.add(262, 3, [32803])
+    raw.add(273, 4, ("blob", 0))
+    raw.add(277, 3, [1])
+    raw.add(278, 4, [h])
+    raw.add(279, 4, [len(payload)])
+    raw.add(33421, 3, [2, 2])
+    raw.add(33422, 1, [0, 1, 1, 2])  # RGGB
+    exif = _Ifd()
+    exif.add(33434, 5, [(1, 250)])
+    exif.add(33437, 5, [(28, 10)])
+    exif.add(34855, 3, [400])
+    ifd0 = _Ifd()
+    ifd0.add(256, 4, [32])  # thumbnail-sized decoy dims
+    ifd0.add(257, 4, [32])
+    ifd0.add(271, 2, make)
+    ifd0.add(272, 2, model)
+    ifd0.add(330, 4, ("ifd", 1))
+    ifd0.add(34665, 4, ("ifd", 2))
+    blob = _serialize([ifd0, raw, exif], [payload])
+    with open(path, "wb") as f:
+        f.write(blob)
+
+
+def write_arw(path, mosaic, make="SONY", model="ILCE-7M3"):
+    """ARW skeleton: raw in IFD0, 16-bit stored samples, no BlackLevel tag
+    (the parser must apply the Sony pedestal default)."""
+    h, w = mosaic.shape
+    payload = mosaic.astype("<u2").tobytes()
+    ifd0 = _Ifd()
+    ifd0.add(256, 4, [w])
+    ifd0.add(257, 4, [h])
+    ifd0.add(258, 3, [16])
+    ifd0.add(259, 3, [1])
+    ifd0.add(262, 3, [32803])
+    ifd0.add(271, 2, make)
+    ifd0.add(272, 2, model)
+    ifd0.add(273, 4, ("blob", 0))
+    ifd0.add(277, 3, [1])
+    ifd0.add(278, 4, [h])
+    ifd0.add(279, 4, [len(payload)])
+    ifd0.add(33421, 3, [2, 2])
+    ifd0.add(33422, 1, [0, 1, 1, 2])
+    with open(path, "wb") as f:
+        f.write(_serialize([ifd0], [payload]))
+
+
+def write_pef(path, mosaic, make="PENTAX", model="PENTAX K-1"):
+    """PEF skeleton: raw IFD chained after IFD0, 12-bit packed samples."""
+    h, w = mosaic.shape
+    payload = _pack12(mosaic)
+    ifd0 = _Ifd()
+    ifd0.add(271, 2, make)
+    ifd0.add(272, 2, model)
+    raw = _Ifd()
+    raw.add(256, 4, [w])
+    raw.add(257, 4, [h])
+    raw.add(258, 3, [12])
+    raw.add(259, 3, [1])
+    raw.add(262, 3, [32803])
+    raw.add(273, 4, ("blob", 0))
+    raw.add(277, 3, [1])
+    raw.add(278, 4, [h])
+    raw.add(279, 4, [len(payload)])
+    raw.add(33421, 3, [2, 2])
+    raw.add(33422, 1, [0, 1, 1, 2])
+    with open(path, "wb") as f:
+        f.write(_serialize([ifd0, raw], [payload], next_links={0: 1}))
+
+
+def write_orf(path, mosaic, make="OLYMPUS CORPORATION", model="E-M1MarkIII"):
+    """ORF skeleton: Olympus magic 0x4F52, raw in IFD0, 12-bit packed."""
+    h, w = mosaic.shape
+    payload = _pack12(mosaic)
+    ifd0 = _Ifd()
+    ifd0.add(256, 4, [w])
+    ifd0.add(257, 4, [h])
+    ifd0.add(258, 3, [12])
+    ifd0.add(259, 3, [1])
+    ifd0.add(262, 3, [32803])
+    ifd0.add(271, 2, make)
+    ifd0.add(272, 2, model)
+    ifd0.add(273, 4, ("blob", 0))
+    ifd0.add(277, 3, [1])
+    ifd0.add(278, 4, [h])
+    ifd0.add(279, 4, [len(payload)])
+    ifd0.add(33421, 3, [2, 2])
+    ifd0.add(33422, 1, [0, 1, 1, 2])
+    blob = bytearray(_serialize([ifd0], [payload]))
+    struct.pack_into("<H", blob, 2, 0x4F52)  # 'RO'
+    with open(path, "wb") as f:
+        f.write(blob)
+
+
+def write_cr2(path, mosaic, borders=None, make="Canon", model="Canon EOS R5"):
+    """CR2 skeleton: 'CR' signature, raw in the LAST IFD with Compression=6
+    lossless JPEG, CR2 slice tag, Canon MakerNote SensorInfo with borders.
+
+    ``borders``: (left, top, right, bottom) active-area crop; the region
+    left of ``left`` acts as the masked optical-black pedestal.
+    """
+    from raw2film_tpu.io.ljpeg import encode_ljpeg
+
+    h, w = mosaic.shape
+    # Slice the columns CR2-style: 2 slices when width allows.
+    if w % 2 == 0 and w >= 64:
+        n_sl, w_a = 1, w // 2
+        w_b = w - n_sl * w_a
+        flat = np.concatenate(
+            [mosaic[:, :w_a].ravel(), mosaic[:, w_a:].ravel()]
+        ).reshape(h, w)
+    else:
+        n_sl, w_a, w_b = 0, 0, w
+        flat = mosaic
+    payload = encode_ljpeg(flat.astype(np.uint16), precision=14)
+
+    # Canon MakerNote: a plain IFD with FILE-absolute value offsets, stored
+    # as a type-7 blob. Serialize with a marker blob first, then patch the
+    # real MakerNote in once its absolute position is known.
+    si = [9, w, h, 0, 0] + (list(borders) if borders else [0, 0, w - 1, h - 1])
+    si = si + [0] * (17 - len(si))
+    mn_size = 2 + 12 + 4 + 2 * len(si)
+    marker = (b"MKNT" * ((mn_size + 3) // 4))[:mn_size]
+
+    exif = _Ifd()
+    exif.add(33434, 5, [(1, 160)])
+    exif.add(34855, 3, [200])
+    exif.add(37500, 7, ("blob7", 1))  # MakerNote -> blob index 1
+
+    ifd0 = _Ifd()
+    ifd0.add(271, 2, make)
+    ifd0.add(272, 2, model)
+    ifd0.add(34665, 4, ("ifd", 2))
+
+    raw = _Ifd()
+    raw.add(256, 4, [w])
+    raw.add(257, 4, [h])
+    raw.add(259, 3, [6])
+    raw.add(273, 4, ("blob", 0))
+    raw.add(279, 4, [len(payload)])
+    if n_sl:
+        raw.add(50752, 3, [n_sl, w_a, w_b])
+
+    blob = bytearray(
+        _serialize([ifd0, raw, exif], [payload, marker], next_links={0: 1}, header=16)
+    )
+    blob[8:12] = b"CR\x02\x00"
+    mn_off = bytes(blob).find(marker)
+    assert mn_off > 0
+    mn = struct.pack("<H", 1)
+    mn += struct.pack("<HHI", 0x00E0, 3, len(si)) + struct.pack("<I", mn_off + 18)
+    mn += struct.pack("<I", 0)
+    mn += struct.pack("<" + "H" * len(si), *si)
+    assert len(mn) == mn_size
+    blob[mn_off : mn_off + mn_size] = mn
+    with open(path, "wb") as f:
+        f.write(blob)

@@ -162,6 +162,33 @@ class TestCLI:
         img = Image.open(dst)
         assert img.size[0] > 0
 
+    def test_export_nef_and_arw(self, tmp_path):
+        """Vendor TIFF dialects flow through the full CLI export
+        (reference ingest surface: src/raw2film/data.py:87-102)."""
+        import numpy as np
+
+        from raw2film_tpu.cli import main
+        from raw_fixtures import write_arw, write_nef
+
+        rng = np.random.default_rng(3)
+        mosaic = rng.integers(600, 15000, (40, 64)).astype(np.uint16)
+        write_nef(str(tmp_path / "a.nef"), mosaic)
+        write_arw(str(tmp_path / "b.arw"), mosaic)
+        out_dir = str(tmp_path / "out_v")
+        rc = main(
+            [
+                str(tmp_path / "a.nef"),
+                str(tmp_path / "b.arw"),
+                "-o",
+                out_dir,
+                "--grain",
+                "0",
+            ]
+        )
+        assert rc == 0
+        assert os.path.exists(os.path.join(out_dir, "a.jpg"))
+        assert os.path.exists(os.path.join(out_dir, "b.jpg"))
+
     def test_folder_input_with_sidecar(self, tmp_path):
         from raw2film_tpu.cli import main
 
