@@ -8,18 +8,47 @@ device without scatters: bincount as ones @ one-hot, an MXU matmul.
 
 from __future__ import annotations
 
+from functools import partial
+
 import numpy as np
 import jax
 import jax.numpy as jnp
 
+# A 256-bin log-normalized UI strip needs ~thousands of samples per bin at
+# most; beyond this, extra pixels change nothing visible. Bounding the
+# sample count keeps the one-hot reduction's working set fixed regardless of
+# export size (a full 45MP one-hot would be ~138GB notional).
+MAX_SAMPLES = 1 << 19
+_BLOCK = 1 << 14
 
-@jax.jit
-def histogram_counts(img_u8: jnp.ndarray) -> jnp.ndarray:
-    """img_u8 (3, H, W) uint8 -> (3, 256) float32 counts (scatter-free)."""
-    flat = img_u8.reshape(3, -1).astype(jnp.int32)
+
+@partial(jax.jit, static_argnames=("stride",))
+def _counts_jit(img_u8: jnp.ndarray, stride: int) -> jnp.ndarray:
+    flat = img_u8[:, ::stride, ::stride].reshape(3, -1).astype(jnp.int32)
+    p = flat.shape[1]
+    pb = -(-p // _BLOCK) * _BLOCK
+    # Pad with -1: matches no bin, so padding never pollutes counts.
+    flat = jnp.pad(flat, ((0, 0), (0, pb - p)), constant_values=-1)
+    blocks = flat.reshape(3, -1, _BLOCK).transpose(1, 0, 2)  # (nb, 3, B)
     iota = jnp.arange(256, dtype=jnp.int32)
-    oh = (flat[..., None] == iota).astype(jnp.float32)  # (3, P, 256)
-    return oh.sum(axis=1)
+
+    def body(xb):  # (3, B) -> (3, 256); peak temp 3*B*256 f32 = 48MB
+        return (xb[..., None] == iota).astype(jnp.float32).sum(axis=1)
+
+    per_block = jax.lax.map(body, blocks)
+    return per_block.sum(axis=0) * float(stride * stride)
+
+
+def histogram_counts(img_u8: jnp.ndarray) -> jnp.ndarray:
+    """img_u8 (3, H, W) uint8 -> (3, 256) float32 counts (scatter-free).
+
+    Images beyond MAX_SAMPLES pixels are stride-subsampled and the counts
+    rescaled; exact below that. Working memory is bounded (~48MB) at every
+    image size.
+    """
+    h, w = img_u8.shape[-2:]
+    stride = int(np.ceil(np.sqrt(max(h * w / MAX_SAMPLES, 1.0))))
+    return _counts_jit(img_u8, stride)
 
 
 def precompute_mix_table(

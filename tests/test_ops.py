@@ -313,6 +313,28 @@ class TestHistogram:
         assert strip.shape == (80, 256, 4)
         assert strip.dtype == np.uint8
 
+    def test_counts_exact_at_preview_size(self):
+        """1920x1280 (2.4MP) stays under the sample cap's stride-2 regime
+        and the working set stays bounded (blocked reduction, no (3,P,256)
+        one-hot)."""
+        img = (RNG.random((3, 1280, 1920)) * 255).astype(np.uint8)
+        got = np.asarray(hist_ops.histogram_counts(jnp.asarray(img)))
+        stride = int(np.ceil(np.sqrt(1280 * 1920 / hist_ops.MAX_SAMPLES)))
+        sub = img[:, ::stride, ::stride]
+        for c in range(3):
+            want = np.bincount(sub[c].ravel(), minlength=256) * stride**2
+            np.testing.assert_array_equal(got[c].astype(np.int64), want)
+        assert got.sum() == sub[0].size * stride**2 * 3
+
+    def test_large_image_counts_scaled(self):
+        """Above MAX_SAMPLES the counts approximate full-image counts via
+        stride subsampling + rescale (sum preserved to the pixel count)."""
+        h, w = 2000, 3000  # 6MP -> stride > 1
+        img = np.full((3, h, w), 100, np.uint8)
+        got = np.asarray(hist_ops.histogram_counts(jnp.asarray(img)))
+        assert got[0, 100] > 0 and got[0].argmax() == 100
+        np.testing.assert_allclose(got.sum(axis=1), h * w, rtol=0.01)
+
 
 class TestResize:
     def test_integer_downsample_is_box(self):

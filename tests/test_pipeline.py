@@ -83,6 +83,57 @@ class TestDeviceVsOracle:
         # fp32 vs fp64 rounding can flip an 8-bit code at code boundaries.
         assert _delta_e_proxy(got, want_u8) <= 1, (neg_name, prt_name)
 
+    def test_ciede2000_self_check(self):
+        """Metric implementation vs Sharma et al. (2005) published pairs."""
+        from oracle.color_metrics import ciede2000
+
+        # (The near-180-degree hue-average pairs of the paper's table are
+        # omitted: their published values hinge on the reference
+        # spreadsheet's precision at the documented discontinuity.)
+        pairs = [
+            ((50.0, 2.6772, -79.7751), (50.0, 0.0, -82.7485), 2.0425),
+            ((50.0, 3.1571, -77.2803), (50.0, 0.0, -82.7485), 2.8615),
+            ((50.0, 2.5, 0.0), (73.0, 25.0, -18.0), 27.1492),
+            ((50.0, 2.5, 0.0), (50.0, 0.0, -2.5), 4.3065),
+        ]
+        for l1, l2, want in pairs:
+            got = float(ciede2000(np.asarray(l1), np.asarray(l2)))
+            assert abs(got - want) < 5e-4, (l1, l2, got, want)
+
+    @pytest.mark.parametrize(
+        "neg_name,prt_name,inversion",
+        [
+            ("Kodak Portra 400", "Fuji Crystal Archive Maxima", False),
+            ("Kodak Portra 400", None, True),
+            ("Kodak Ektachrome E100", None, False),
+            ("Kodak Tri-X 400", None, True),
+            ("Kodak Vision3 500T", "Kodak 2383", False),
+        ],
+    )
+    def test_measured_delta_e_2000(self, neg_name, prt_name, inversion):
+        """The BASELINE.json fidelity gate as an actual number: CIEDE2000
+        between device fp32 chain and float64 oracle < 0.5 everywhere."""
+        from oracle.color_metrics import delta_e_2000_u8
+
+        neg = STOCKS[neg_name]
+        prt = STOCKS[prt_name] if prt_name else None
+        xyz = _scene()
+        neg_p = fchain.build_negative_params(neg)
+        prt_p = fchain.build_print_params(
+            neg, prt, inversion=inversion, neg_params=neg_p
+        )
+        out_p = fchain.build_output_params(neg, prt, prt_p, neg_p)
+        want = fchain.render_oracle(xyz.astype(np.float64), neg_p, prt_p, out_p)
+        want_u8 = np.round(np.clip(want, 0, 1) * 255).astype(np.uint8)
+        merged = _merged(halation=False, sharpness=False, grain=0, highlight_burn=0.0)
+        bundle = make_film_bundle(neg_p, prt_p, out_p)
+        cfg = build_render_config(neg, prt, prt_p.mode, scale=64 / 36, merged=merged)
+        got = np.asarray(
+            render_jit(jnp.asarray(xyz), bundle, cfg, jax.random.PRNGKey(0))
+        )
+        de = delta_e_2000_u8(got, want_u8)
+        assert de.max() < 0.5, (neg_name, prt_name, de.max())
+
     def test_effects_change_output_but_stay_bounded(self):
         xyz = _scene(96, 144)
         neg_p = fchain.build_negative_params(PORTRA)

@@ -46,8 +46,8 @@ PUBLIC_MODULES = [
     "raw2film_tpu.ops.histogram",
     "raw2film_tpu.ops.lut",
     "raw2film_tpu.ops.mtf",
-    "raw2film_tpu.ops.pallas_conv",
     "raw2film_tpu.ops.pallas_conv2",
+    "raw2film_tpu.ops.pallas_pyramid",
     "raw2film_tpu.ops.resize",
     "raw2film_tpu.parallel.mesh",
     "raw2film_tpu.pipeline.batch",
