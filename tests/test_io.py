@@ -134,3 +134,94 @@ class TestICC:
         from raw2film_tpu.io import icc
 
         assert isinstance(icc.have_icc(), bool)
+
+
+class TestExifWriteBack:
+    def test_whitelist_round_trip(self, tmp_path):
+        """>=30 whitelisted keys must survive a JPEG export and re-read
+        (reference re-attaches METADATA_KEYS via exiftool,
+        src/raw2film/utils.py:82-90, data.py:8-85)."""
+        from PIL import Image
+
+        from raw2film_tpu.io.export import _EXIF_TAG_IDS, save_image
+
+        meta = {
+            "EXIF:Make": "NIKON CORPORATION",
+            "EXIF:Model": "NIKON Z 6",
+            "EXIF:Software": "cam 1.0",
+            "EXIF:ModifyDate": "2026:08:16 10:00:00",
+            "EXIF:Copyright": "someone",
+            "EXIF:XResolution": 300.0,
+            "EXIF:YResolution": 300.0,
+            "EXIF:ResolutionUnit": 2,
+            "EXIF:YCbCrPositioning": 1,
+            "EXIF:ProcessingSoftware": "raw2film-tpu",
+            "EXIF:ExposureTime": 0.004,
+            "EXIF:FNumber": 2.8,
+            "EXIF:ExposureProgram": 3,
+            "EXIF:ISO": 400,
+            "EXIF:SensitivityType": 2,
+            "EXIF:DateTimeOriginal": "2026:08:15 19:30:00",
+            "EXIF:CreateDate": "2026:08:15 19:30:00",
+            "EXIF:OffsetTime": "+02:00",
+            "EXIF:OffsetTimeOriginal": "+02:00",
+            "EXIF:ShutterSpeedValue": 7.966,
+            "EXIF:ApertureValue": 2.97,
+            "EXIF:BrightnessValue": 5.5,
+            "EXIF:MaxApertureValue": 1.0,
+            "EXIF:MeteringMode": 5,
+            "EXIF:LightSource": 0,
+            "EXIF:Flash": 16,
+            "EXIF:FocalLength": 50.0,
+            "EXIF:SubSecTimeOriginal": "123",
+            "EXIF:ColorSpace": 1,
+            "EXIF:ExifImageWidth": 64,
+            "EXIF:FocalPlaneXResolution": 2353.0,
+            "EXIF:FocalPlaneYResolution": 2353.0,
+            "EXIF:FocalPlaneResolutionUnit": 3,
+            "EXIF:SensingMethod": 2,
+            "EXIF:ExposureMode": 0,
+            "EXIF:WhiteBalance": 0,
+            "EXIF:DigitalZoomRatio": 1.0,
+            "EXIF:FocalLengthIn35mmFormat": 50,
+            "EXIF:SceneCaptureType": 0,
+            "EXIF:Contrast": 0,
+            "EXIF:Saturation": 0,
+            "EXIF:SubjectDistanceRange": 2,
+            "EXIF:LensMake": "NIKON",
+            "EXIF:LensModel": "NIKKOR Z 50mm f/1.8 S",
+            "EXIF:GPSVersionID": (2, 3, 0, 0),
+            "EXIF:GPSLatitudeRef": "N",
+            "EXIF:GPSLatitude": (52.0, 13.0, 24.5),
+            "EXIF:GPSLongitudeRef": "E",
+            "EXIF:GPSLongitude": (10.0, 31.0, 1.25),
+            "EXIF:GPSAltitudeRef": 0,
+            "EXIF:GPSAltitude": 118.2,
+            "EXIF:GPSDateStamp": "2026:08:15",
+        }
+        img = (RNG.random((32, 64, 3)) * 255).astype(np.uint8)
+        dst = str(tmp_path / "x.jpg")
+        save_image(img, dst, metadata=meta, exp_comp=0.5, use_exiftool=False)
+
+        back = Image.open(dst)
+        exif = back.getexif()
+        exif_ifd = exif.get_ifd(0x8769)
+        gps_ifd = exif.get_ifd(0x8825)
+        survived = 0
+        for key, value in meta.items():
+            name = key.split(":")[-1]
+            ifd_id, tag = _EXIF_TAG_IDS[name]
+            container = {0: exif, 0x8769: exif_ifd, 0x8825: gps_ifd}[ifd_id]
+            if tag not in container:
+                continue
+            got = container[tag]
+            if isinstance(got, bytes) and len(got) == 1:
+                got = got[0]  # BYTE-typed tags (e.g. GPSAltitudeRef)
+            if isinstance(value, (int, float)) and name != "Software":
+                assert abs(float(got) - float(value)) < 1e-3, (name, got, value)
+            survived += 1
+        assert survived >= 40, survived
+        # ExposureCompensation from the render params wins.
+        assert abs(float(exif_ifd[37380]) - 0.5) < 1e-6
+        # Software is stamped by the exporter.
+        assert exif[305] == "raw2film-tpu"
