@@ -145,14 +145,8 @@ def main(argv: list[str] | None = None) -> int:
             seed=args.seed,
             **merged,
         )
-        if not isinstance(src, str) or os.path.exists(str(src)):
-            try:
-                from raw2film_tpu.io.raw import raw_to_linear
-
-                _, meta = raw_to_linear(str(src), half_size=not args.full_res)
-                meta_by_src[str(src)] = meta
-            except Exception:
-                pass
+        # Metadata comes back through the Processor (single decode).
+        meta_by_src[str(src)] = getattr(proc, "last_metadata", {}) or {}
         return out
 
     def export(image, src):

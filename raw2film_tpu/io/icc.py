@@ -56,9 +56,16 @@ def build_softproof_transform(
 
 def apply_transform_to_lut(lut: np.ndarray, transform) -> np.ndarray:
     """Bake an ICC transform into a (N, N, N, 3) float LUT (the reference's
-    cheap-LUT-not-image strategy, cpu_processor.py:255-263)."""
+    cheap-LUT-not-image strategy, cpu_processor.py:255-263).
+
+    ``transform`` may also be a plain callable mapping a float [0,1] RGB
+    array to another — the float-precision hook used for custom transforms
+    and tests.
+    """
     if transform is None:
         return lut
+    if callable(transform) and not hasattr(transform, "transform"):
+        return np.asarray(transform(lut), np.float32)
     from PIL import Image, ImageCms
 
     shape = lut.shape
@@ -66,6 +73,25 @@ def apply_transform_to_lut(lut: np.ndarray, transform) -> np.ndarray:
     img = Image.fromarray(u8)
     ImageCms.applyTransform(img, transform, inPlace=True)
     return (np.asarray(img, np.uint8).reshape(shape) / 255.0).astype(np.float32)
+
+
+def bake_output_cp(transform, n: int = 33, rank: int = 24):
+    """Tabulate an ICC/display transform over the encoded-RGB cube and
+    CP-factor it for the gather-free device apply.
+
+    Returns (u, v, w_bc, max_abs_err) for ops.lut.apply_lut_3d_cp — the
+    image itself never pays for color management (reference property,
+    cpu_processor.py:255-263), and the transform runs BEFORE the final
+    8-bit quantization (no double quantization).
+    """
+    from raw2film_tpu.ops.lut import fit_lut3d_cp
+
+    g = np.linspace(0.0, 1.0, n, dtype=np.float32)
+    grid = np.stack(
+        np.meshgrid(g, g, g, indexing="ij"), axis=-1
+    )  # (n, n, n, 3) identity LUT in encoded RGB
+    baked = apply_transform_to_lut(grid, transform)
+    return fit_lut3d_cp(baked, rank=rank)
 
 
 def apply_transform_to_image(image_hwc_u8: np.ndarray, transform) -> np.ndarray:

@@ -54,6 +54,8 @@ class Processor:
         self._bundle_key = None
         self._bundle = None
         self._d_ref_green = 1.0
+        self._icc_cache: dict = {}
+        self.last_metadata: dict = {}
 
     # ------------------------------------------------------------ image
 
@@ -314,6 +316,8 @@ class Processor:
             cam=cam,
             lens=lens,
         )
+        # Exporters read EXIF from here instead of re-decoding the RAW.
+        self.last_metadata = dict(_meta or {})
 
         merged = dict(
             exp_kelvin=exp_kelvin,
@@ -351,13 +355,34 @@ class Processor:
 
         scale = max(xyz.shape[-2:]) / max(frame_width, frame_height)
         cfg = build_render_config(negative_film, print_film, prt_mode, scale, merged)
+        bundle, cfg = self._attach_icc(bundle, cfg, icc_transform)
 
         key = jax.random.PRNGKey(seed)
         out = render_jit(xyz, bundle, cfg, key)  # (3, H, W) uint8
 
-        image = self._finish(np.asarray(out), icc_transform, canvas_mode,
+        image = self._finish(np.asarray(out), None, canvas_mode,
                              canvas_scale, canvas_ratio, orig_resolution)
         return image
+
+    def _attach_icc(self, bundle: dict, cfg, icc_transform):
+        """Bake an ICC transform into a CP-factored output LUT carried in
+        the bundle (cached per transform object); cfg.icc flags the jitted
+        chain to apply it pre-quantization."""
+        if icc_transform is None:
+            return bundle, cfg
+        import dataclasses
+
+        from raw2film_tpu.io.icc import bake_output_cp
+
+        key = id(icc_transform)
+        cached = self._icc_cache.get(key)
+        if cached is None or cached[0] is not icc_transform:
+            u, v, w_bc, err = bake_output_cp(icc_transform)
+            cached = (icc_transform, (jnp.asarray(u), jnp.asarray(v), jnp.asarray(w_bc)), err)
+            self._icc_cache[key] = cached
+        bundle = dict(bundle)
+        bundle["icc_u"], bundle["icc_v"], bundle["icc_w"] = cached[1]
+        return bundle, dataclasses.replace(cfg, icc=True)
 
     def _finish(
         self,
@@ -419,8 +444,9 @@ class Processor:
             "max_scale", "lens_correction", "cam", "lens",
         )
         load_kw = {k: params[k] for k in load_keys if k in params}
+        icc_transform = params.get("icc_transform")
         finish_kw = dict(
-            icc_transform=params.get("icc_transform"),
+            icc_transform=None,  # baked into the device chain below
             canvas_mode=params.get("canvas_mode", "No"),
             canvas_scale=params.get("canvas_scale", 1.0),
             canvas_ratio=params.get("canvas_ratio", 1.0),
@@ -457,6 +483,7 @@ class Processor:
         for shape, items in buckets.items():
             scale = max(shape[-2:]) / max(fw, fh)
             cfg = build_render_config(negative_film, print_film, prt_mode, scale, merged)
+            bundle, cfg = self._attach_icc(bundle, cfg, icc_transform)
             # Sub-batch so a bucket of 100x45MP frames never tries to stack
             # into one HBM array (~2GB of f32 inputs per group).
             img_bytes = int(np.prod(shape)) * 4

@@ -73,6 +73,7 @@ class RenderConfig:
     sat_neutral: bool = True  # sat_adjust == 1.0 fast path
     gamma_func: str = "sRGB"
     mtf_key: tuple | None = None
+    icc: bool = False  # bundle carries a CP-factored ICC output LUT
 
 
 def make_film_bundle(
@@ -250,6 +251,18 @@ def render_chain(
         rgb = luma[None] + bundle["sat"] * (rgb - luma[None])
     rgb = jnp.clip(rgb, 0.0, 1.0)
     rgb = encode(rgb, cfg.gamma_func, jnp)
+    if cfg.icc:
+        # ICC display/softproof baked into a CP-factored LUT, applied in
+        # float BEFORE quantization (reference: cpu_processor.py:255-263).
+        from raw2film_tpu.ops.lut import apply_lut_3d_cp
+
+        rgb = jnp.clip(
+            apply_lut_3d_cp(
+                rgb, bundle["icc_u"], bundle["icc_v"], bundle["icc_w"], scale=1.0
+            ),
+            0.0,
+            1.0,
+        )
     return jnp.round(rgb * 255.0).astype(jnp.uint8)
 
 

@@ -161,6 +161,37 @@ class TestDeviceVsOracle:
         assert diff.mean() > 0.1  # effects visibly act
         assert diff.mean() < 40  # but don't destroy the image
 
+    def test_icc_baked_pre_quantization(self):
+        """ICC applies as a CP-factored LUT in float BEFORE the 8-bit
+        rounding (reference property cpu_processor.py:255-263) — no double
+        quantization on a fine gradient."""
+        proc = Processor()
+        # Smooth horizontal gradient scene.
+        w = 512
+        ramp = np.linspace(0.02, 0.9, w, dtype=np.float32)
+        xyz = np.broadcast_to(ramp, (3, 16, w)).copy()
+        kw = dict(print_film=None, grain=0, halation=False, sharpness=False,
+                  half_size=False, max_scale=None)
+
+        t = lambda x: np.clip(x, 0, 1) ** 1.35  # float-level transform
+        off = proc.process(xyz, "Kodak Portra 400", **kw)
+        on = proc.process(xyz, "Kodak Portra 400", icc_transform=t, **kw)
+        ident = proc.process(
+            xyz, "Kodak Portra 400", icc_transform=lambda x: x, **kw
+        )
+
+        # Identity transform through the bake changes nothing beyond CP fit
+        # noise (<1 code value).
+        assert np.abs(ident.astype(int) - off.astype(int)).max() <= 1
+        # Float-reference: transform the unquantized encoded output.
+        want = np.round(t(off.astype(np.float64) / 255.0) * 255.0)
+        got = on.astype(np.float64)
+        assert np.abs(got - want).max() <= 1.0
+        # The old uint8 post-apply loses codes on a gradient; the baked path
+        # must preserve at least as many distinct output levels.
+        double_q = np.round(t(np.round(off[..., 0] / 255.0 * 255) / 255.0) * 255)
+        assert len(np.unique(on[..., 0])) >= len(np.unique(double_q.astype(np.uint8)))
+
     def test_grain_deterministic_per_seed(self):
         xyz = _scene()
         neg_p = fchain.build_negative_params(PORTRA)
