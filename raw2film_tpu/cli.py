@@ -27,6 +27,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--quality", type=int, default=95, help="JPEG quality")
     p.add_argument("--ext", default=".jpg", choices=[".jpg", ".png", ".tiff"])
     p.add_argument("--list-stocks", action="store_true", help="list film stocks and exit")
+    p.add_argument(
+        "--import-lensfun",
+        metavar="DIR",
+        help="convert an installed lensfun XML database (e.g. /usr/share/lensfun)"
+        " into ~/.raw2film_tpu/lenses.json and exit",
+    )
     p.add_argument("--organize-by-date", action="store_true")
     p.add_argument(
         "--archive-raw",
@@ -81,6 +87,14 @@ def main(argv: list[str] | None = None) -> int:
     from raw2film_tpu.pipeline.processor import Processor
     from raw2film_tpu.pipeline.settings import load_folder_settings
     from raw2film_tpu.io.export import save_image
+
+    if args.import_lensfun:
+        from raw2film_tpu.io.lensfun_convert import convert_lensfun_db
+
+        dst = os.path.expanduser("~/.raw2film_tpu/lenses.json")
+        profiles = convert_lensfun_db(args.import_lensfun, dst)
+        print(f"imported {len(profiles)} lens profiles -> {dst}")
+        return 0 if profiles else 1
 
     stocks = load_film_stocks()
     if args.list_stocks:

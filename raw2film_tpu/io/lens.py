@@ -108,6 +108,30 @@ def find_profile(metadata: dict, profiles: list[LensProfile] | None = None):
     return None
 
 
+_warned_missing: set = set()
+
+
+def _warn_missing_profile(metadata: dict) -> None:
+    """Once per (make, lens): lens_correction=True with no matching profile
+    is a silent no-op otherwise. Import a database with
+    ``raw2film-tpu --import-lensfun /usr/share/lensfun``."""
+    key = (
+        str(metadata.get("EXIF:Make", "")),
+        str(metadata.get("EXIF:LensModel", "")),
+    )
+    if key in _warned_missing or not any(key):
+        return
+    _warned_missing.add(key)
+    import warnings
+
+    warnings.warn(
+        f"no lens profile for {key[0]!r} / {key[1]!r}; lens correction "
+        "skipped (run raw2film-tpu --import-lensfun <lensfun-db-dir> to "
+        "build a profile database)",
+        stacklevel=3,
+    )
+
+
 def vignetting_gain(
     shape_hw: tuple[int, int], ks: tuple[float, float, float]
 ) -> jnp.ndarray:
@@ -165,6 +189,7 @@ def lens_correction(
     if profile is None:
         profile = find_profile(metadata)
     if profile is None:
+        _warn_missing_profile(metadata)
         return img
     try:
         focal = float(metadata["EXIF:FocalLength"])

@@ -81,3 +81,109 @@ class TestApplication:
         )
         assert out.shape == img.shape
         assert np.all(np.isfinite(out))
+
+
+LENSFUN_XML = """<lensdatabase>
+ <lens>
+  <maker>Nikon</maker>
+  <model>Nikon AF-S Nikkor 50mm f/1.8G</model>
+  <model lang="de">Nikon AF-S Nikkor 50mm f/1.8G</model>
+  <mount>Nikon F AF</mount>
+  <cropfactor>1.0</cropfactor>
+  <calibration>
+   <distortion model="ptlens" focal="50" a="0.00441" b="-0.01841" c="0"/>
+   <vignetting model="pa" focal="50" aperture="1.8" distance="10" k1="-1.2" k2="0.6" k3="-0.2"/>
+   <vignetting model="pa" focal="50" aperture="4" distance="10" k1="-0.4" k2="0.1" k3="0"/>
+  </calibration>
+ </lens>
+ <lens>
+  <maker>Canon</maker>
+  <model>Canon EF 24-70mm f/2.8L USM</model>
+  <mount>Canon EF</mount>
+  <cropfactor>1.0</cropfactor>
+  <calibration>
+   <distortion model="poly3" focal="24" k1="-0.02"/>
+   <distortion model="poly3" focal="70" k1="0.008"/>
+  </calibration>
+ </lens>
+ <lens>
+  <maker>NoCal</maker>
+  <model>No Calibration 10mm</model>
+ </lens>
+ <camera><maker>Nikon</maker><model>D750</model></camera>
+</lensdatabase>
+"""
+
+
+class TestLensfunConvert:
+    def _db(self, tmp_path):
+        import json
+
+        from raw2film_tpu.io.lensfun_convert import convert_lensfun_db
+
+        xml = tmp_path / "db" / "slr-nikon.xml"
+        xml.parent.mkdir()
+        xml.write_text(LENSFUN_XML)
+        out = str(tmp_path / "lenses.json")
+        profiles = convert_lensfun_db(str(tmp_path / "db"), out)
+        return profiles, out
+
+    def test_convert_extracts_calibrations(self, tmp_path):
+        profiles, _ = self._db(tmp_path)
+        assert len(profiles) == 2  # the uncalibrated lens is skipped
+        nikon = next(p for p in profiles if p["make"] == "Nikon")
+        assert nikon["dist_model"] == "ptlens"
+        assert nikon["dist_params"][0][:2] == [50.0, 0.00441] or nikon[
+            "dist_params"
+        ][0][:2] == (50.0, 0.00441)
+        assert len(nikon["vig_params"]) == 2
+        canon = next(p for p in profiles if p["make"] == "Canon")
+        assert canon["dist_model"] == "poly3"
+        assert len(canon["dist_params"]) == 2
+
+    def test_real_exif_gets_nonzero_correction(self, tmp_path):
+        """lens_correction=True stops being a silent no-op once a database
+        is imported: a real-EXIF-shaped dict matches and the image changes
+        (VERDICT item 4's done-criterion)."""
+        from raw2film_tpu.io.lens import (
+            find_profile,
+            lens_correction,
+            load_profiles,
+        )
+
+        _, out = self._db(tmp_path)
+        profiles = load_profiles(out)
+        meta = {
+            "EXIF:Make": "NIKON CORPORATION",
+            "EXIF:Model": "NIKON D750",
+            "EXIF:LensModel": "AF-S Nikkor 50mm f/1.8G",
+            "EXIF:FocalLength": 50.0,
+            "EXIF:FNumber": 1.8,
+        }
+        prof = find_profile(meta, profiles)
+        assert prof is not None and prof.make == "Nikon"
+        img = np.full((3, 64, 96), 0.5, np.float32)
+        out_img = lens_correction(img, meta, prof)
+        # Vignetting correction brightens the corners.
+        assert out_img[0, 0, 0] > img[0, 0, 0] * 1.2
+        assert np.abs(out_img - img).max() > 0.05
+
+    def test_warns_once_on_missing_profile(self):
+        import warnings
+
+        from raw2film_tpu.io import lens as lens_mod
+
+        meta = {
+            "EXIF:Make": "SomeCam",
+            "EXIF:LensModel": "Unknown 12-345mm",
+            "EXIF:FocalLength": 35.0,
+            "EXIF:FNumber": 4.0,
+        }
+        img = np.zeros((3, 8, 8), np.float32)
+        lens_mod._warned_missing.clear()
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            lens_mod.lens_correction(img, meta, None)
+            lens_mod.lens_correction(img, meta, None)
+        msgs = [str(w.message) for w in rec if "lens profile" in str(w.message)]
+        assert len(msgs) == 1
