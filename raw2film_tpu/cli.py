@@ -22,11 +22,17 @@ def build_parser() -> argparse.ArgumentParser:
         prog="raw2film-tpu",
         description="TPU-native analog film emulation: RAW -> film look -> JPEG/TIFF",
     )
-    p.add_argument("inputs", nargs="+", help="RAW files or folders")
+    p.add_argument("inputs", nargs="*", help="RAW files or folders")
     p.add_argument("-o", "--output", default="export", help="output directory")
     p.add_argument("--quality", type=int, default=95, help="JPEG quality")
     p.add_argument("--ext", default=".jpg", choices=[".jpg", ".png", ".tiff"])
     p.add_argument("--list-stocks", action="store_true", help="list film stocks and exit")
+    p.add_argument(
+        "--serve",
+        action="store_true",
+        help="start the local web viewer on the first input folder",
+    )
+    p.add_argument("--port", type=int, default=8171, help="viewer port")
     p.add_argument(
         "--import-lensfun",
         metavar="DIR",
@@ -95,6 +101,13 @@ def main(argv: list[str] | None = None) -> int:
         profiles = convert_lensfun_db(args.import_lensfun, dst)
         print(f"imported {len(profiles)} lens profiles -> {dst}")
         return 0 if profiles else 1
+
+    if args.serve:
+        from raw2film_tpu.viewer import serve
+
+        inputs = args.inputs or ["."]
+        folder = next((i for i in inputs if os.path.isdir(i)), inputs[0])
+        return serve(folder, port=args.port)
 
     stocks = load_film_stocks()
     if args.list_stocks:

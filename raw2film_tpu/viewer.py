@@ -1,0 +1,332 @@
+"""Thin local web viewer: the interactive surface over PreviewEngine.
+
+The reference is a PyQt6 desktop editor (reference: src/raw2film/gui.py:
+194-3065 preview scheduler at 2104-2234, image_bar.py thumbnail strip).
+This module provides the same interaction loop without a GUI toolkit: a
+single-file HTTP server on localhost —
+
+* image strip (thumbnails via io/thumbnail.py, lazy, cached),
+* parameter sliders posting to :class:`PreviewEngine.request`
+  (latest-wins coalescing, simplified preview on drag like gui.py:2206-2209),
+* JPEG preview frames + the rendered histogram strip back via long-poll,
+* per-image settings persisted through pipeline/settings.py sidecars.
+
+Start with ``raw2film-tpu --serve <folder>`` and open the printed URL.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import io as _io
+import json
+import os
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+PREVIEW_MAX_SCALE = 30.0  # px/mm -> ~1100px long edge for a 36mm frame
+
+
+def _jpeg_bytes(arr_hwc_u8: np.ndarray, quality: int = 88) -> bytes:
+    from PIL import Image
+
+    buf = _io.BytesIO()
+    Image.fromarray(np.ascontiguousarray(arr_hwc_u8)).save(
+        buf, "JPEG", quality=quality
+    )
+    return buf.getvalue()
+
+
+def _png_bytes(arr_rgba_u8: np.ndarray) -> bytes:
+    from PIL import Image
+
+    buf = _io.BytesIO()
+    Image.fromarray(np.ascontiguousarray(arr_rgba_u8), "RGBA").save(buf, "PNG")
+    return buf.getvalue()
+
+
+class ViewerState:
+    """Render state shared between HTTP threads and the PreviewEngine."""
+
+    def __init__(self, folder: str, processor=None):
+        from raw2film_tpu.pipeline.batch import scan_raw_files
+        from raw2film_tpu.pipeline.preview import PreviewEngine
+        from raw2film_tpu.pipeline.processor import Processor
+        from raw2film_tpu.pipeline.settings import load_folder_settings
+
+        self.folder = os.path.abspath(folder)
+        self.files = scan_raw_files(self.folder)
+        self.proc = processor or Processor()
+        self._profiles, images = load_folder_settings(self.folder)
+        self.image_params: dict[str, dict] = {
+            name: dataclasses.asdict(p) for name, p in images.items()
+        }
+        self._cond = threading.Condition()
+        self.seq = 0
+        self.frame_jpg: bytes | None = None
+        self.hist_png: bytes | None = None
+        self.last_error: str | None = None
+        self._thumb_cache: dict[str, bytes] = {}
+        self.engine = PreviewEngine(
+            self.proc, self._on_frame, on_error=self._on_error
+        )
+
+    # -------------------------------------------------- engine callbacks
+
+    def _on_frame(self, image_hwc, hist_rgba):
+        jpg = _jpeg_bytes(image_hwc)
+        png = _png_bytes(hist_rgba)
+        with self._cond:
+            self.seq += 1
+            self.frame_jpg, self.hist_png = jpg, png
+            self.last_error = None
+            self._cond.notify_all()
+
+    def _on_error(self, exc: Exception):
+        with self._cond:
+            self.seq += 1
+            self.last_error = f"{type(exc).__name__}: {exc}"
+            self._cond.notify_all()
+
+    # -------------------------------------------------------------- api
+
+    def request(self, index: int, params: dict, full: bool) -> None:
+        src = self.files[index]
+        name = os.path.basename(src)
+        merged = {**self.image_params.get(name, {}), **params}
+        self.image_params[name] = merged
+        self._persist()
+        clean = {
+            k: v
+            for k, v in merged.items()
+            if k not in ("negative_film", "print_film", "profile", "film_format")
+        }
+        self.engine.request(
+            src,
+            full_preview=full,
+            negative_film=merged.get("negative_film", "Kodak Portra 400"),
+            print_film=merged.get("print_film") or None,
+            max_scale=PREVIEW_MAX_SCALE,
+            **clean,
+        )
+
+    def wait(self, since: int, timeout: float = 25.0) -> int:
+        with self._cond:
+            self._cond.wait_for(lambda: self.seq > since, timeout=timeout)
+            return self.seq
+
+    def thumb(self, index: int) -> bytes:
+        src = self.files[index]
+        if src not in self._thumb_cache:
+            from raw2film_tpu.io.thumbnail import extract_thumb
+
+            self._thumb_cache[src] = _jpeg_bytes(extract_thumb(src), quality=80)
+        return self._thumb_cache[src]
+
+    def _persist(self) -> None:
+        from raw2film_tpu.pipeline.settings import save_settings, sidecar_path
+
+        try:
+            save_settings(
+                sidecar_path(self.folder),
+                profiles=self._profiles,
+                images=self.image_params,
+            )
+        except OSError:
+            pass
+
+    def close(self):
+        self.engine.close()
+
+
+_PAGE = """<!doctype html><html><head><meta charset="utf-8">
+<title>raw2film-tpu</title><style>
+body{margin:0;background:#16181c;color:#ddd;font:13px system-ui;display:flex;height:100vh}
+#side{width:300px;padding:12px;overflow-y:auto;background:#1d2026}
+#main{flex:1;display:flex;flex-direction:column;align-items:center;overflow:auto}
+#preview{max-width:96%;max-height:72vh;margin-top:12px;border-radius:4px}
+#hist{width:256px;height:80px;margin:8px;image-rendering:pixelated}
+#strip{display:flex;gap:6px;padding:8px;overflow-x:auto;width:96%}
+#strip img{height:64px;border-radius:3px;cursor:pointer;opacity:.7}
+#strip img.sel{outline:2px solid #7ab4ff;opacity:1}
+label{display:block;margin:10px 0 2px}
+input[type=range]{width:100%}
+select{width:100%;background:#2a2e36;color:#ddd;border:0;padding:4px}
+#err{color:#ff8080;white-space:pre-wrap}
+.v{float:right;color:#9ab}
+</style></head><body>
+<div id="side">
+ <h3>raw2film-tpu</h3>
+ <label>negative <select id="negative_film"></select></label>
+ <label>print <select id="print_film"></select></label>
+ <div id="sliders"></div>
+ <label><input type="checkbox" id="full"> full preview (grain/halation/MTF)</label>
+ <div id="err"></div>
+</div>
+<div id="main">
+ <img id="preview"><img id="hist">
+ <div id="strip"></div>
+</div>
+<script>
+const SLIDERS = [
+ ["exp_comp",-3,3,.1,0],["exp_kelvin",2800,10000,50,6000],["tint",-50,50,1,0],
+ ["push_pull",-2,2,.5,0],["halation_intensity",0,3,.05,1],
+ ["highlight_burn",0,1,.05,0],["sat_adjust",0,2,.05,1],
+ ["grain_size",1,20,.5,6],["rotation",-45,45,.5,0],["zoom",1,3,.01,1],
+ ["chroma_nr",0,10,1,0]];
+let cur=0, seq=0, t=null, files=[];
+const $=id=>document.getElementById(id);
+function post(){
+ const p={};
+ for(const [n] of SLIDERS) p[n]=parseFloat($(n).value), $("v_"+n).textContent=$(n).value;
+ p.negative_film=$("negative_film").value;
+ p.print_film=$("print_film").value==="None"?null:$("print_film").value;
+ fetch("/api/params",{method:"POST",body:JSON.stringify({i:cur,params:p,full:$("full").checked})});
+}
+function debounce(){clearTimeout(t);t=setTimeout(post,60)}
+async function loop(){
+ for(;;){
+  try{
+   const r=await (await fetch("/api/wait?since="+seq)).json();
+   if(r.seq>seq){seq=r.seq;
+    if(r.error){$("err").textContent=r.error}
+    else{$("err").textContent="";
+     $("preview").src="/api/frame.jpg?seq="+seq;
+     $("hist").src="/api/hist.png?seq="+seq;}
+   }
+  }catch(e){await new Promise(r=>setTimeout(r,1000))}
+ }
+}
+async function init(){
+ const info=await (await fetch("/api/images")).json();
+ files=info.files;
+ for(const s of info.stocks){
+  const o=document.createElement("option");o.textContent=s;
+  if(info.negatives.includes(s)) $("negative_film").append(o);
+ }
+ $("print_film").append(new Option("None","None"));
+ for(const s of info.prints) $("print_film").append(new Option(s,s));
+ $("negative_film").value=info.default_negative;
+ $("print_film").value=info.default_print||"None";
+ const sl=$("sliders");
+ for(const [n,lo,hi,st,dv] of SLIDERS){
+  sl.insertAdjacentHTML("beforeend",
+   `<label>${n}<span class="v" id="v_${n}">${dv}</span>
+    <input type="range" id="${n}" min="${lo}" max="${hi}" step="${st}" value="${dv}"></label>`);
+  $(n).oninput=debounce;
+ }
+ $("negative_film").onchange=post;$("print_film").onchange=post;$("full").onchange=post;
+ const strip=$("strip");
+ files.forEach((f,i)=>{
+  const im=document.createElement("img");im.src="/api/thumb/"+i;im.title=f;
+  im.onclick=()=>{cur=i;document.querySelectorAll("#strip img").forEach(e=>e.classList.remove("sel"));im.classList.add("sel");post()};
+  if(i===0)im.classList.add("sel");
+  strip.append(im);
+ });
+ loop(); if(files.length)post();
+}
+init();
+</script></body></html>"""
+
+
+def make_handler(state: ViewerState):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _send(self, code: int, body: bytes, ctype: str):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _json(self, obj, code=200):
+            self._send(code, json.dumps(obj).encode(), "application/json")
+
+        def do_GET(self):
+            u = urlparse(self.path)
+            q = parse_qs(u.query)
+            try:
+                if u.path == "/":
+                    self._send(200, _PAGE.encode(), "text/html; charset=utf-8")
+                elif u.path == "/api/images":
+                    from raw2film_tpu.film.loader import load_film_stocks
+
+                    stocks = load_film_stocks()
+                    self._json(
+                        {
+                            "files": [os.path.basename(f) for f in state.files],
+                            "stocks": sorted(stocks),
+                            "negatives": sorted(
+                                n for n, s in stocks.items() if s.stage == "camera"
+                            ),
+                            "prints": sorted(
+                                n for n, s in stocks.items() if s.stage == "print"
+                            ),
+                            "default_negative": "Kodak Portra 400",
+                            "default_print": "Fuji Crystal Archive Maxima",
+                        }
+                    )
+                elif u.path.startswith("/api/thumb/"):
+                    self._send(200, state.thumb(int(u.path.rsplit("/", 1)[1])), "image/jpeg")
+                elif u.path == "/api/wait":
+                    since = int(q.get("since", ["0"])[0])
+                    seq = state.wait(since)
+                    self._json({"seq": seq, "error": state.last_error})
+                elif u.path == "/api/frame.jpg":
+                    body = state.frame_jpg or b""
+                    self._send(200 if body else 404, body, "image/jpeg")
+                elif u.path == "/api/hist.png":
+                    body = state.hist_png or b""
+                    self._send(200 if body else 404, body, "image/png")
+                else:
+                    self._json({"error": "not found"}, 404)
+            except BrokenPipeError:
+                pass
+            except Exception as e:
+                try:
+                    self._json({"error": str(e)}, 500)
+                except Exception:
+                    pass
+
+        def do_POST(self):
+            u = urlparse(self.path)
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                doc = json.loads(self.rfile.read(n) or b"{}")
+                if u.path == "/api/params":
+                    state.request(
+                        int(doc.get("i", 0)),
+                        dict(doc.get("params") or {}),
+                        bool(doc.get("full", False)),
+                    )
+                    self._json({"ok": True})
+                else:
+                    self._json({"error": "not found"}, 404)
+            except Exception as e:
+                try:
+                    self._json({"error": str(e)}, 500)
+                except Exception:
+                    pass
+
+    return Handler
+
+
+def serve(folder: str, host: str = "127.0.0.1", port: int = 8171, open_browser=False):
+    """Blocking entry point for ``raw2film-tpu --serve``."""
+    state = ViewerState(folder)
+    httpd = ThreadingHTTPServer((host, port), make_handler(state))
+    url = f"http://{host}:{httpd.server_address[1]}/"
+    print(f"raw2film-tpu viewer: {len(state.files)} images from {state.folder}")
+    print(f"serving on {url} (Ctrl-C to stop)")
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        state.close()
+        httpd.server_close()
+    return 0
