@@ -126,25 +126,117 @@ def config_3():
 
 
 def config_4():
-    """Batch export: vmapped full pipeline, 8x 6MP (stand-in for 100x45MP
-    on the single bench chip) + simplified-preview downscale path."""
+    """Batch export at the spec scale: 45MP frames through the exact device
+    call process_batch makes (batch_render_fn), in HBM-sized sub-groups of 4
+    (processor.py's 2GB grouping rule), 16 frames total; plus the
+    simplified-preview downscale path."""
     import jax
     import jax.numpy as jnp
 
-    from raw2film_tpu.pipeline.render import render_chain
     from raw2film_tpu.parallel.mesh import batch_render_fn
+    from raw2film_tpu.pipeline.render import render_chain
 
-    h, w = 2048, 3072
-    b = 8
+    h, w = 5472, 8208
+    group, n_groups = 4, 4  # 16 x 45MP
     bundle, cfg = _setup(h, w, grain=2, halation=True, sharpness=True, burn=0.3)
-    x = jnp.stack([_input(h, w, seed=i) for i in range(b)])
-    keys = jax.random.split(jax.random.PRNGKey(0), b)
+    x = jnp.stack([_input(h, w, seed=i) for i in range(group)])
     run = jax.jit(batch_render_fn(cfg))
-    dt = _timed(run, (x, bundle, keys))
-    return {"config": 4, "name": f"vmapped batch x{b} @ 6MP full chain", "ms": round(dt * 1e3, 1), "MP/s": round(b * h * w / 1e6 / dt, 1)}
+
+    def force(o):
+        return float(
+            jax.device_get(jnp.sum(o[..., ::256, ::256].astype(jnp.float32)))
+        )
+
+    keysets = [
+        jax.random.split(jax.random.PRNGKey(i), group) for i in range(n_groups + 1)
+    ]
+    force(run(x, bundle, keysets[-1]))  # compile + warm
+    t0 = time.perf_counter()
+    force(run(x, bundle, keysets[0]))
+    t_one = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    outs = [run(x, bundle, keysets[i]) for i in range(n_groups)]
+    force(outs[-1])
+    t_many = time.perf_counter() - t0
+    # Per-group time with the dispatch round trip cancelled.
+    dt_group = max((t_many - t_one) / (n_groups - 1), 1e-6)
+    frames = group
+    mp = h * w / 1e6
+
+    # Simplified preview: 2MP, conv stages off (reference gui.py:2206-2209).
+    ph, pw = 1152, 1728
+    p_bundle, p_cfg = _setup(ph, pw, grain=0, halation=False, sharpness=False, burn=0.0)
+    px = _input(ph, pw)
+
+    @jax.jit
+    def prun(px, b, k):
+        return render_chain(px, b, p_cfg, k)
+
+    pdt = _timed(prun, (px, p_bundle, jax.random.PRNGKey(0)))
+    return {
+        "config": 4,
+        "name": f"batch export {group * n_groups}x45MP (sub-groups of {group}) + simplified preview",
+        "ms_per_frame": round(dt_group * 1e3 / frames, 1),
+        "MP/s": round(frames * mp / dt_group, 1),
+        "preview_ms": round(pdt * 1e3, 1),
+        "preview_MP/s": round(ph * pw / 1e6 / pdt, 1),
+    }
 
 
-ALL = [config_0, config_1, config_2, config_3, config_4]
+def config_5():
+    """Device fidelity: the BASELINE dE gate measured ON DEVICE (the CI
+    tests measure it on CPU) — bare negative+print chain vs float64 oracle.
+    Guards the MXU-precision class of bug (default bf16-input matmuls cost
+    up to 5 8-bit codes before round 2's Precision.HIGHEST fixes)."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    import jax
+    import jax.numpy as jnp
+
+    from oracle.color_metrics import delta_e_2000_u8
+    from raw2film_tpu.data import REC709_TO_XYZ
+    from raw2film_tpu.film import chain as fchain
+    from raw2film_tpu.film.loader import load_film_stocks
+    from raw2film_tpu.pipeline.params import ImageParams, ProfileParams, merge_params
+    from raw2film_tpu.pipeline.render import (
+        build_render_config,
+        make_film_bundle,
+        render_jit,
+    )
+
+    stocks = load_film_stocks()
+    neg, prt = stocks["Kodak Portra 400"], stocks["Fuji Crystal Archive Maxima"]
+    h, w = 512, 768
+    yy, xx = np.mgrid[0:h, 0:w]
+    rgb = np.stack(
+        [0.05 + 0.6 * xx / w, 0.05 + 0.5 * yy / h, 0.4 - 0.3 * xx / w]
+    ).astype(np.float32)
+    xyz = np.einsum("ij,jhw->ihw", REC709_TO_XYZ, np.clip(rgb, 0, 1)).astype(
+        np.float32
+    )
+    neg_p = fchain.build_negative_params(neg)
+    prt_p = fchain.build_print_params(neg, prt, neg_params=neg_p)
+    out_p = fchain.build_output_params(neg, prt, prt_p, neg_p)
+    want = fchain.render_oracle(xyz.astype(np.float64), neg_p, prt_p, out_p)
+    want_u8 = np.round(np.clip(want, 0, 1) * 255).astype(np.uint8)
+    merged = merge_params(ProfileParams(), ImageParams())
+    merged.update(halation=False, sharpness=False, grain=0, highlight_burn=0.0)
+    bundle = make_film_bundle(neg_p, prt_p, out_p)
+    cfg = build_render_config(neg, prt, prt_p.mode, scale=w / 36, merged=merged)
+    got = np.asarray(render_jit(jnp.asarray(xyz), bundle, cfg, jax.random.PRNGKey(0)))
+    de = delta_e_2000_u8(got, want_u8)
+    dn = np.abs(got.astype(np.int32) - want_u8.astype(np.int32))
+    return {
+        "config": 5,
+        "name": "device fidelity: bare chain vs float64 oracle",
+        "max_dE2000": round(float(de.max()), 3),
+        "p99_dE2000": round(float(np.percentile(de, 99)), 3),
+        "max_8bit_code_diff": int(dn.max()),
+    }
+
+
+ALL = [config_0, config_1, config_2, config_3, config_4, config_5]
 
 
 def main():

@@ -64,7 +64,14 @@ def decode_raw(
         rgb = jnp.clip(rgb, 0.0, 1.0)
     if raw.color_matrix is not None:
         cam_to_xyz = np.linalg.inv(np.asarray(raw.color_matrix, np.float64))
-        rgb = jnp.einsum("ij,jhw->ihw", jnp.asarray(cam_to_xyz, jnp.float32), rgb)
+        import jax
+
+        rgb = jnp.einsum(
+            "ij,jhw->ihw",
+            jnp.asarray(cam_to_xyz, jnp.float32),
+            rgb,
+            precision=jax.lax.Precision.HIGHEST,  # MXU default is bf16-input
+        )
     return rgb
 
 

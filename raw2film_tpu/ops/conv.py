@@ -57,7 +57,7 @@ def depthwise_conv2d(img: jnp.ndarray, kernels: jnp.ndarray) -> jnp.ndarray:
 
         def one(image, k2d):
             u, v = svd_separable(k2d, tol=1e-4, max_rank=6)
-            return pallas_conv2.fused_sep_rank_mxu(image, u, v)
+            return pallas_conv2.fused_sep_rank_mxu(image, u, v, precision="dc")
 
         if not per_channel:
             return one(img, kernels)
@@ -159,14 +159,19 @@ def conv2d_svd(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     if _use_pallas():
         from raw2film_tpu.ops import pallas_conv2
 
+        # "dc" precision: conv2d_svd kernels REPLACE the signal (MTF, dense
+        # depthwise), so the taps' bf16 rounding on the MXU is compensated
+        # host-side to keep the DC gain exact (a brightness shift would be
+        # visible; the remaining ~0.2% kernel-shape perturbation is within
+        # the rank-truncation contract and the image-side rounding noise is
+        # ~5x below film grain — measured round 2).
         if not per_channel:
-            return pallas_conv2.fused_sep_rank_mxu(img, list(u), list(v))
-        return jnp.concatenate(
-            [
-                pallas_conv2.fused_sep_rank_mxu(img[c : c + 1], list(u[c]), list(v[c]))
-                for c in range(u.shape[0])
-            ]
-        )
+            return pallas_conv2.fused_sep_rank_mxu(
+                img, list(u), list(v), precision="dc"
+            )
+        # Per-channel kernels run in ONE pallas launch: the band stacks are
+        # indexed by the channel grid axis inside fused_sep_rank_mxu.
+        return pallas_conv2.fused_sep_rank_mxu(img, u, v, precision="dc")
     r = u.shape[-2]
     out = None
     for i in range(r):

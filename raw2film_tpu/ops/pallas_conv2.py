@@ -352,62 +352,137 @@ def _band_matrix(taps, ew: int, cw: int) -> np.ndarray:
 
 def _fused_rank_mxu_kernel(
     prev_ref, cur_ref, next_ref, *rest,
-    ranks, th, chunk, w, rh_max,
+    ranks, th, chunk, w, rh_max, rw_max, nh, patch_edges, precision=None,
+    same_last=False,
 ):
+    """Like _fused_rank_kernel but the row conv is tmp @ B on the MXU.
+
+    The halo window is assembled ONCE per W-chunk at the max radii and every
+    rank slices its sub-window — one set of VMEM copies regardless of rank.
+    With ``patch_edges`` the H neighbors arrive via CLAMPED index maps over
+    the unpadded array (no jnp.pad copy of the frame) and the first/last
+    row-band reflects its halo rows in-kernel.
+    """
     # rest = [band_main_0, band_last_0, ...] + [colband_0, ...], o_ref, win, tmp
+    # band/colband refs are (1, ., .) blocks of per-channel (C_b, ., .)
+    # stacks (C_b=1 when all channels share one kernel).
     nr = len(ranks)
-    band_refs = rest[: 2 * nr]
-    colband_refs = rest[2 * nr : 3 * nr]
-    o_ref, win, tmp = rest[3 * nr], rest[3 * nr + 1], rest[3 * nr + 2]
-    """Like _fused_rank_kernel but the row conv is tmp @ B on the MXU."""
+    bands_per_rank = 1 if same_last else 2
+    band_refs = rest[: bands_per_rank * nr]
+    colband_refs = rest[bands_per_rank * nr : (bands_per_rank + 1) * nr]
+    o_ref, win, tmp = rest[-3], rest[-2], rest[-1]
     n_chunks = len(_chunks(w, chunk))
+    j = pl.program_id(1)
     for ci, (c0, cw) in enumerate(_chunks(w, chunk)):
+        ew_max = cw + 2 * rw_max
+
+        def fill(dst_rows, src_ref, src_rows):
+            # Columns [c0-rw_max, c0+cw+rw_max) with reflect-101 at 0 and w.
+            lo = c0 - rw_max
+            hi = c0 + cw + rw_max
+            if lo >= 0 and hi <= w:
+                win[dst_rows, 0:ew_max] = src_ref[0, src_rows, lo:hi]
+                return
+            pos = 0
+            if lo < 0:
+                n = -lo
+                for idx in range(n):
+                    win[dst_rows, idx : idx + 1] = src_ref[
+                        0, src_rows, n - idx : n - idx + 1
+                    ]
+                pos = n
+                lo = 0
+            take = min(hi, w) - lo
+            win[dst_rows, pos : pos + take] = src_ref[0, src_rows, lo : lo + take]
+            pos += take
+            if hi > w:
+                n = hi - w
+                for idx in range(n):
+                    win[dst_rows, pos + idx : pos + idx + 1] = src_ref[
+                        0, src_rows, w - 2 - idx : w - 1 - idx
+                    ]
+
+        if rh_max:
+            fill(slice(0, rh_max), prev_ref, slice(th - rh_max, th))
+        fill(slice(rh_max, rh_max + th), cur_ref, slice(0, th))
+        if rh_max:
+            fill(
+                slice(rh_max + th, rh_max + th + rh_max), next_ref, slice(0, rh_max)
+            )
+        if patch_edges and rh_max:
+            # First/last band: halo rows reflect the band itself (the
+            # clamped neighbor delivered the wrong block).
+            @pl.when(j == 0)
+            def _top():
+                for k in range(rh_max):
+                    fill(slice(k, k + 1), cur_ref, slice(rh_max - k, rh_max - k + 1))
+
+            @pl.when(j == nh - 1)
+            def _bottom():
+                for k in range(rh_max):
+                    fill(
+                        slice(rh_max + th + k, rh_max + th + k + 1),
+                        cur_ref,
+                        slice(th - 2 - k, th - 1 - k),
+                    )
+
+        split = precision == "split"
+        prec = None if precision in ("split", "dc") else precision
+
+        def _bf16_trunc(x):
+            """Zero the low 16 mantissa bits: exactly bf16-representable.
+            Bit ops (not dtype casts) so --xla_allow_excess_precision can't
+            fold hi/lo back together."""
+            bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
+            return jax.lax.bitcast_convert_type(
+                bits & jnp.uint32(0xFFFF0000), jnp.float32
+            )
+
+        def mm(a, b):
+            """a @ b with f32 accumulation; in split mode the IMAGE operand
+            ``b`` goes through the MXU twice as bf16 hi + lo halves (error ~
+            1e-6 instead of the default's bf16-input ~4e-3), while the
+            constant band ``a`` is DC-compensated on the host."""
+            if not split:
+                return jnp.dot(
+                    a, b, preferred_element_type=jnp.float32, precision=prec
+                )
+            hi_part = _bf16_trunc(b)
+            lo = b - hi_part
+            return jnp.dot(
+                a, hi_part, preferred_element_type=jnp.float32
+            ) + jnp.dot(a, lo, preferred_element_type=jnp.float32)
+
         for ri, (tv, thaps, rw) in enumerate(ranks):
             rv = len(tv) // 2
             ew = cw + 2 * rw
-
-            def fill(dst_rows, src_ref, src_rows):
-                lo = c0 - rw
-                hi = c0 + cw + rw
-                if lo >= 0 and hi <= w:
-                    win[dst_rows, 0:ew] = src_ref[0, src_rows, lo:hi]
-                    return
-                pos = 0
-                if lo < 0:
-                    n = -lo
-                    for idx in range(n):
-                        win[dst_rows, idx : idx + 1] = src_ref[
-                            0, src_rows, n - idx : n - idx + 1
-                        ]
-                    pos = n
-                    lo = 0
-                take = min(hi, w) - lo
-                win[dst_rows, pos : pos + take] = src_ref[0, src_rows, lo : lo + take]
-                pos += take
-                if hi > w:
-                    n = hi - w
-                    for idx in range(n):
-                        win[dst_rows, pos + idx : pos + idx + 1] = src_ref[
-                            0, src_rows, w - 2 - idx : w - 1 - idx
-                        ]
-
-            if rv:
-                fill(slice(0, rv), prev_ref, slice(th - rv, th))
-            fill(slice(rv, rv + th), cur_ref, slice(0, th))
-            if rv:
-                fill(slice(rv + th, rv + th + rv), next_ref, slice(0, rv))
-
+            coff = rw_max - rw
             # Column conv on the MXU: (th, th+2rv) banded @ (th+2rv, ew).
-            tmp[:, 0:ew] = jnp.dot(
-                colband_refs[ri][...],
-                win[0 : th + 2 * rv, 0:ew],
-                preferred_element_type=jnp.float32,
+            tmp[:, 0:ew] = mm(
+                colband_refs[ri][0],
+                win[rh_max - rv : rh_max + th + rv, coff : coff + ew],
             )
 
-            band_ref = band_refs[2 * ri + (1 if ci == n_chunks - 1 else 0)]
-            res = jnp.dot(
-                tmp[:, 0:ew], band_ref[...], preferred_element_type=jnp.float32
-            )
+            band_ref = band_refs[
+                bands_per_rank * ri
+                + (1 if (not same_last and ci == n_chunks - 1) else 0)
+            ]
+            # Row conv: the image operand is on the LEFT here.
+            if split:
+                t_hi = _bf16_trunc(tmp[:, 0:ew])
+                tlo = tmp[:, 0:ew] - t_hi
+                res = jnp.dot(
+                    t_hi, band_ref[0], preferred_element_type=jnp.float32
+                ) + jnp.dot(
+                    tlo, band_ref[0], preferred_element_type=jnp.float32
+                )
+            else:
+                res = jnp.dot(
+                    tmp[:, 0:ew],
+                    band_ref[0],
+                    preferred_element_type=jnp.float32,
+                    precision=prec,
+                )
             if ri == 0:
                 o_ref[0, :, c0 : c0 + cw] = res
             else:
@@ -421,15 +496,35 @@ def fused_sep_rank_mxu(
     tile_h: int = 32,
     chunk: int = 512,
     interpret: bool = False,
+    precision=None,
 ) -> jnp.ndarray:
     """fused_sep_rank with the row conv on the MXU via banded matmuls.
+
+    ``u``/``v`` are either rank lists [(k,), ...] shared across channels, or
+    per-channel (C, R, k) arrays — per-channel kernels run in the SAME
+    single pallas call, with the band stacks indexed by the channel grid
+    axis (this is how the per-channel MTF runs as one launch).
 
     Requires W % chunk handling: a distinct band matrix serves the (possibly
     shorter) last chunk.
     """
-    u = [np.asarray(r_, np.float64).ravel() for r_ in u]
-    v = [np.asarray(r_, np.float64).ravel() for r_ in v]
     c, h, w = img.shape
+    if precision is not None and precision not in ("split", "dc"):
+        # HIGHEST-precision matmuls hold multi-pass temps on the Mosaic
+        # scoped-VMEM stack; narrower chunks keep them under the 16MB limit.
+        chunk = min(chunk, 256)
+    per_channel = np.asarray(u[0]).ndim == 2 or (
+        hasattr(u, "ndim") and getattr(u, "ndim", 0) == 3
+    )
+    if per_channel:
+        u3 = [[np.asarray(r_, np.float64).ravel() for r_ in uc] for uc in u]
+        v3 = [[np.asarray(r_, np.float64).ravel() for r_ in vc] for vc in v]
+        assert len(u3) == c
+        u, v = u3[0], v3[0]  # rank/length structure (identical across c)
+    else:
+        u = [np.asarray(r_, np.float64).ravel() for r_ in u]
+        v = [np.asarray(r_, np.float64).ravel() for r_ in v]
+        u3, v3 = [u], [v]
     rh_max = max(len(r_) // 2 for r_ in u)
     rw_max = max(len(r_) // 2 for r_ in v)
     # The H halo must fit in one neighbor block: grow the tile for wide
@@ -437,8 +532,38 @@ def fused_sep_rank_mxu(
     th = min(max(tile_h, _round_up(rh_max, SUBLANE)), _round_up(h, SUBLANE))
     hp = _round_up(h, th)
     if rh_max > th or h <= 2 * th + 1 or hp - h + th >= h or w <= chunk:
+        if per_channel:
+            return jnp.concatenate(
+                [
+                    fused_sep_rank(
+                        img[ci : ci + 1], u3[ci], v3[ci],
+                        tile_h=tile_h, chunk=chunk, interpret=interpret,
+                    )
+                    for ci in range(c)
+                ]
+            )
         return fused_sep_rank(img, u, v, tile_h=tile_h, chunk=chunk,
                               interpret=interpret)
+    if precision in ("split", "dc"):
+        # The MXU rounds the band taps to bf16; rescale each tap vector so
+        # its bf16 image preserves the exact DC gain. "dc" stops there
+        # (kernel-shape perturbation ~0.2%, within the rank-truncation
+        # contract; image-side rounding noise is ~5x below film grain);
+        # "split" additionally runs the image operand through the MXU as
+        # hi/lo halves (2 dots).
+        def _dc(taps):
+            import ml_dtypes
+
+            t = np.asarray(taps, np.float64)
+            tb = float(t.astype(ml_dtypes.bfloat16).astype(np.float64).sum())
+            s = float(t.sum())
+            if abs(tb) > 1e-3 * (np.abs(t).max() + 1e-30):
+                return t * (s / tb)
+            return t
+
+        u3 = [[_dc(r_) for r_ in uc] for uc in u3]
+        v3 = [[_dc(r_) for r_ in vc] for vc in v3]
+        u, v = u3[0], v3[0]
     ranks = tuple(
         (
             tuple(float(t) for t in kv),
@@ -448,49 +573,76 @@ def fused_sep_rank_mxu(
         for kv, kh in zip(u, v)
     )
     last_cw = w - (len(_chunks(w, chunk)) - 1) * chunk
-    bands = tuple(
-        (
-            _band_matrix(kh, chunk + 2 * (len(kh) // 2), chunk),
-            _band_matrix(kh, last_cw + 2 * (len(kh) // 2), last_cw),
+    # Pad-free mode when the grid tiles H exactly: neighbors come from
+    # CLAMPED index maps and the boundary bands reflect in-kernel — no
+    # full-frame jnp.pad copy (~4ms at 45MP).
+    patch_edges = hp == h
+    if patch_edges:
+        x = img
+        nh = h // th
+        prev_map = lambda i, j: (i, jnp.maximum(j - 1, 0), 0)
+        cur_map = lambda i, j: (i, j, 0)
+        next_map = lambda i, j: (i, jnp.minimum(j + 1, nh - 1), 0)
+    else:
+        x = jnp.pad(img, [(0, 0), (th, hp - h + th), (0, 0)], mode="reflect")
+        nh = hp // th
+        prev_map = lambda i, j: (i, j, 0)
+        cur_map = lambda i, j: (i, j + 1, 0)
+        next_map = lambda i, j: (i, j + 2, 0)
+    cb_count = len(u3)  # 1 (shared) or C (per-channel)
+
+    def _stack(mats):  # (C_b, a, b) band stack + channel-indexed BlockSpec
+        arr = np.stack(mats).astype(np.float32)
+        spec = pl.BlockSpec(
+            (1, *arr.shape[1:]),
+            lambda i, j: (i if arr.shape[0] > 1 else 0, 0, 0),
+            memory_space=pltpu.VMEM,
         )
-        for _, kh in zip(u, v)
-    )
-    x = jnp.pad(img, [(0, 0), (th, hp - h + th), (0, 0)], mode="reflect")
-    nh = hp // th
+        return jnp.asarray(arr), spec
+
+    same_last = last_cw == chunk
     band_specs = []
     band_args = []
-    for bm, bl in bands:
-        band_specs.append(
-            pl.BlockSpec(bm.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM)
-        )
-        band_args.append(jnp.asarray(bm))
-        band_specs.append(
-            pl.BlockSpec(bl.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM)
-        )
-        band_args.append(jnp.asarray(bl))
-    for kv, _ in zip(u, v):
-        # (th, th+2rv): row i picks sum_q tv[q] * win[q+i]
-        cb = _band_matrix(tuple(float(t) for t in kv), th + 2 * (len(kv) // 2), th).T
-        cb = np.ascontiguousarray(cb, np.float32)
-        band_specs.append(
-            pl.BlockSpec(cb.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM)
-        )
-        band_args.append(jnp.asarray(cb))
+    widths = (chunk,) if same_last else (chunk, last_cw)
+    for ri in range(len(u)):
+        for cw_ in widths:
+            mats = [
+                _band_matrix(
+                    v3[ci][ri], cw_ + 2 * (len(v3[ci][ri]) // 2), cw_
+                )
+                for ci in range(cb_count)
+            ]
+            arr, spec = _stack(mats)
+            band_args.append(arr)
+            band_specs.append(spec)
+    col_specs = []
+    col_args = []
+    for ri in range(len(u)):
+        mats = []
+        for ci in range(cb_count):
+            kv = u3[ci][ri]
+            cb = _band_matrix(
+                tuple(float(t) for t in kv), th + 2 * (len(kv) // 2), th
+            ).T
+            mats.append(np.ascontiguousarray(cb, np.float32))
+        arr, spec = _stack(mats)
+        col_args.append(arr)
+        col_specs.append(spec)
+    band_specs += col_specs
+    band_args += col_args
     out = pl.pallas_call(
         lambda p_ref, c_ref, n_ref, *rest: _fused_rank_mxu_kernel(
             p_ref, c_ref, n_ref, *rest,
             ranks=ranks, th=th, chunk=chunk, w=w, rh_max=rh_max,
+            rw_max=rw_max, nh=nh, patch_edges=patch_edges, precision=precision,
+            same_last=same_last,
         ),
         out_shape=jax.ShapeDtypeStruct((c, hp, w), img.dtype),
         grid=(c, nh),
         in_specs=[
-            pl.BlockSpec((1, th, w), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, th, w), lambda i, j: (i, j + 1, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, th, w), lambda i, j: (i, j + 2, 0), memory_space=pltpu.VMEM
-            ),
+            pl.BlockSpec((1, th, w), prev_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, w), cur_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, w), next_map, memory_space=pltpu.VMEM),
             *band_specs,
         ],
         out_specs=pl.BlockSpec(

@@ -136,7 +136,12 @@ def _hd_density(log_e, curve):
 
 
 def _mat(m, img):
-    return jnp.einsum("ij,jhw->ihw", m, img)
+    # HIGHEST precision: the TPU MXU's default rounds f32 inputs to bf16
+    # (measured: up to 5 8-bit codes of error through the chain). These
+    # 3x3 matmuls are bandwidth-bound, so exact f32 costs nothing.
+    return jnp.einsum(
+        "ij,jhw->ihw", m, img, precision=jax.lax.Precision.HIGHEST
+    )
 
 
 # ---------------------------------------------------------------- chain

@@ -101,3 +101,43 @@ class TestPallasGrain:
         shape = 0.15 + 0.85 * np.exp(-0.5 * ((t - 0.17 - 0.25) * 2.38) ** 2)
         want = np.maximum(dd + 0.04 * shape * f, 0)
         np.testing.assert_allclose(out, want, atol=1e-6)
+
+
+class TestFusedRankPerChannel:
+    def test_per_channel_single_launch_matches_xla(self):
+        import numpy as np
+
+        from raw2film_tpu.ops import conv as convops
+        from raw2film_tpu.ops import pallas_conv2 as pc2
+
+        rng = np.random.default_rng(11)
+        img = jnp.asarray(rng.random((3, 96, 640)).astype(np.float32))
+        # Distinct per-channel separable rank-2 kernels, equal tap lengths.
+        u = rng.random((3, 2, 9)).astype(np.float32) * 0.3
+        v = rng.random((3, 2, 9)).astype(np.float32) * 0.3
+        got = np.asarray(pc2.fused_sep_rank_mxu(img, u, v, chunk=256, interpret=True))
+        for c in range(3):
+            want = None
+            for r in range(2):
+                term = convops._conv1d_axis(
+                    convops._conv1d_axis(img[c : c + 1], u[c, r], -2), v[c, r], -1
+                )
+                want = term if want is None else want + term
+            np.testing.assert_allclose(got[c], np.asarray(want)[0], atol=2e-5)
+
+    def test_per_channel_small_image_fallback(self):
+        import numpy as np
+
+        from raw2film_tpu.ops import conv as convops
+        from raw2film_tpu.ops import pallas_conv2 as pc2
+
+        rng = np.random.default_rng(12)
+        img = jnp.asarray(rng.random((3, 24, 40)).astype(np.float32))
+        u = rng.random((3, 1, 5)).astype(np.float32)
+        v = rng.random((3, 1, 5)).astype(np.float32)
+        got = np.asarray(pc2.fused_sep_rank_mxu(img, u, v, interpret=True))
+        for c in range(3):
+            want = convops._conv1d_axis(
+                convops._conv1d_axis(img[c : c + 1], u[c, 0], -2), v[c, 0], -1
+            )
+            np.testing.assert_allclose(got[c], np.asarray(want)[0], atol=2e-5)
