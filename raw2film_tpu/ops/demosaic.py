@@ -134,6 +134,17 @@ def half_size_decode(bayer: jnp.ndarray, pattern: str = "RGGB") -> jnp.ndarray:
         raise ValueError(f"unsupported Bayer pattern {pattern!r}")
     ry, rx = _PATTERNS[pattern]
     h2, w2 = bayer.shape[0] // 2, bayer.shape[1] // 2
+    from raw2film_tpu.ops.conv import _use_pallas
+
+    if _use_pallas():
+        # Stride-2 slices on the lane dim relayout catastrophically on TPU
+        # (measured 587ms at 45MP); polyphase selection as banded matmuls
+        # runs at bandwidth speed.
+        from raw2film_tpu.ops.pallas_pyramid import half_size_decode_pallas
+
+        out = half_size_decode_pallas(bayer, ry, rx)
+        if out is not None:
+            return out
     x = bayer[: h2 * 2, : w2 * 2]
     # Strided slices (not a block reshape: tiny minor dims tile-pad ~32x).
     r = x[ry::2, rx::2]

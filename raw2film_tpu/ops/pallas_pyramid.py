@@ -120,6 +120,102 @@ def box_downsample_pallas(
 # -------------------------------------------------------------------- up
 
 
+def _half_size_kernel(x_ref, ar_ref, ab_ref, brm_ref, bbm_ref, o_ref, *, chunk, w_in):
+    def _bf16_trunc(x):
+        bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
+        return jax.lax.bitcast_convert_type(
+            bits & jnp.uint32(0xFFFF0000), jnp.float32
+        )
+
+    def mm(a, b):
+        # Selection matrices are 0/1 (bf16-exact); the image side goes
+        # through the MXU as hi/lo halves so the decode is exact to 1e-6
+        # (the MXU default would round sensor values to bf16).
+        hi = _bf16_trunc(b)
+        return jnp.dot(a, hi, preferred_element_type=jnp.float32) + jnp.dot(
+            a, b - hi, preferred_element_type=jnp.float32
+        )
+
+    def mm_r(a, b):  # image on the left
+        hi = _bf16_trunc(a)
+        return jnp.dot(hi, b, preferred_element_type=jnp.float32) + jnp.dot(
+            a - hi, b, preferred_element_type=jnp.float32
+        )
+
+    pieces = _chunks(w_in, chunk)
+    for c0, cw in pieces:
+        # Selection matmuls: stride-2 polyphase sampling without strided
+        # slices (a stride on the lane dim relayouts catastrophically —
+        # measured 587ms for the whole decode at 45MP).
+        xs = x_ref[0, :, c0 : c0 + cw]
+        tr = mm(ar_ref[...], xs)
+        tb = mm(ab_ref[...], xs)
+        br = brm_ref[0:cw, 0 : cw // 2]
+        bb = bbm_ref[0:cw, 0 : cw // 2]
+        sl = slice(c0 // 2, (c0 + cw) // 2)
+        o_ref[0, :, sl] = mm_r(tr, br)
+        o_ref[1, :, sl] = 0.5 * (mm_r(tr, bb) + mm_r(tb, br))
+        o_ref[2, :, sl] = mm_r(tb, bb)
+
+
+def half_size_decode_pallas(
+    bayer: jnp.ndarray,
+    ry: int,
+    rx: int,
+    chunk: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(H, W) Bayer mosaic -> (3, H//2, W//2): each 2x2 cell one RGB pixel,
+    greens averaged (LibRaw half_size semantics). Row/column polyphase
+    selection runs as 0/1 banded matmuls on the MXU."""
+    h, w = bayer.shape
+    h2, w2 = h // 2, w // 2
+    th_out = 16
+    th = th_out * 2
+    hp2 = _round_up(h2, th_out)
+    if h2 < th_out or w2 * 2 < 2 * chunk:
+        return None  # caller falls back to the XLA formulation
+    x = bayer[None, : h2 * 2, : w2 * 2]
+    if hp2 != h2:
+        x = jnp.pad(x, [(0, 0), (0, (hp2 - h2) * 2), (0, 0)], mode="edge")
+    w_in = w2 * 2
+
+    def sel_rows(phase):
+        m = np.zeros((th_out, th), np.float32)
+        m[np.arange(th_out), 2 * np.arange(th_out) + phase] = 1.0
+        return m
+
+    def sel_cols(phase, cw):
+        m = np.zeros((chunk, chunk // 2), np.float32)
+        m[2 * np.arange(chunk // 2) + phase, np.arange(chunk // 2)] = 1.0
+        return m
+
+    ar, ab = sel_rows(ry), sel_rows(1 - ry)
+    br, bb = sel_cols(rx, chunk), sel_cols(1 - rx, chunk)
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda j: (0, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        lambda x_ref, a, b, c, d, o_ref: _half_size_kernel(
+            x_ref, a, b, c, d, o_ref, chunk=chunk, w_in=w_in
+        ),
+        out_shape=jax.ShapeDtypeStruct((3, hp2, w2), bayer.dtype),
+        grid=(hp2 // th_out,),
+        in_specs=[
+            pl.BlockSpec((1, th, w_in), lambda j: (0, j, 0), memory_space=pltpu.VMEM),
+            const(ar.shape),
+            const(ab.shape),
+            const(br.shape),
+            const(bb.shape),
+        ],
+        out_specs=pl.BlockSpec(
+            (3, th_out, w2), lambda j: (0, j, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(x, jnp.asarray(ar), jnp.asarray(ab), jnp.asarray(br), jnp.asarray(bb))
+    return out[:, :h2, :]
+
+
 def _up_kernel(
     prev_ref, cur_ref, next_ref, uh_ref, uwf_ref, uwm_ref, uwl_ref,
     o_ref, win, *, f, th_in, chunk, w_out,

@@ -94,3 +94,24 @@ class TestHalationPallasTier:
         exact = np.asarray(hal_ops.halation(img, scale=scale, exact=True))
         assert np.abs(fast - exact).max() < 0.02
         assert np.abs(fast - exact).mean() < 0.004
+
+
+class TestHalfSizeDecode:
+    @pytest.mark.parametrize("pattern,ry,rx", [("RGGB", 0, 0), ("BGGR", 1, 1), ("GRBG", 0, 1)])
+    def test_matches_strided_slices(self, pattern, ry, rx):
+        from raw2film_tpu.ops.pallas_pyramid import half_size_decode_pallas
+
+        bayer = jnp.asarray(RNG.random((96, 1280)).astype(np.float32))
+        got = half_size_decode_pallas(bayer, ry, rx, chunk=256, interpret=True)
+        x = np.asarray(bayer)
+        r = x[ry::2, rx::2]
+        b = x[1 - ry :: 2, 1 - rx :: 2]
+        g = 0.5 * (x[ry::2, 1 - rx :: 2] + x[1 - ry :: 2, rx::2])
+        want = np.stack([r, g, b])
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-6)
+
+    def test_small_returns_none(self):
+        from raw2film_tpu.ops.pallas_pyramid import half_size_decode_pallas
+
+        bayer = jnp.asarray(RNG.random((20, 40)).astype(np.float32))
+        assert half_size_decode_pallas(bayer, 0, 0, interpret=True) is None
