@@ -144,6 +144,32 @@ def _mat(m, img):
     )
 
 
+# Channels travel as a TUPLE of (H, W) planes through the elementwise
+# sections: a 3x3 matmul then lowers to fused scalar mul-adds on the VPU
+# (exact f32) instead of an einsum node that breaks XLA fusion into its own
+# HBM round trip — measured 26.4 -> 7.7 ms for the bare chain at 45MP.
+# Stacking back to (3, H, W) happens only at conv-kernel boundaries.
+
+
+def _matp(m, planes):
+    return tuple(
+        m[i, 0] * planes[0] + m[i, 1] * planes[1] + m[i, 2] * planes[2]
+        for i in range(3)
+    )
+
+
+def _hd_plane(x, curve, c):
+    d_min, gamma, x_toe, x_sh, w_t, w_s = curve
+    return jnp.reshape(d_min, (3, -1))[c, 0] + jnp.reshape(gamma, (3, -1))[c, 0] * (
+        _softplus(x - jnp.reshape(x_toe, (3, -1))[c, 0], jnp.reshape(w_t, (3, -1))[c, 0])
+        - _softplus(x - jnp.reshape(x_sh, (3, -1))[c, 0], jnp.reshape(w_s, (3, -1))[c, 0])
+    )
+
+
+def _planes(img):
+    return (img[0], img[1], img[2])
+
+
 # ---------------------------------------------------------------- chain
 
 
@@ -156,7 +182,9 @@ def render_chain(
         img = nr_ops.chroma_nr(img, cfg.chroma_nr)
 
     # Input transform: WB CAT + layer exposure matrix (+2^exp_comp folded in).
-    e = jnp.maximum(_mat(bundle["m_in"], img), 0.0)
+    ep = tuple(
+        jnp.maximum(q, 0.0) for q in _matp(bundle["m_in"], _planes(img))
+    )
 
     if cfg.halation:
         g = bundle["hal_green"]
@@ -165,14 +193,24 @@ def render_chain(
             if not cfg.bw
             else jnp.stack([g, g, g])
         ).reshape(3, 1, 1)
-        e = hal_ops.halation_with_factors(
-            e, cfg.scale, cfg.halation_size, factors
+        e_img = hal_ops.halation_with_factors(
+            jnp.stack(ep), cfg.scale, cfg.halation_size, factors
         )
+        ep = _planes(e_img)
 
     # Development: log exposure -> status densities (+ masking coupling).
-    x = jnp.log10(jnp.maximum(e + bundle["flare"], LOG10_EPS))
-    d = _hd_density(x, bundle["neg_curve"])
-    d = _mat(bundle["mask"], d - bundle["d_min"]) + bundle["d_min"]
+    xp = tuple(
+        jnp.log10(jnp.maximum(ep[c] + bundle["flare"], LOG10_EPS))
+        for c in range(3)
+    )
+    dm = jnp.reshape(bundle["d_min"], (3, -1))
+    dp = tuple(
+        _hd_plane(xp[c], bundle["neg_curve"], c) - dm[c, 0] for c in range(3)
+    )
+    dp = tuple(
+        q + dm[c, 0] for c, q in enumerate(_matp(bundle["mask"], dp))
+    )
+    d = jnp.stack(dp)
 
     if cfg.sharpness and cfg.has_mtf and cfg.mtf_key is not None:
         d = mtf_ops.film_sharpness_from_key(
@@ -238,24 +276,40 @@ def render_chain(
             d, bundle["d_ref_green"], bundle["highlight_burn"], cfg.burn_scale
         )
 
-    # Print / inversion / direct view.
+    # Print / inversion / direct view (planes: fully fused elementwise).
+    dp = _planes(d)
     if cfg.print_mode == "print":
-        log_e = bundle["log_e0"] - _mat(bundle["a"], d)
-        d_p = _hd_density(log_e, bundle["prt_curve"])
+        le0 = jnp.reshape(bundle["log_e0"], (3, -1))
+        log_e = tuple(
+            le0[c, 0] - q for c, q in enumerate(_matp(bundle["a"], dp))
+        )
+        d_pp = tuple(
+            _hd_plane(log_e[c], bundle["prt_curve"], c) for c in range(3)
+        )
     else:
-        d_p = d - bundle["d_offset"]
-    vd = _mat(bundle["v"], d_p)
+        doff = jnp.reshape(bundle["d_offset"], (3, -1))
+        d_pp = tuple(dp[c] - doff[c, 0] for c in range(3))
+    vd = _matp(bundle["v"], d_pp)
     if cfg.shadow_comp:
-        vd = vd - bundle["shadow_comp"] * _softplus(vd - bundle["shadow_ref"], 0.35)
-    lin = jnp.power(10.0, -(vd + bundle["vd_offset"]))
+        vd = tuple(
+            q - bundle["shadow_comp"] * _softplus(q - bundle["shadow_ref"], 0.35)
+            for q in vd
+        )
+    vdo = jnp.reshape(bundle["vd_offset"], (3, -1))
+    lin = tuple(
+        jnp.power(10.0, -(vd[c] + vdo[c, 0])) for c in range(3)
+    )
 
     # Output encode.
-    rgb = _mat(bundle["to_display"], lin) * bundle["white_gain"]
+    wg = jnp.reshape(bundle["white_gain"], (3, -1))
+    rgbp = tuple(
+        q * wg[c, 0] for c, q in enumerate(_matp(bundle["to_display"], lin))
+    )
     if not cfg.sat_neutral:
-        luma = 0.2126 * rgb[0] + 0.7152 * rgb[1] + 0.0722 * rgb[2]
-        rgb = luma[None] + bundle["sat"] * (rgb - luma[None])
-    rgb = jnp.clip(rgb, 0.0, 1.0)
-    rgb = encode(rgb, cfg.gamma_func, jnp)
+        luma = 0.2126 * rgbp[0] + 0.7152 * rgbp[1] + 0.0722 * rgbp[2]
+        rgbp = tuple(luma + bundle["sat"] * (q - luma) for q in rgbp)
+    rgbp = tuple(jnp.clip(q, 0.0, 1.0) for q in rgbp)
+    rgb = jnp.stack([encode(q, cfg.gamma_func, jnp) for q in rgbp])
     if cfg.icc:
         # ICC display/softproof baked into a CP-factored LUT, applied in
         # float BEFORE quantization (reference: cpu_processor.py:255-263).
