@@ -105,6 +105,56 @@ def _gaussian_pyramid_blur(img: jnp.ndarray, sigma: float) -> jnp.ndarray:
     return convops.bilinear_upsample(blurred, img.shape[-2:])
 
 
+def halation_blur(
+    img: jnp.ndarray, scale: float, halation_size: float, exact: bool = False
+) -> jnp.ndarray:
+    """The glow term alone (callers fuse the combine into their elementwise
+    chain): blur(img) with the exponential halation kernel."""
+    size = scale / 4.0 * halation_size
+    if exact or size <= 12.0:
+        k = exponential_blur_kernel(size).astype(np.float32)
+        return convops.depthwise_conv2d(img, k)
+    if size <= 40.0:
+        u, v = convops.svd_separable(
+            exponential_blur_kernel(size).astype(np.float32), tol=1e-4, max_rank=8
+        )
+        return convops.conv2d_svd(img, u, v)
+    sigmas, weights, inner, _ = fit_gaussian_mixture(size)
+    if convops._use_pallas():
+        from raw2film_tpu.ops import pallas_conv2, pallas_pyramid
+
+        us, vs = [], []
+        ui, vi = convops.svd_separable(inner, tol=1e-3, max_rank=3)
+        us.extend(list(ui))
+        vs.extend(list(vi))
+        by_factor: dict[int, list[tuple[float, float]]] = {}
+        for s, w in zip(sigmas, weights):
+            if w <= 1e-6:
+                continue
+            if s <= PYRAMID_SIGMA:
+                g = convops.gaussian_kernel1d(s, truncate=3.0)
+                us.append(w * g)
+                vs.append(g)
+            else:
+                by_factor.setdefault(4 if s <= 48.0 else 8, []).append((s, w))
+        blur = pallas_conv2.fused_sep_rank_mxu(img, us, vs)
+        for f, terms in by_factor.items():
+            small = pallas_pyramid.box_downsample_pallas(img, f)
+            su = [w * convops.gaussian_kernel1d(s / f, truncate=3.0) for s, w in terms]
+            sv = [convops.gaussian_kernel1d(s / f, truncate=3.0) for s, _ in terms]
+            small_blur = pallas_conv2.fused_sep_rank_mxu(small, su, sv)
+            blur = blur + pallas_pyramid.bilinear_upsample_pallas(
+                small_blur, f, img.shape[-2:]
+            )
+        return blur
+    blur = convops.depthwise_conv2d(img, inner)
+    for s, w in zip(sigmas, weights):
+        if w <= 1e-6:
+            continue
+        blur = blur + w * _gaussian_pyramid_blur(img, s)
+    return blur
+
+
 def halation_with_factors(
     img: jnp.ndarray,
     scale: float,
@@ -115,55 +165,7 @@ def halation_with_factors(
     """Core halation apply with *traced* per-channel color factors (3, 1, 1)
     so intensity/green-factor sliders never retrigger compilation; only the
     kernel geometry (scale, halation_size) is static."""
-    size = scale / 4.0 * halation_size
-    if exact or size <= 12.0:
-        k = exponential_blur_kernel(size).astype(np.float32)
-        blur = convops.depthwise_conv2d(img, k)
-    elif size <= 40.0:
-        u, v = convops.svd_separable(
-            exponential_blur_kernel(size).astype(np.float32), tol=1e-4, max_rank=8
-        )
-        blur = convops.conv2d_svd(img, u, v)
-    else:
-        sigmas, weights, inner, _ = fit_gaussian_mixture(size)
-        if convops._use_pallas():
-            # Fuse the full-resolution terms (dense inner correction via SVD
-            # + every sigma<=8 Gaussian) into ONE streaming rank-tiled pass.
-            # Wide pyramid terms share ONE decimated level per factor: one
-            # Pallas box downsample, one fused multi-rank blur summing every
-            # sigma at that level, one Pallas bilinear upsample (measured:
-            # XLA reduce_window/resize cost ~20 ms each at 45MP).
-            from raw2film_tpu.ops import pallas_conv2, pallas_pyramid
-
-            us, vs = [], []
-            ui, vi = convops.svd_separable(inner, tol=1e-3, max_rank=3)
-            us.extend(list(ui))
-            vs.extend(list(vi))
-            by_factor: dict[int, list[tuple[float, float]]] = {}
-            for s, w in zip(sigmas, weights):
-                if w <= 1e-6:
-                    continue
-                if s <= PYRAMID_SIGMA:
-                    g = convops.gaussian_kernel1d(s, truncate=3.0)
-                    us.append(w * g)
-                    vs.append(g)
-                else:
-                    by_factor.setdefault(4 if s <= 48.0 else 8, []).append((s, w))
-            blur = pallas_conv2.fused_sep_rank_mxu(img, us, vs)
-            for f, terms in by_factor.items():
-                small = pallas_pyramid.box_downsample_pallas(img, f)
-                su = [w * convops.gaussian_kernel1d(s / f, truncate=3.0) for s, w in terms]
-                sv = [convops.gaussian_kernel1d(s / f, truncate=3.0) for s, _ in terms]
-                small_blur = pallas_conv2.fused_sep_rank_mxu(small, su, sv)
-                blur = blur + pallas_pyramid.bilinear_upsample_pallas(
-                    small_blur, f, img.shape[-2:]
-                )
-        else:
-            blur = convops.depthwise_conv2d(img, inner)
-            for s, w in zip(sigmas, weights):
-                if w <= 1e-6:
-                    continue
-                blur = blur + w * _gaussian_pyramid_blur(img, s)
+    blur = halation_blur(img, scale, halation_size, exact=exact)
     return (img + factors * blur) / (1.0 + factors)
 
 

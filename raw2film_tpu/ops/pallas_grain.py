@@ -46,7 +46,7 @@ def _pcg3d(x, y, z):
     return v0, v1, v2
 
 
-def _gauss_pair(u_bits, v_bits):
+def _gauss_pair_boxmuller(u_bits, v_bits):
     """Box-Muller from two uint32 draws -> one standard normal.
 
     uint32->float32 casts go through int32 on TPU (top bit reads as sign), so
@@ -65,6 +65,30 @@ def _gauss_pair(u_bits, v_bits):
     u2 = to_unit(v_bits)
     r = jnp.sqrt(np.float32(-2.0) * jnp.log(u1))
     return r * jnp.cos(np.float32(2.0 * np.pi) * u2)
+
+
+def _popcount(v):
+    """SWAR popcount, uint32 -> uint32 in [0, 32]."""
+    v = v - ((v >> np.uint32(1)) & np.uint32(0x55555555))
+    v = (v & np.uint32(0x33333333)) + ((v >> np.uint32(2)) & np.uint32(0x33333333))
+    v = (v + (v >> np.uint32(4))) & np.uint32(0x0F0F0F0F)
+    return (v * np.uint32(0x01010101)) >> np.uint32(24)
+
+
+def _gauss_pair(u_bits, v_bits):
+    """Standard normal from two uint32 hash words via bit-sum binomial:
+    popcount(u) + popcount(v) ~ Binomial(64, 1/2) -> (S - 32) / 4.
+
+    Exactly unit variance, excess kurtosis -0.031 (within the grain field's
+    |k|<0.1 contract), support +-8 sigma — and ~5 cheap integer ops per word
+    where Box-Muller costs log+sqrt+cos on the VPU (grain kernel measured
+    14.1 -> see BENCHMARKS). Film grain is blind to the 65-level
+    quantization: the correlation kernel and the amplitude curve smooth it,
+    and real grain is binary clumps anyway.
+    """
+    s = _popcount(u_bits) + _popcount(v_bits)
+    i32 = pltpu.bitcast(s, jnp.int32)  # values 0..64: bitcast is exact
+    return (i32.astype(jnp.float32) - np.float32(32.0)) * np.float32(0.25)
 
 
 def _grain_kernel(seed_ref, o_ref, *, taps, th, w, chunk, row0_offset):

@@ -192,11 +192,13 @@ def render_chain(
             jnp.stack([jnp.ones_like(g), g, jnp.zeros_like(g)])
             if not cfg.bw
             else jnp.stack([g, g, g])
-        ).reshape(3, 1, 1)
-        e_img = hal_ops.halation_with_factors(
-            jnp.stack(ep), cfg.scale, cfg.halation_size, factors
         )
-        ep = _planes(e_img)
+        # Blur on the stacked image; the normalize-combine stays in planes
+        # so it fuses into the develop section's elementwise pass.
+        blur = hal_ops.halation_blur(jnp.stack(ep), cfg.scale, cfg.halation_size)
+        ep = tuple(
+            (ep[c] + factors[c] * blur[c]) / (1.0 + factors[c]) for c in range(3)
+        )
 
     # Development: log exposure -> status densities (+ masking coupling).
     xp = tuple(
