@@ -493,7 +493,7 @@ def fused_sep_rank_mxu(
     img: jnp.ndarray,
     u,
     v,
-    tile_h: int = 32,
+    tile_h: int | str = "auto",
     chunk: int = 512,
     interpret: bool = False,
     precision=None,
@@ -527,6 +527,12 @@ def fused_sep_rank_mxu(
         u3, v3 = [u], [v]
     rh_max = max(len(r_) // 2 for r_ in u)
     rw_max = max(len(r_) // 2 for r_ in v)
+    if tile_h == "auto":
+        # Taller tiles raise MXU row utilization (M=48: 12.2 vs 14.5 ms for
+        # the halation pass at 45MP; 64 blows the double-buffered VMEM
+        # budget). Prefer a height that divides H so the pad-free clamped-
+        # index mode applies.
+        tile_h = next((t for t in (48, 40, 32) if h % t == 0), 48)
     # The H halo must fit in one neighbor block: grow the tile for wide
     # kernels instead of silently falling back.
     th = min(max(tile_h, _round_up(rh_max, SUBLANE)), _round_up(h, SUBLANE))
