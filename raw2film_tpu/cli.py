@@ -47,6 +47,16 @@ def build_parser() -> argparse.ArgumentParser:
         help="copy/move the source RAW into <output>/RAW after export",
     )
     p.add_argument("--seed", type=int, default=0, help="grain seed")
+    p.add_argument(
+        "--display-profile",
+        metavar="ICC",
+        help="ICC profile to bake into the output (LUT-baked pre-quantization)",
+    )
+    p.add_argument(
+        "--softproof-profile",
+        metavar="ICC",
+        help="ICC profile to soft-proof through (with --display-profile as target)",
+    )
     p.add_argument("--full-res", action="store_true", help="disable half-size decode")
     p.add_argument("--trace", action="store_true", help="print per-stage timings")
     # Every ProfileParams/ImageParams field becomes a flag.
@@ -146,6 +156,23 @@ def main(argv: list[str] | None = None) -> int:
         None if args.print_film in (None, "", "None") else args.print_film
     )
 
+    icc_transform = None
+    if args.softproof_profile or args.display_profile:
+        from raw2film_tpu.io import icc as icc_mod
+
+        if args.softproof_profile:
+            icc_transform = icc_mod.build_softproof_transform(
+                args.softproof_profile, args.display_profile
+            )
+        else:
+            icc_transform = icc_mod.build_transform(args.display_profile)
+        if icc_transform is None:
+            print(
+                "warning: ICC support unavailable (PIL.ImageCms missing); "
+                "profiles ignored",
+                file=sys.stderr,
+            )
+
     proc = Processor()
     meta_by_src: dict[str, dict] = {}
 
@@ -170,6 +197,7 @@ def main(argv: list[str] | None = None) -> int:
             half_size=not args.full_res,
             max_scale=None if args.full_res else 400.0,
             seed=args.seed,
+            icc_transform=icc_transform,
             **merged,
         )
         # Metadata comes back through the Processor (single decode).

@@ -1,0 +1,26 @@
+#!/bin/bash
+# CI-style packaging gate (reference: .github/workflows/python-app.yml runs
+# its smoke test against the built wheel): build the wheel, install it into
+# a clean target dir, and import/exercise the package from OUTSIDE the repo.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+rm -rf build/pkg_smoke dist_build
+python -m pip wheel . --no-deps --no-build-isolation -w dist_build -q
+tmp=$(mktemp -d)
+trap 'rm -rf "$tmp"' EXIT
+python -m pip install --no-deps -q --target "$tmp" dist_build/*.whl
+cd /tmp
+PYTHONPATH="$tmp" python - <<'PY'
+import numpy as np
+import raw2film_tpu
+from raw2film_tpu import Processor, load_film_stocks
+
+stocks = load_film_stocks()
+assert len(stocks) >= 26, len(stocks)
+proc = Processor()
+img = np.abs(np.random.default_rng(0).normal(0.2, 0.1, (3, 48, 72))).astype(np.float32)
+out = proc.process(img, "Kodak Portra 400", print_film=None, grain=0,
+                   halation=False, sharpness=False, half_size=False, max_scale=None)
+assert out.shape == (48, 72, 3) and out.dtype == np.uint8
+print(f"wheel smoke OK: {len(stocks)} stocks, render {out.shape}")
+PY

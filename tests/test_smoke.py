@@ -18,6 +18,7 @@ PUBLIC_MODULES = [
     "raw2film_tpu.config",
     "raw2film_tpu.data",
     "raw2film_tpu.cli",
+    "raw2film_tpu.viewer",
     "raw2film_tpu.film",
     "raw2film_tpu.film.chain",
     "raw2film_tpu.film.grain",
@@ -33,6 +34,7 @@ PUBLIC_MODULES = [
     "raw2film_tpu.io.export",
     "raw2film_tpu.io.icc",
     "raw2film_tpu.io.lens",
+    "raw2film_tpu.io.lensfun_convert",
     "raw2film_tpu.io.ljpeg",
     "raw2film_tpu.io.raw",
     "raw2film_tpu.io.thumbnail",
