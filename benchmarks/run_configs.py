@@ -17,6 +17,8 @@ import numpy as np
 
 
 def _timed(jfn, args, iters=6):
+    # Sub-5ms configs need many iterations: the FIFO delta (t_many - t_one)
+    # hits the tunnel's noise floor otherwise.
     import jax
     import jax.numpy as jnp
 
@@ -85,7 +87,7 @@ def config_1():
     def run(x, bundle, key):
         return render_chain(x, bundle, cfg, key)
 
-    dt = _timed(run, (x, bundle, jax.random.PRNGKey(0)))
+    dt = _timed(run, (x, bundle, jax.random.PRNGKey(0)), iters=60)
     return {"config": 1, "name": "negative+print chain, 24MP", "ms": round(dt * 1e3, 1), "MP/s": round(h * w / 1e6 / dt, 1)}
 
 
@@ -172,7 +174,7 @@ def config_4():
     def prun(px, b, k):
         return render_chain(px, b, p_cfg, k)
 
-    pdt = _timed(prun, (px, p_bundle, jax.random.PRNGKey(0)))
+    pdt = _timed(prun, (px, p_bundle, jax.random.PRNGKey(0)), iters=60)
     return {
         "config": 4,
         "name": f"batch export {group * n_groups}x45MP (sub-groups of {group}) + simplified preview",
