@@ -287,6 +287,36 @@ def _stocks() -> list[FilmStock]:
         )
     )
 
+    s.append(
+        FilmStock(
+            name="Kodak Vision3 200T",
+            manufacturer="Kodak",
+            year=2010,
+            iso=200,
+            native_kelvin=3200.0,
+            resolution=150,
+            curve=_neg_curve(0.55, dmin=(0.19, 0.56, 0.86), latitude=3.8, toe=0.43, sh=0.70),
+            sens=Sensitivities(peaks=(645.0, 550.0, 463.0), widths=(38.0, 36.0, 33.0)),
+            grain=GrainModel(rms=3.0),
+            mtf_model=MTFModel(f50=70.0, adj=0.30),
+            comment="Tungsten-balanced mid-speed motion-picture negative.",
+        )
+    )
+    s.append(
+        FilmStock(
+            name="Fuji Superia 1600",
+            manufacturer="Fujifilm",
+            year=2000,
+            iso=1600,
+            resolution=85,
+            curve=_neg_curve(0.63, dmin=(0.23, 0.66, 0.98), speed=0.2, latitude=2.9, toe=0.48, sh=0.6),
+            sens=Sensitivities(peaks=(637.0, 553.0, 469.0), widths=(39.0, 39.0, 35.0)),
+            grain=GrainModel(rms=8.5),
+            mtf_model=MTFModel(f50=38.0, adj=0.30),
+            comment="Push-speed party film: coarse grain, lifted base fog.",
+        )
+    )
+
     # ----------------------------------------------------- black & white
     s.append(
         FilmStock(
@@ -355,6 +385,63 @@ def _stocks() -> list[FilmStock]:
             grain=GrainModel(rms=7.2, floor=0.25),
             mtf_model=MTFModel(f50=45.0, adj=0.36),
             comment="Gritty budget BW with pronounced grain.",
+        )
+    )
+
+    s.append(
+        FilmStock(
+            name="Kodak T-Max 100",
+            manufacturer="Kodak",
+            year=1986,
+            iso=100,
+            resolution=200,
+            density_measure="bw",
+            curve=_bw_curve(0.70, dmin=0.08, latitude=3.0),
+            grain=GrainModel(rms=1.9, floor=0.14),
+            mtf_model=MTFModel(f50=110.0, adj=0.30),
+            comment="Tabular-grain technical BW: the resolution champion.",
+        )
+    )
+    s.append(
+        FilmStock(
+            name="Kodak T-Max 400",
+            manufacturer="Kodak",
+            year=1986,
+            iso=400,
+            resolution=125,
+            density_measure="bw",
+            curve=_bw_curve(0.67, dmin=0.10, latitude=3.2),
+            grain=GrainModel(rms=3.6, floor=0.18),
+            mtf_model=MTFModel(f50=75.0, adj=0.32),
+            comment="Fast tabular-grain BW: Tri-X speed, Delta-class grain.",
+        )
+    )
+    s.append(
+        FilmStock(
+            name="Ilford FP4 Plus 125",
+            manufacturer="Ilford",
+            year=1990,
+            iso=125,
+            resolution=145,
+            density_measure="bw",
+            curve=_bw_curve(0.63, dmin=0.11, latitude=3.4),
+            grain=GrainModel(rms=3.4, floor=0.19),
+            mtf_model=MTFModel(f50=72.0, adj=0.31),
+            comment="Classic cubic-grain mid-speed BW with a gentle shoulder.",
+        )
+    )
+    s.append(
+        FilmStock(
+            name="Ilford Delta 3200",
+            manufacturer="Ilford",
+            year=1998,
+            iso=3200,
+            resolution=70,
+            density_measure="bw",
+            curve=_bw_curve(0.58, dmin=0.22, speed=0.3, latitude=2.8),
+            grain=GrainModel(rms=11.0, floor=0.30),
+            mtf_model=MTFModel(f50=32.0, adj=0.34),
+            comment="Ultra-speed low-light BW: heavy grain, soft gradation.",
         )
     )
 

@@ -203,6 +203,22 @@ class TestStocks:
         assert d.shape == (3,)
         assert np.all(d > PORTRA.curve.d_min) and np.all(d < 3.0)
 
+    def test_every_camera_stock_renders(self):
+        """Every stock in the database builds a chain and renders a grey ramp
+        to finite, near-neutral, monotone output (guards new stock defs)."""
+        g, xyz = _grey_ramp(7)
+        for name, neg in camera_stocks().items():
+            prt = None if neg.film_type == "positive" else PAPER
+            neg_p = chain.build_negative_params(neg)
+            prt_p = chain.build_print_params(neg, prt, neg_params=neg_p)
+            out_p = chain.build_output_params(neg, prt, prt_p, neg_p)
+            out = chain.render_oracle(xyz, neg_p, prt_p, out_p)
+            assert np.all(np.isfinite(out)), name
+            lum = out.mean(axis=0)[:, 0]
+            assert lum[-1] > lum[0], name  # brighter scene -> brighter render
+            mid = out[:, 3, 0]
+            assert np.max(mid) - np.min(mid) < 0.12, (name, mid)  # neutral stays near-neutral
+
 
 class TestLutBuilders:
     def test_input_lut_shape_and_energy(self):
