@@ -59,21 +59,41 @@ def _down_kernel(x_ref, dh_ref, dwm_ref, dwl_ref, o_ref, *, f, chunk, w_in):
         )
 
 
+VMEM_BLOCK_BUDGET = 6 << 20  # bytes per pipelined block
+
+
 def box_downsample_pallas(
     img: jnp.ndarray, f: int, chunk: int = 512, interpret: bool = False
 ) -> jnp.ndarray:
-    """(C, H, W) -> (C, H//f, W//f) block mean; f in {2, 4, 8}.
+    """(C, H, W) -> (C, H//f, W//f) block mean, any integer f (the burn glow
+    uses f ~ min(H,W)/50, i.e. >100 at 45MP).
 
     Same semantics as ops.conv.box_downsample (crops the remainder).
     """
-    assert chunk % f == 0
     c, h, w = img.shape
+    f = int(f)
     h2, w2 = h // f, w // f
+    chunk = f * max(1, chunk // f)
+    # Input row-band block is (th_out * f, w2 * f) f32. Mosaic requires the
+    # sublane dim divisible by 8, so th_out * f must be too; halve th_out
+    # only while that holds and the block exceeds the VMEM budget.
     th_out = max(SUBLANE, 32 // f)
+    while (
+        th_out > 1
+        and th_out % 2 == 0
+        and (th_out // 2) * f % SUBLANE == 0
+        and th_out * f * w2 * f * 4 > VMEM_BLOCK_BUDGET
+    ):
+        th_out //= 2
     th = th_out * f
     hp2 = _round_up(h2, th_out)
     hp = hp2 * f
-    if h2 < th_out or w2 * f < 2 * chunk:
+    if (
+        h2 < th_out
+        or w2 * f < 2 * chunk
+        or th % SUBLANE != 0
+        or th * w2 * f * 4 > VMEM_BLOCK_BUDGET
+    ):
         from raw2film_tpu.ops import conv as convops
 
         return convops.box_downsample(img, f)
@@ -82,15 +102,18 @@ def box_downsample_pallas(
         x = jnp.pad(x, [(0, 0), (0, hp - h2 * f), (0, 0)], mode="edge")
     w_in = w2 * f
 
+    # 0/1 summing bands (bf16-exact on the MXU for ANY f — 1/f taps round at
+    # 2^-9 for f not a power of two); the 1/f^2 mean scale applies after the
+    # kernel on the small output.
     dh = np.zeros((th_out, th), np.float32)
     for i in range(th_out):
-        dh[i, i * f : (i + 1) * f] = 1.0 / f
+        dh[i, i * f : (i + 1) * f] = 1.0
     last_cw = w_in - (len(_chunks(w_in, chunk)) - 1) * chunk
 
     def wmat(cw):
         m = np.zeros((cw, chunk // f), np.float32)
         for j in range(cw // f):
-            m[j * f : (j + 1) * f, j] = 1.0 / f
+            m[j * f : (j + 1) * f, j] = 1.0
         return m
 
     dwm, dwl = wmat(chunk), wmat(last_cw)
@@ -114,7 +137,7 @@ def box_downsample_pallas(
         ),
         interpret=interpret,
     )(x, jnp.asarray(dh), jnp.asarray(dwm), jnp.asarray(dwl))
-    return out[:, :h2, :]
+    return out[:, :h2, :] * np.float32(1.0 / (f * f))
 
 
 # -------------------------------------------------------------------- up
@@ -273,15 +296,26 @@ def bilinear_upsample_pallas(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """(C, h, w) -> (C, oh, ow) half-pixel bilinear upsample by integer
-    factor f, cropped to ``out_hw`` (<= (h*f, w*f)). Matches
+    factor f (any value), cropped to ``out_hw`` (<= (h*f, w*f)). Matches
     jax.image.resize(..., method="bilinear") for the f-times shape."""
-    assert chunk % f == 0
     c, hs, ws = img.shape
+    f = int(f)
+    chunk = f * max(1, chunk // f)
     oh, ow = out_hw if out_hw is not None else (hs * f, ws * f)
-    th = tile_out
+    # Mosaic sublane divisibility: output bands (th) and input bands (th/f)
+    # must both be multiples of 8, so th is a multiple of 8f. Large f makes
+    # that blow the VMEM budget — those cases (the burn glow) use the
+    # selection-matmul formulation in ops.conv instead.
+    th = SUBLANE * f * max(1, tile_out // (SUBLANE * f))
     th_in = th // f
     w_out = ws * f
-    if hs <= 2 * th_in or w_out < 3 * chunk or oh > hs * f or ow > w_out:
+    if (
+        hs <= 2 * th_in
+        or w_out < 3 * chunk
+        or oh > hs * f
+        or ow > w_out
+        or th * w_out * 4 > VMEM_BLOCK_BUDGET
+    ):
         return jax.image.resize(img, (c, oh, ow), method="bilinear")
     hp_in = _round_up(hs, th_in)
     # One extra edge-replicated block on top and bottom: stored block j+1

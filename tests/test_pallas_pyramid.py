@@ -34,6 +34,15 @@ class TestBoxDownsample:
         got = box_downsample_pallas(img, 4, interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
 
+    @pytest.mark.parametrize("f", [55, 110])
+    def test_large_factor(self, f):
+        """The burn glow downsamples by f ~ min(H,W)/50 (>100 at 45MP)."""
+        img = _img(1, 9 * f + 13, 15 * f + 7)
+        want = convops.box_downsample(img, f)
+        got = box_downsample_pallas(img, f, interpret=True)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
 
 class TestBilinearUpsample:
     @pytest.mark.parametrize("f", [2, 4])
@@ -59,6 +68,51 @@ class TestBilinearUpsample:
         want = jax.image.resize(img, (3, 40, 120), method="bilinear")
         got = bilinear_upsample_pallas(img, 4, (40, 120), interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+    @pytest.mark.parametrize("f", [55, 110])
+    def test_large_factor(self, f):
+        img = _img(1, 11, 31)
+        want = jax.image.resize(img, (1, 11 * f, 31 * f), method="bilinear")
+        got = bilinear_upsample_pallas(img, f, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5
+        )
+
+
+class TestMatmulResample:
+    """The dense selection-matmul formulation (large-f burn glow path)."""
+
+    @pytest.mark.parametrize("f", [24, 110])
+    def test_box_downsample_mxu(self, f):
+        img = _img(1, 5 * f + 13, 9 * f + 7)
+        want = convops.box_downsample(img, f)
+        got = convops.box_downsample_mxu(img, f)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    @pytest.mark.parametrize("f", [24, 110])
+    def test_bilinear_upsample_mxu(self, f):
+        img = _img(1, 7, 11)
+        want = jax.image.resize(img, (1, 7 * f, 11 * f), method="bilinear")
+        got = convops.bilinear_upsample_mxu(img, f)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5
+        )
+
+    def test_down_up_blur_matches_xla(self, monkeypatch):
+        """burn.down_up_blur's MXU route must match the XLA formulation."""
+        from raw2film_tpu.ops import burn as burn_ops
+
+        mask = jnp.asarray(
+            np.maximum(RNG.normal(0.1, 0.4, (1, 9 * 55 + 13, 15 * 55 + 7)), 0).astype(np.float32)
+        )
+        want = burn_ops.down_up_blur(mask, burn_scale=9.0)  # factor 56
+        monkeypatch.setattr(convops, "_use_pallas", lambda: True)
+        got = burn_ops.down_up_blur(mask, burn_scale=9.0)
+        assert got.shape == want.shape
+        # zoom_upsample (align-corners-ish) vs half-pixel bilinear differ at
+        # sub-pixel scale on a heavily-blurred low-res mask.
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-3)
 
 
 class TestHalationPallasTier:
