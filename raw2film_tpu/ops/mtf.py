@@ -76,6 +76,23 @@ def film_sharpness(
     )
 
 
+def _svd_stack(k: np.ndarray, tol: float, max_rank: int):
+    """Per-channel SVD factorization padded to a common rank."""
+    us, vs = [], []
+    rank = 0
+    for c in range(3):
+        u, v = convops.svd_separable(k[c], tol=tol, max_rank=max_rank)
+        us.append(u)
+        vs.append(v)
+        rank = max(rank, u.shape[0])
+    u3 = np.zeros((3, rank, k.shape[-2]), np.float32)
+    v3 = np.zeros((3, rank, k.shape[-1]), np.float32)
+    for c in range(3):
+        u3[c, : us[c].shape[0]] = us[c]
+        v3[c, : vs[c].shape[0]] = vs[c]
+    return u3, v3
+
+
 def film_sharpness_from_key(
     img: jnp.ndarray,
     mtf_key: tuple,
@@ -89,17 +106,36 @@ def film_sharpness_from_key(
     )
     if k.shape[-1] <= 15:
         return convops.depthwise_conv2d(img, k)
-    us, vs = [], []
-    rank = 0
-    for c in range(3):
-        u, v = convops.svd_separable(k[c], tol=2e-3, max_rank=4)
-        us.append(u)
-        vs.append(v)
-        rank = max(rank, u.shape[0])
-    # Pad all channels to a common rank with zero terms.
-    u3 = np.zeros((3, rank, k.shape[-2]), np.float32)
-    v3 = np.zeros((3, rank, k.shape[-1]), np.float32)
-    for c in range(3):
-        u3[c, : us[c].shape[0]] = us[c]
-        v3[c, : vs[c].shape[0]] = vs[c]
+    u3, v3 = _svd_stack(k, tol=2e-3, max_rank=4)
     return convops.conv2d_svd(img, u3, v3)
+
+
+def film_sharpness_grain_from_key(
+    img: jnp.ndarray,
+    mtf_key: tuple,
+    scale: float,
+    sharpening_strength: float,
+    sharpening_sigma: float,
+    grain_seed,
+    grain_sigma_px: float,
+    grain_prm,
+    interpret: bool = False,
+) -> jnp.ndarray | None:
+    """MTF sharpness with the film-grain apply fused as an in-kernel epilogue
+    (the density never returns to HBM between the two stages). Returns None
+    when the Pallas path can't serve the shape — the caller then runs the
+    stages separately. Equals film_sharpness_from_key -> grain_apply_pallas
+    bit-for-bit (the grain field is positionally stateless).
+    """
+    from raw2film_tpu.ops import pallas_conv2
+
+    k = mtf_kernel(
+        mtf_key, float(scale), float(sharpening_strength), float(sharpening_sigma)
+    )
+    tol, max_rank = (1e-4, 6) if k.shape[-1] <= 15 else (2e-3, 4)
+    u3, v3 = _svd_stack(k, tol=tol, max_rank=max_rank)
+    return pallas_conv2.fused_sep_rank_mxu(
+        img, u3, v3, precision="dc",
+        grain=(grain_seed, grain_prm, float(grain_sigma_px)),
+        interpret=interpret,
+    )

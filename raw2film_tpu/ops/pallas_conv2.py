@@ -353,7 +353,7 @@ def _band_matrix(taps, ew: int, cw: int) -> np.ndarray:
 def _fused_rank_mxu_kernel(
     prev_ref, cur_ref, next_ref, *rest,
     ranks, th, chunk, w, rh_max, rw_max, nh, patch_edges, precision=None,
-    same_last=False,
+    same_last=False, grain_taps=None,
 ):
     """Like _fused_rank_kernel but the row conv is tmp @ B on the MXU.
 
@@ -362,14 +362,23 @@ def _fused_rank_mxu_kernel(
     With ``patch_edges`` the H neighbors arrive via CLAMPED index maps over
     the unpadded array (no jnp.pad copy of the frame) and the first/last
     row-band reflects its halo rows in-kernel.
+
+    ``grain_taps``: when set, a film-grain epilogue runs on each finished
+    chunk (MTF + grain mega-fusion: the post-conv density never returns to
+    HBM between the stages). The hash field is positionally stateless, so
+    this reproduces ops.pallas_grain.grain_apply_pallas bit-for-bit.
     """
-    # rest = [band_main_0, band_last_0, ...] + [colband_0, ...], o_ref, win, tmp
+    # rest = [band_main_0, band_last_0, ...] + [colband_0, ...],
+    #        [grain seed, grain prm (SMEM) if grain_taps], o_ref, win, tmp
     # band/colband refs are (1, ., .) blocks of per-channel (C_b, ., .)
     # stacks (C_b=1 when all channels share one kernel).
     nr = len(ranks)
     bands_per_rank = 1 if same_last else 2
     band_refs = rest[: bands_per_rank * nr]
     colband_refs = rest[bands_per_rank * nr : (bands_per_rank + 1) * nr]
+    if grain_taps is not None:
+        seed_ref = rest[(bands_per_rank + 1) * nr]
+        prm_ref = rest[(bands_per_rank + 1) * nr + 1]
     o_ref, win, tmp = rest[-3], rest[-2], rest[-1]
     n_chunks = len(_chunks(w, chunk))
     j = pl.program_id(1)
@@ -488,6 +497,22 @@ def _fused_rank_mxu_kernel(
             else:
                 o_ref[0, :, c0 : c0 + cw] = o_ref[0, :, c0 : c0 + cw] + res
 
+        if grain_taps is not None:
+            from raw2film_tpu.ops.pallas_grain import (
+                grain_amplitude_block,
+                grain_field_block,
+            )
+
+            field = grain_field_block(
+                seed_ref, grain_taps, th, cw,
+                j * np.int32(th), np.int32(c0),
+                pl.program_id(0) * np.int32(-1640531527),
+            )
+            d = o_ref[0, :, c0 : c0 + cw]
+            o_ref[0, :, c0 : c0 + cw] = jnp.maximum(
+                d + grain_amplitude_block(d, prm_ref) * field, np.float32(0.0)
+            )
+
 
 def fused_sep_rank_mxu(
     img: jnp.ndarray,
@@ -497,7 +522,8 @@ def fused_sep_rank_mxu(
     chunk: int = 512,
     interpret: bool = False,
     precision=None,
-) -> jnp.ndarray:
+    grain: tuple | None = None,
+) -> jnp.ndarray | None:
     """fused_sep_rank with the row conv on the MXU via banded matmuls.
 
     ``u``/``v`` are either rank lists [(k,), ...] shared across channels, or
@@ -507,6 +533,11 @@ def fused_sep_rank_mxu(
 
     Requires W % chunk handling: a distinct band matrix serves the (possibly
     shorter) last chunk.
+
+    ``grain``: optional (seed uint32[1], prm f32[6], sigma_px) — fuses the
+    film-grain apply (ops.pallas_grain semantics) onto the conv output as an
+    in-kernel epilogue. Returns None if the shape forces the XLA fallback
+    (the caller then runs conv and grain separately).
     """
     c, h, w = img.shape
     if precision is not None and precision not in ("split", "dc"):
@@ -538,6 +569,8 @@ def fused_sep_rank_mxu(
     th = min(max(tile_h, _round_up(rh_max, SUBLANE)), _round_up(h, SUBLANE))
     hp = _round_up(h, th)
     if rh_max > th or h <= 2 * th + 1 or hp - h + th >= h or w <= chunk:
+        if grain is not None:
+            return None  # caller falls back to conv + separate grain apply
         if per_channel:
             return jnp.concatenate(
                 [
@@ -636,12 +669,26 @@ def fused_sep_rank_mxu(
         col_specs.append(spec)
     band_specs += col_specs
     band_args += col_args
+    grain_taps = None
+    if grain is not None:
+        from raw2film_tpu.ops.pallas_grain import grain_corr_taps
+
+        seed_arr, prm_arr, sigma_px = grain
+        grain_taps = grain_corr_taps(float(sigma_px))
+        band_specs += [
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ]
+        band_args += [
+            seed_arr.astype(jnp.uint32).reshape(1),
+            jnp.asarray(prm_arr, jnp.float32).reshape(6),
+        ]
     out = pl.pallas_call(
         lambda p_ref, c_ref, n_ref, *rest: _fused_rank_mxu_kernel(
             p_ref, c_ref, n_ref, *rest,
             ranks=ranks, th=th, chunk=chunk, w=w, rh_max=rh_max,
             rw_max=rw_max, nh=nh, patch_edges=patch_edges, precision=precision,
-            same_last=same_last,
+            same_last=same_last, grain_taps=grain_taps,
         ),
         out_shape=jax.ShapeDtypeStruct((c, hp, w), img.dtype),
         grid=(c, nh),

@@ -91,6 +91,64 @@ def _gauss_pair(u_bits, v_bits):
     return (i32.astype(jnp.float32) - np.float32(32.0)) * np.float32(0.25)
 
 
+def grain_corr_taps(sigma_px: float) -> tuple:
+    """Host: L2-normalized correlation taps (separable pass applied twice
+    keeps the field at unit variance). sigma_px < 0.3 -> white noise."""
+    if sigma_px >= 0.3:
+        from raw2film_tpu.ops.conv import gaussian_kernel1d
+
+        k = gaussian_kernel1d(sigma_px, truncate=2.5).astype(np.float64)
+        k = k / np.linalg.norm(k)
+    else:
+        k = np.ones(1, np.float64)
+    return tuple(float(t) for t in k)
+
+
+def grain_field_block(seed_ref, taps, th, cw, row0, col0, z_mul):
+    """In-kernel: the correlated grain field for an output block whose top-left
+    is (row0, col0). Positionally stateless: the noise sample feeding output
+    (y, x) at tap (qy, qx) has hash coordinates (y + qy, x + qx), so ANY
+    tiling reproduces the identical field (this is what lets the grain
+    epilogue fuse into other kernels bit-exactly)."""
+    r = len(taps) // 2
+    eh = th + 2 * r
+    ew = cw + 2 * r
+    yy_i = jax.lax.broadcasted_iota(jnp.int32, (eh, ew), 0) + row0
+    xx_i = jax.lax.broadcasted_iota(jnp.int32, (eh, ew), 1) + col0
+    z_i = jnp.full((eh, ew), 1, jnp.int32) * z_mul
+    a, b, _ = _pcg3d(
+        pltpu.bitcast(xx_i, jnp.uint32),
+        pltpu.bitcast(yy_i, jnp.uint32),
+        pltpu.bitcast(z_i, jnp.uint32) + seed_ref[0],
+    )
+    noise = _gauss_pair(a, b)
+    col = None
+    for q in range(len(taps)):
+        term = taps[q] * noise[q : q + th, :]
+        col = term if col is None else col + term
+    field = None
+    for q in range(len(taps)):
+        term = taps[q] * col[:, q : q + cw]
+        field = term if field is None else field + term
+    return field
+
+
+def grain_amplitude_block(d, prm_ref):
+    """In-kernel: rms_eff * shape(d) amplitude from the SMEM param vector
+    [rms_eff, floor, peak_over_rng_half, inv_width, lo, inv_rng]."""
+    rms_eff = prm_ref[0]
+    floor = prm_ref[1]
+    peak_half = prm_ref[2]
+    inv_width = prm_ref[3]
+    lo = prm_ref[4]
+    inv_rng = prm_ref[5]
+    t = (d - lo) * inv_rng
+    shape = floor + (np.float32(1.0) - floor) * jnp.exp(
+        np.float32(-0.5) * ((t - peak_half - np.float32(0.25)) * inv_width) ** 2
+    )
+    return rms_eff * shape
+
+
 def _grain_kernel(seed_ref, o_ref, *, taps, th, w, chunk, row0_offset):
     """Write one (1, th, w) block of correlated unit-variance noise."""
     # Mosaic restrictions shape this: program_id is int32 (and int32 leaking
@@ -142,14 +200,7 @@ def grain_field_pallas(
     seed. sigma_px < 0.3 yields uncorrelated white noise (identity kernel,
     reference gpu_processor.py:931-932 fallback)."""
     h, w = shape_hw
-    if sigma_px >= 0.3:
-        from raw2film_tpu.ops.conv import gaussian_kernel1d
-
-        k = gaussian_kernel1d(sigma_px, truncate=2.5).astype(np.float64)
-        k = k / np.linalg.norm(k)  # separable pass applied twice -> unit L2
-    else:
-        k = np.ones(1, np.float64)
-    taps = tuple(float(t) for t in k)
+    taps = grain_corr_taps(sigma_px)
     th = min(tile_h, _round_up(h, SUBLANE))
     hp = _round_up(h, th)
     c = 1 if bw else 3
@@ -181,41 +232,15 @@ def _grain_apply_kernel(seed_ref, prm_ref, d_ref, o_ref, *, taps, th, w, chunk):
     """
     ch = pl.program_id(0)
     j = pl.program_id(1)
-    r = len(taps) // 2
-    eh = th + 2 * r
-    rms_eff = prm_ref[0]
-    floor = prm_ref[1]
-    peak_half = prm_ref[2]
-    inv_width = prm_ref[3]
-    lo = prm_ref[4]
-    inv_rng = prm_ref[5]
     for c0 in range(0, w, chunk):
         cw = min(chunk, w - c0)
-        ew = cw + 2 * r
-        yy_i = jax.lax.broadcasted_iota(jnp.int32, (eh, ew), 0) + j * np.int32(th)
-        xx_i = jax.lax.broadcasted_iota(jnp.int32, (eh, ew), 1) + np.int32(c0)
-        z_i = jnp.full((eh, ew), 1, jnp.int32) * (ch * np.int32(-1640531527))
-        a, b, _ = _pcg3d(
-            pltpu.bitcast(xx_i, jnp.uint32),
-            pltpu.bitcast(yy_i, jnp.uint32),
-            pltpu.bitcast(z_i, jnp.uint32) + seed_ref[0],
+        field = grain_field_block(
+            seed_ref, taps, th, cw,
+            j * np.int32(th), np.int32(c0), ch * np.int32(-1640531527),
         )
-        noise = _gauss_pair(a, b)
-        col = None
-        for q in range(len(taps)):
-            term = taps[q] * noise[q : q + th, :]
-            col = term if col is None else col + term
-        field = None
-        for q in range(len(taps)):
-            term = taps[q] * col[:, q : q + cw]
-            field = term if field is None else field + term
         d = d_ref[0, :, c0 : c0 + cw]
-        t = (d - lo) * inv_rng
-        shape = floor + (np.float32(1.0) - floor) * jnp.exp(
-            np.float32(-0.5) * ((t - peak_half - np.float32(0.25)) * inv_width) ** 2
-        )
         o_ref[0, :, c0 : c0 + cw] = jnp.maximum(
-            d + rms_eff * shape * field, np.float32(0.0)
+            d + grain_amplitude_block(d, prm_ref) * field, np.float32(0.0)
         )
 
 
@@ -235,14 +260,7 @@ def grain_apply_pallas(
 ) -> jnp.ndarray:
     """Fused color-grain apply (independent per-channel fields)."""
     c, h, w = density.shape
-    if sigma_px >= 0.3:
-        from raw2film_tpu.ops.conv import gaussian_kernel1d
-
-        k = gaussian_kernel1d(sigma_px, truncate=2.5).astype(np.float64)
-        k = k / np.linalg.norm(k)
-    else:
-        k = np.ones(1, np.float64)
-    taps = tuple(float(t) for t in k)
+    taps = grain_corr_taps(sigma_px)
     th = min(tile_h, _round_up(h, SUBLANE))
     hp = _round_up(h, th)
     d = density
@@ -345,14 +363,7 @@ def grain_apply_bw_pallas(
 ) -> jnp.ndarray:
     """Fused BW-grain apply (shared field, channel-mean amplitude)."""
     c, h, w = density.shape
-    if sigma_px >= 0.3:
-        from raw2film_tpu.ops.conv import gaussian_kernel1d
-
-        k = gaussian_kernel1d(sigma_px, truncate=2.5).astype(np.float64)
-        k = k / np.linalg.norm(k)
-    else:
-        k = np.ones(1, np.float64)
-    taps = tuple(float(t) for t in k)
+    taps = grain_corr_taps(sigma_px)
     th = min(tile_h, _round_up(h, SUBLANE))
     hp = _round_up(h, th)
     d = density

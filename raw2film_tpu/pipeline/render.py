@@ -214,12 +214,11 @@ def render_chain(
     )
     d = jnp.stack(dp)
 
-    if cfg.sharpness and cfg.has_mtf and cfg.mtf_key is not None:
-        d = mtf_ops.film_sharpness_from_key(
-            d, cfg.mtf_key, cfg.scale, cfg.sharpening_strength, cfg.sharpening_sigma
-        )
+    mtf_on = cfg.sharpness and cfg.has_mtf and cfg.mtf_key is not None
+    grain_on = bool(cfg.grain and cfg.has_grain)
 
-    if cfg.grain and cfg.has_grain:
+    grain_prm = None
+    if grain_on:
         peak, width, floor, d_lo, d_hi = (
             bundle["grain_shape"][0],
             bundle["grain_shape"][1],
@@ -230,8 +229,40 @@ def render_chain(
         rng = jnp.maximum(d_hi - d_lo, 1e-3)
         pixel_um = 1000.0 / cfg.scale
         rms_eff = (bundle["grain_rms"] / 1000.0) * (48.0 / pixel_um)
-        from raw2film_tpu.ops.conv import _use_pallas
+        grain_prm = (
+            rms_eff,
+            floor,
+            peak / rng * 0.5,
+            1.0 / (width * 0.35),
+            d_lo,
+            1.0 / rng,
+        )
 
+    from raw2film_tpu.ops.conv import _use_pallas
+
+    if mtf_on and grain_on and cfg.grain == 2 and _use_pallas():
+        # Mega-fusion: MTF conv + grain epilogue in ONE pallas kernel — the
+        # density-domain image makes one HBM round trip for both stages.
+        from raw2film_tpu.ops.grain import correlation_sigma_px
+
+        seed = (noise_key[0] ^ noise_key[1]).astype(jnp.uint32).reshape(1)
+        fused = mtf_ops.film_sharpness_grain_from_key(
+            d, cfg.mtf_key, cfg.scale,
+            cfg.sharpening_strength, cfg.sharpening_sigma,
+            seed,
+            correlation_sigma_px(cfg.scale, cfg.grain_size_mm, cfg.grain_sigma),
+            jnp.stack([jnp.asarray(p, jnp.float32).reshape(()) for p in grain_prm]),
+        )
+        if fused is not None:
+            d = fused
+            mtf_on = grain_on = False
+
+    if mtf_on:
+        d = mtf_ops.film_sharpness_from_key(
+            d, cfg.mtf_key, cfg.scale, cfg.sharpening_strength, cfg.sharpening_sigma
+        )
+
+    if grain_on:
         if cfg.grain in (1, 2) and _use_pallas():
             # Fully fused: hash noise + correlation + amplitude + add in one
             # streaming pass (ops/pallas_grain.py). grain==1 shares one field
@@ -248,12 +279,7 @@ def render_chain(
                 d,
                 seed,
                 correlation_sigma_px(cfg.scale, cfg.grain_size_mm, cfg.grain_sigma),
-                rms_eff,
-                floor,
-                peak / rng * 0.5,
-                1.0 / (width * 0.35),
-                d_lo,
-                1.0 / rng,
+                *grain_prm,
             )
         else:
             field = grain_ops.generate_grain_field(

@@ -103,6 +103,51 @@ class TestPallasGrain:
         np.testing.assert_allclose(out, want, atol=1e-6)
 
 
+class TestMtfGrainMegaFusion:
+    def test_fused_equals_sequential(self):
+        """MTF conv + grain epilogue in one kernel == conv then
+        grain_apply_pallas (the grain field is positionally stateless)."""
+        from raw2film_tpu.ops import pallas_conv2 as pc2
+        from raw2film_tpu.ops.pallas_grain import grain_apply_pallas
+
+        rng = np.random.default_rng(3)
+        img = jnp.asarray(rng.uniform(0.2, 2.4, (3, 128, 640)).astype(np.float32))
+        u = rng.random((3, 2, 9)).astype(np.float32) * 0.3
+        v = rng.random((3, 2, 9)).astype(np.float32) * 0.3
+        seed = jnp.asarray([13], jnp.uint32)
+        prm = jnp.asarray([0.04, 0.15, 0.17, 2.38, 0.2, 0.37], jnp.float32)
+        sigma_px = 0.9
+        fused = pc2.fused_sep_rank_mxu(
+            img, u, v, chunk=256, interpret=True,
+            grain=(seed, prm, sigma_px),
+        )
+        assert fused is not None
+        conv = pc2.fused_sep_rank_mxu(img, u, v, chunk=256, interpret=True)
+        want = grain_apply_pallas(
+            conv, seed, sigma_px, *[float(p) for p in np.asarray(prm)],
+            interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(fused), np.asarray(want), atol=1e-6
+        )
+
+    def test_fallback_returns_none(self):
+        from raw2film_tpu.ops import pallas_conv2 as pc2
+
+        rng = np.random.default_rng(4)
+        img = jnp.asarray(rng.random((3, 24, 40)).astype(np.float32))
+        u = rng.random((3, 1, 5)).astype(np.float32)
+        v = rng.random((3, 1, 5)).astype(np.float32)
+        seed = jnp.asarray([13], jnp.uint32)
+        prm = jnp.asarray([0.04, 0.15, 0.17, 2.38, 0.2, 0.37], jnp.float32)
+        assert (
+            pc2.fused_sep_rank_mxu(
+                img, u, v, interpret=True, grain=(seed, prm, 0.9)
+            )
+            is None
+        )
+
+
 class TestFusedRankPerChannel:
     def test_per_channel_single_launch_matches_xla(self):
         import numpy as np
