@@ -105,6 +105,51 @@ def _gaussian_pyramid_blur(img: jnp.ndarray, sigma: float) -> jnp.ndarray:
     return convops.bilinear_upsample(blurred, img.shape[-2:])
 
 
+@lru_cache(maxsize=32)
+def _full_res_ranks(size: float):
+    """Host: separable rank terms for the full-res part of the mixture tier
+    (inner correction + sub-pyramid Gaussians COMBINED into one 2D kernel and
+    SVD-factored — one fewer rank than factoring them independently), plus
+    the pyramid (sigma, weight) terms grouped by decimation factor.
+
+    Returns (us, vs, by_factor) with us/vs tuples of 1-D tap tuples.
+    """
+    sigmas, weights, inner, _ = fit_gaussian_mixture(size)
+    full, by_factor = [], {}
+    for s, w in zip(sigmas, weights):
+        if w <= 1e-6:
+            continue
+        if s <= PYRAMID_SIGMA:
+            full.append((s, w))
+        else:
+            by_factor.setdefault(4 if s <= 48.0 else 8, []).append((s, w))
+    rad = INNER_RADIUS
+    for s, _ in full:
+        rad = max(rad, int(3.0 * s + 0.5))
+    n = 2 * rad + 1
+    comb = np.zeros((n, n), np.float64)
+    ir = inner.shape[0] // 2
+    comb[rad - ir : rad + ir + 1, rad - ir : rad + ir + 1] += inner
+    for s, w in full:
+        g = convops.gaussian_kernel1d(s, truncate=3.0).astype(np.float64)
+        r1 = len(g) // 2
+        comb[rad - r1 : rad + r1 + 1, rad - r1 : rad + r1 + 1] += w * np.outer(g, g)
+    u, v = convops.svd_separable(comb, tol=3e-3, max_rank=5)
+    us = tuple(tuple(float(t) for t in r_) for r_ in u)
+    vs = tuple(tuple(float(t) for t in r_) for r_ in v)
+    return us, vs, by_factor
+
+
+def _pyramid_small_blur(img: jnp.ndarray, f: int, terms) -> jnp.ndarray:
+    """Decimate by ``f`` and apply the pyramid Gaussian terms (fused ranks)."""
+    from raw2film_tpu.ops import pallas_conv2, pallas_pyramid
+
+    small = pallas_pyramid.box_downsample_pallas(img, f)
+    su = [w * convops.gaussian_kernel1d(s / f, truncate=3.0) for s, w in terms]
+    sv = [convops.gaussian_kernel1d(s / f, truncate=3.0) for s, _ in terms]
+    return pallas_conv2.fused_sep_rank_mxu(small, su, sv)
+
+
 def halation_blur(
     img: jnp.ndarray, scale: float, halation_size: float, exact: bool = False
 ) -> jnp.ndarray:
@@ -119,40 +164,58 @@ def halation_blur(
             exponential_blur_kernel(size).astype(np.float32), tol=1e-4, max_rank=8
         )
         return convops.conv2d_svd(img, u, v)
-    sigmas, weights, inner, _ = fit_gaussian_mixture(size)
     if convops._use_pallas():
         from raw2film_tpu.ops import pallas_conv2, pallas_pyramid
 
-        us, vs = [], []
-        ui, vi = convops.svd_separable(inner, tol=1e-3, max_rank=3)
-        us.extend(list(ui))
-        vs.extend(list(vi))
-        by_factor: dict[int, list[tuple[float, float]]] = {}
-        for s, w in zip(sigmas, weights):
-            if w <= 1e-6:
-                continue
-            if s <= PYRAMID_SIGMA:
-                g = convops.gaussian_kernel1d(s, truncate=3.0)
-                us.append(w * g)
-                vs.append(g)
-            else:
-                by_factor.setdefault(4 if s <= 48.0 else 8, []).append((s, w))
-        blur = pallas_conv2.fused_sep_rank_mxu(img, us, vs)
+        us, vs, by_factor = _full_res_ranks(size)
+        blur = pallas_conv2.fused_sep_rank_mxu(img, list(us), list(vs))
         for f, terms in by_factor.items():
-            small = pallas_pyramid.box_downsample_pallas(img, f)
-            su = [w * convops.gaussian_kernel1d(s / f, truncate=3.0) for s, w in terms]
-            sv = [convops.gaussian_kernel1d(s / f, truncate=3.0) for s, _ in terms]
-            small_blur = pallas_conv2.fused_sep_rank_mxu(small, su, sv)
+            small_blur = _pyramid_small_blur(img, f, terms)
             blur = blur + pallas_pyramid.bilinear_upsample_pallas(
                 small_blur, f, img.shape[-2:]
             )
         return blur
+    sigmas, weights, inner, _ = fit_gaussian_mixture(size)
     blur = convops.depthwise_conv2d(img, inner)
     for s, w in zip(sigmas, weights):
         if w <= 1e-6:
             continue
         blur = blur + w * _gaussian_pyramid_blur(img, s)
     return blur
+
+
+def halation_combined_fused(
+    img: jnp.ndarray,
+    scale: float,
+    halation_size: float,
+    factors: jnp.ndarray,
+    interpret: bool = False,
+) -> jnp.ndarray | None:
+    """The whole halation stage — full-res ranks + /4 pyramid upsample +
+    per-channel combine — in ONE streaming pallas kernel
+    (ops/pallas_halation.py). ``factors``: traced (3,) color factors.
+
+    Returns None when the mixture tier doesn't apply or the shape can't be
+    served; the caller falls back to halation_blur + elementwise combine.
+    """
+    size = scale / 4.0 * halation_size
+    if size <= 40.0 or not convops._use_pallas():
+        return None
+    h, w = img.shape[-2:]
+    if h % 4 or w % 4:
+        return None
+    us, vs, by_factor = _full_res_ranks(size)
+    if list(by_factor) != [4]:
+        return None  # mega kernel serves the /4-only pyramid (all real scales)
+    from raw2film_tpu.ops import pallas_halation, pallas_pyramid
+
+    small_blur = _pyramid_small_blur(img, 4, by_factor[4])
+    small_rows_up = pallas_pyramid.bilinear_upsample_rows_pallas(
+        small_blur, 4, oh=h, interpret=interpret
+    )
+    return pallas_halation.halation_mega(
+        img, list(us), list(vs), small_rows_up, factors, interpret=interpret
+    )
 
 
 def halation_with_factors(

@@ -239,6 +239,69 @@ def half_size_decode_pallas(
     return out[:, :h2, :]
 
 
+def _up_rows_kernel(prev_ref, cur_ref, next_ref, uh_ref, o_ref, *, th_in):
+    win_rows = jnp.concatenate(
+        [
+            prev_ref[0, th_in - 1 : th_in, :],
+            cur_ref[0, :, :],
+            next_ref[0, 0:1, :],
+        ],
+        axis=0,
+    )
+    o_ref[0, :, :] = jnp.dot(
+        uh_ref[...], win_rows, preferred_element_type=jnp.float32
+    )
+
+
+def bilinear_upsample_rows_pallas(
+    img: jnp.ndarray,
+    f: int,
+    oh: int | None = None,
+    tile_out: int = 32,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(C, h, w) -> (C, oh, w): half-pixel bilinear upsample of the ROW axis
+    only (columns untouched), cropped to ``oh`` <= h*f. Feeds kernels that
+    fuse the horizontal lerp in-kernel (ops/pallas_halation.py): the
+    intermediate is w/f-wide, so materializing it costs 1/f of a full
+    upsample."""
+    c, hs, ws = img.shape
+    f = int(f)
+    oh = hs * f if oh is None else oh
+    th = SUBLANE * f * max(1, tile_out // (SUBLANE * f))
+    th_in = th // f
+    if (
+        hs <= 2 * th_in
+        or oh > hs * f
+        or hs % th_in != 0
+        or th * ws * 4 > VMEM_BLOCK_BUDGET
+    ):
+        return jax.image.resize(img, (c, hs * f, ws), method="bilinear")[:, :oh, :]
+    nh = hs // th_in
+    # One edge-replicated block top and bottom: stored block j+1 holds input
+    # band j, and edge replication IS the bilinear edge clamp.
+    x = jnp.pad(img, [(0, 0), (th_in, th_in), (0, 0)], mode="edge")
+    uh_t = np.ascontiguousarray(
+        _lerp_matrix(th, f, clamp_lo=False, clamp_hi=False).T
+    )
+    out = pl.pallas_call(
+        lambda p, cu, n, uh, o: _up_rows_kernel(p, cu, n, uh, o, th_in=th_in),
+        out_shape=jax.ShapeDtypeStruct((c, hs * f, ws), img.dtype),
+        grid=(c, nh),
+        in_specs=[
+            pl.BlockSpec((1, th_in, ws), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th_in, ws), lambda i, j: (i, j + 1, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th_in, ws), lambda i, j: (i, j + 2, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(uh_t.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, th, ws), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(x, x, x, jnp.asarray(uh_t))
+    return out[:, :oh, :]
+
+
 def _up_kernel(
     prev_ref, cur_ref, next_ref, uh_ref, uwf_ref, uwm_ref, uwl_ref,
     o_ref, win, *, f, th_in, chunk, w_out,

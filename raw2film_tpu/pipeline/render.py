@@ -193,12 +193,20 @@ def render_chain(
             if not cfg.bw
             else jnp.stack([g, g, g])
         )
-        # Blur on the stacked image; the normalize-combine stays in planes
-        # so it fuses into the develop section's elementwise pass.
-        blur = hal_ops.halation_blur(jnp.stack(ep), cfg.scale, cfg.halation_size)
-        ep = tuple(
-            (ep[c] + factors[c] * blur[c]) / (1.0 + factors[c]) for c in range(3)
+        # Mega path: ranks + pyramid upsample + combine in one pallas kernel
+        # (the glow never touches HBM). Fallback: blur on the stacked image
+        # with the normalize-combine in planes so it fuses into the develop
+        # section's elementwise pass.
+        combined = hal_ops.halation_combined_fused(
+            jnp.stack(ep), cfg.scale, cfg.halation_size, factors
         )
+        if combined is not None:
+            ep = _planes(combined)
+        else:
+            blur = hal_ops.halation_blur(jnp.stack(ep), cfg.scale, cfg.halation_size)
+            ep = tuple(
+                (ep[c] + factors[c] * blur[c]) / (1.0 + factors[c]) for c in range(3)
+            )
 
     # Development: log exposure -> status densities (+ masking coupling).
     xp = tuple(

@@ -3,6 +3,7 @@
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from raw2film_tpu.ops import conv as convops
@@ -146,6 +147,65 @@ class TestMtfGrainMegaFusion:
             )
             is None
         )
+
+
+class TestHalationMega:
+    def test_mega_equals_separate_kernels(self):
+        """ranks + pyramid upsample + combine in one kernel == the separate
+        fused_sep_rank_mxu + bilinear_upsample_pallas + XLA combine."""
+        from raw2film_tpu.ops import pallas_conv2 as pc2
+        from raw2film_tpu.ops import pallas_halation, pallas_pyramid
+
+        rng = np.random.default_rng(5)
+        h, w = 160, 1088  # h % (4*32) == 0, w > 2*chunk at chunk=384
+        img = jnp.asarray(rng.uniform(0.0, 2.0, (3, h, w)).astype(np.float32))
+        u = [convops.gaussian_kernel1d(1.5), 0.4 * convops.gaussian_kernel1d(3.0)]
+        v = [convops.gaussian_kernel1d(1.5), convops.gaussian_kernel1d(3.0)]
+        small = pallas_pyramid.box_downsample_pallas(img, 4, chunk=128, interpret=True)
+        sk = convops.gaussian_kernel1d(2.0)
+        small_blur = pc2.fused_sep_rank_mxu(
+            small, [0.3 * sk], [sk], chunk=128, interpret=True
+        )
+        factors = jnp.asarray([1.0, 0.3, 0.0], jnp.float32)
+
+        rows_up = pallas_pyramid.bilinear_upsample_rows_pallas(
+            small_blur, 4, oh=h, interpret=True
+        )
+        got = pallas_halation.halation_mega(
+            img, u, v, rows_up, factors, chunk=384, interpret=True
+        )
+        assert got is not None
+
+        blur = pc2.fused_sep_rank_mxu(img, u, v, chunk=384, interpret=True)
+        blur = blur + pallas_pyramid.bilinear_upsample_pallas(
+            small_blur, 4, (h, w), chunk=256, interpret=True
+        )
+        f = np.asarray(factors).reshape(3, 1, 1)
+        want = (np.asarray(img) + f * np.asarray(blur)) / (1.0 + f)
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+    def test_rows_upsample_matches_resize(self):
+        from raw2film_tpu.ops import pallas_pyramid
+
+        rng = np.random.default_rng(7)
+        img = jnp.asarray(rng.random((3, 40, 272)).astype(np.float32))
+        want = jax.image.resize(img, (3, 160, 272), method="bilinear")
+        got = pallas_pyramid.bilinear_upsample_rows_pallas(img, 4, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5
+        )
+
+    def test_unservable_shape_returns_none(self):
+        from raw2film_tpu.ops import pallas_halation
+
+        rng = np.random.default_rng(6)
+        img = jnp.asarray(rng.random((3, 98, 600)).astype(np.float32))  # 98 % tile != 0
+        small = jnp.asarray(rng.random((3, 98, 150)).astype(np.float32))
+        out = pallas_halation.halation_mega(
+            img, [np.ones(3) / 3], [np.ones(3) / 3],
+            small, jnp.asarray([1.0, 0.3, 0.0]), interpret=True,
+        )
+        assert out is None
 
 
 class TestFusedRankPerChannel:
