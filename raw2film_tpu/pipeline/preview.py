@@ -40,6 +40,9 @@ class PreviewEngine:
         self.on_error = on_error or (lambda e: None)
         self.histogram_height = histogram_height
         self.simplified = simplified
+        # Serializes Processor use between the preview worker and one-shot
+        # jobs (e.g. the viewer's full-res export) sharing this processor.
+        self.proc_lock = threading.Lock()
         self._lock = threading.Condition()
         self._pending: tuple | None = None
         self._stop = False
@@ -72,7 +75,7 @@ class PreviewEngine:
                 src, params = self._pending
                 self._pending = None
             try:
-                with stage_timer("preview.render"):
+                with stage_timer("preview.render"), self.proc_lock:
                     image = self.processor.process(src, **params)
                 with stage_timer("preview.histogram"):
                     hist = generate_histogram(

@@ -59,7 +59,11 @@ class ViewerState:
         self.folder = os.path.abspath(folder)
         self.files = scan_raw_files(self.folder)
         self.proc = processor or Processor()
-        self._profiles, images = load_folder_settings(self.folder)
+        profiles, images = load_folder_settings(self.folder)
+        self.profiles: dict[str, dict] = {
+            name: dataclasses.asdict(p) if dataclasses.is_dataclass(p) else dict(p)
+            for name, p in profiles.items()
+        }
         self.image_params: dict[str, dict] = {
             name: dataclasses.asdict(p) for name, p in images.items()
         }
@@ -68,7 +72,9 @@ class ViewerState:
         self.frame_jpg: bytes | None = None
         self.hist_png: bytes | None = None
         self.last_error: str | None = None
+        self.note: str | None = None
         self._thumb_cache: dict[str, bytes] = {}
+        self._export_thread: threading.Thread | None = None
         self.engine = PreviewEngine(
             self.proc, self._on_frame, on_error=self._on_error
         )
@@ -92,25 +98,89 @@ class ViewerState:
 
     # -------------------------------------------------------------- api
 
+    def _resolved(self, name: str, params: dict | None = None) -> dict:
+        """profile-base ∘ stored per-image ∘ fresh params (the reference's
+        three-layer merge, gui.py:2181-2195)."""
+        merged = {**self.image_params.get(name, {}), **(params or {})}
+        base = self.profiles.get(merged.get("profile", ""), {})
+        return {**base, **merged}
+
     def request(self, index: int, params: dict, full: bool) -> None:
         src = self.files[index]
         name = os.path.basename(src)
         merged = {**self.image_params.get(name, {}), **params}
         self.image_params[name] = merged
         self._persist()
+        resolved = self._resolved(name)
         clean = {
             k: v
-            for k, v in merged.items()
+            for k, v in resolved.items()
             if k not in ("negative_film", "print_film", "profile", "film_format")
         }
         self.engine.request(
             src,
             full_preview=full,
-            negative_film=merged.get("negative_film", "Kodak Portra 400"),
-            print_film=merged.get("print_film") or None,
+            negative_film=resolved.get("negative_film", "Kodak Portra 400"),
+            print_film=resolved.get("print_film") or None,
             max_scale=PREVIEW_MAX_SCALE,
             **clean,
         )
+
+    def save_profile(self, name: str, params: dict) -> None:
+        """Store the ProfileParams subset of ``params`` as profile ``name``."""
+        from raw2film_tpu.pipeline.params import ProfileParams
+
+        fields = {f.name for f in dataclasses.fields(ProfileParams)}
+        self.profiles[name] = {k: v for k, v in params.items() if k in fields}
+        self._persist()
+
+    def export(self, index: int, quality: int = 95) -> str:
+        """Full-resolution export of one image to <folder>/export/ in a
+        background thread (the viewer's save_image,
+        reference: src/raw2film/gui.py:2357-2378)."""
+        if self._export_thread is not None and self._export_thread.is_alive():
+            raise RuntimeError("an export is already running")
+        src = self.files[index]
+        name = os.path.basename(src)
+        resolved = self._resolved(name)
+        dst = os.path.join(
+            self.folder, "export", os.path.splitext(name)[0] + ".jpg"
+        )
+
+        def run():
+            try:
+                from raw2film_tpu.io.export import save_image
+
+                clean = {
+                    k: v
+                    for k, v in resolved.items()
+                    if k not in ("negative_film", "print_film", "profile", "film_format")
+                }
+                with self.engine.proc_lock:
+                    image = self.proc.process(
+                        src,
+                        negative_film=resolved.get(
+                            "negative_film", "Kodak Portra 400"
+                        ),
+                        print_film=resolved.get("print_film") or None,
+                        **clean,
+                    )
+                    meta = dict(getattr(self.proc, "last_metadata", {}) or {})
+                save_image(
+                    image, dst, quality=quality, metadata=meta,
+                    exp_comp=resolved.get("exp_comp"),
+                )
+                msg = f"exported {os.path.relpath(dst, self.folder)}"
+                with self._cond:
+                    self.seq += 1
+                    self.note = msg
+                    self._cond.notify_all()
+            except Exception as e:
+                self._on_error(e)
+
+        self._export_thread = threading.Thread(target=run, daemon=True)
+        self._export_thread.start()
+        return dst
 
     def wait(self, since: int, timeout: float = 25.0) -> int:
         with self._cond:
@@ -131,7 +201,7 @@ class ViewerState:
         try:
             save_settings(
                 sidecar_path(self.folder),
-                profiles=self._profiles,
+                profiles=self.profiles,
                 images=self.image_params,
             )
         except OSError:
@@ -154,15 +224,24 @@ body{margin:0;background:#16181c;color:#ddd;font:13px system-ui;display:flex;hei
 label{display:block;margin:10px 0 2px}
 input[type=range]{width:100%}
 select{width:100%;background:#2a2e36;color:#ddd;border:0;padding:4px}
+button{background:#2a5e9e;color:#eee;border:0;border-radius:3px;padding:5px 10px;margin:4px 4px 0 0;cursor:pointer}
 #err{color:#ff8080;white-space:pre-wrap}
+#note{color:#8fc98f}
 .v{float:right;color:#9ab}
+.row{display:flex;gap:4px}
 </style></head><body>
 <div id="side">
  <h3>raw2film-tpu</h3>
+ <label>profile <select id="profile"></select></label>
+ <div class="row"><button id="saveprof">save profile</button><button id="newprof">new profile</button></div>
  <label>negative <select id="negative_film"></select></label>
  <label>print <select id="print_film"></select></label>
  <div id="sliders"></div>
+ <label>canvas <select id="canvas_mode"></select></label>
+ <div id="canvas_sliders"></div>
  <label><input type="checkbox" id="full"> full preview (grain/halation/MTF)</label>
+ <button id="export">export full-res JPEG</button>
+ <div id="note"></div>
  <div id="err"></div>
 </div>
 <div id="main">
@@ -176,21 +255,42 @@ const SLIDERS = [
  ["highlight_burn",0,1,.05,0],["sat_adjust",0,2,.05,1],
  ["grain_size",1,20,.5,6],["rotation",-45,45,.5,0],["zoom",1,3,.01,1],
  ["chroma_nr",0,10,1,0]];
-let cur=0, seq=0, t=null, files=[];
+const CANVAS_SLIDERS = [["canvas_scale",1,2,.01,1],["canvas_ratio",.2,1.5,.01,.8]];
+let cur=0, seq=0, t=null, files=[], profiles={};
 const $=id=>document.getElementById(id);
-function post(){
+function currentParams(){
  const p={};
- for(const [n] of SLIDERS) p[n]=parseFloat($(n).value), $("v_"+n).textContent=$(n).value;
+ for(const [n] of [...SLIDERS,...CANVAS_SLIDERS]) p[n]=parseFloat($(n).value), $("v_"+n).textContent=$(n).value;
  p.negative_film=$("negative_film").value;
  p.print_film=$("print_film").value==="None"?null:$("print_film").value;
- fetch("/api/params",{method:"POST",body:JSON.stringify({i:cur,params:p,full:$("full").checked})});
+ p.canvas_mode=$("canvas_mode").value;
+ p.profile=$("profile").value;
+ return p;
+}
+function post(){
+ fetch("/api/params",{method:"POST",body:JSON.stringify({i:cur,params:currentParams(),full:$("full").checked})});
+}
+function applyParams(p){
+ for(const [n] of [...SLIDERS,...CANVAS_SLIDERS])
+  if(p[n]!==undefined){$(n).value=p[n];$("v_"+n).textContent=p[n];}
+ if(p.negative_film)$("negative_film").value=p.negative_film;
+ if("print_film" in p)$("print_film").value=p.print_film==null?"None":p.print_film;
+ if(p.canvas_mode)$("canvas_mode").value=p.canvas_mode;
+ if(p.profile && [...$("profile").options].some(o=>o.value===p.profile))$("profile").value=p.profile;
 }
 function debounce(){clearTimeout(t);t=setTimeout(post,60)}
+async function selectImage(i){
+ cur=i;
+ document.querySelectorAll("#strip img").forEach((e,k)=>e.classList.toggle("sel",k===i));
+ const p=await (await fetch("/api/params?i="+i)).json();
+ applyParams(p); post();
+}
 async function loop(){
  for(;;){
   try{
    const r=await (await fetch("/api/wait?since="+seq)).json();
    if(r.seq>seq){seq=r.seq;
+    $("note").textContent=r.note||"";
     if(r.error){$("err").textContent=r.error}
     else{$("err").textContent="";
      $("preview").src="/api/frame.jpg?seq="+seq;
@@ -201,31 +301,53 @@ async function loop(){
 }
 async function init(){
  const info=await (await fetch("/api/images")).json();
- files=info.files;
+ files=info.files; profiles=info.profiles||{};
+ $("profile").append(new Option("Default","Default"));
+ for(const name of Object.keys(profiles)) if(name!=="Default") $("profile").append(new Option(name,name));
  for(const s of info.stocks){
   const o=document.createElement("option");o.textContent=s;
   if(info.negatives.includes(s)) $("negative_film").append(o);
  }
  $("print_film").append(new Option("None","None"));
  for(const s of info.prints) $("print_film").append(new Option(s,s));
+ for(const m of info.canvas_modes||["No"]) $("canvas_mode").append(new Option(m,m));
  $("negative_film").value=info.default_negative;
  $("print_film").value=info.default_print||"None";
- const sl=$("sliders");
- for(const [n,lo,hi,st,dv] of SLIDERS){
-  sl.insertAdjacentHTML("beforeend",
+ const mk=(el,list)=>{for(const [n,lo,hi,st,dv] of list){
+  el.insertAdjacentHTML("beforeend",
    `<label>${n}<span class="v" id="v_${n}">${dv}</span>
     <input type="range" id="${n}" min="${lo}" max="${hi}" step="${st}" value="${dv}"></label>`);
-  $(n).oninput=debounce;
- }
- $("negative_film").onchange=post;$("print_film").onchange=post;$("full").onchange=post;
+  $(n).oninput=debounce;}};
+ mk($("sliders"),SLIDERS); mk($("canvas_sliders"),CANVAS_SLIDERS);
+ $("negative_film").onchange=post;$("print_film").onchange=post;
+ $("canvas_mode").onchange=post;$("full").onchange=post;
+ $("profile").onchange=()=>{const p=profiles[$("profile").value];if(p)applyParams(p);post();};
+ $("saveprof").onclick=async()=>{
+  const name=$("profile").value;
+  const r=await (await fetch("/api/profile",{method:"POST",
+   body:JSON.stringify({name,params:currentParams()})})).json();
+  profiles=r.profiles||profiles; $("note").textContent="profile '"+name+"' saved";
+ };
+ $("newprof").onclick=async()=>{
+  const name=prompt("profile name"); if(!name)return;
+  const r=await (await fetch("/api/profile",{method:"POST",
+   body:JSON.stringify({name,params:currentParams()})})).json();
+  profiles=r.profiles||profiles;
+  if(![...$("profile").options].some(o=>o.value===name)) $("profile").append(new Option(name,name));
+  $("profile").value=name; post();
+ };
+ $("export").onclick=()=>{
+  $("note").textContent="exporting...";
+  fetch("/api/export",{method:"POST",body:JSON.stringify({i:cur})});
+ };
  const strip=$("strip");
  files.forEach((f,i)=>{
   const im=document.createElement("img");im.src="/api/thumb/"+i;im.title=f;
-  im.onclick=()=>{cur=i;document.querySelectorAll("#strip img").forEach(e=>e.classList.remove("sel"));im.classList.add("sel");post()};
+  im.onclick=()=>selectImage(i);
   if(i===0)im.classList.add("sel");
   strip.append(im);
  });
- loop(); if(files.length)post();
+ loop(); if(files.length)selectImage(0);
 }
 init();
 </script></body></html>"""
@@ -253,6 +375,7 @@ def make_handler(state: ViewerState):
                 if u.path == "/":
                     self._send(200, _PAGE.encode(), "text/html; charset=utf-8")
                 elif u.path == "/api/images":
+                    from raw2film_tpu.data import CANVAS_MODES
                     from raw2film_tpu.film.loader import load_film_stocks
 
                     stocks = load_film_stocks()
@@ -268,14 +391,22 @@ def make_handler(state: ViewerState):
                             ),
                             "default_negative": "Kodak Portra 400",
                             "default_print": "Fuji Crystal Archive Maxima",
+                            "profiles": state.profiles,
+                            "canvas_modes": list(CANVAS_MODES),
                         }
                     )
+                elif u.path == "/api/params":
+                    i = int(q.get("i", ["0"])[0])
+                    name = os.path.basename(state.files[i])
+                    self._json(state._resolved(name))
                 elif u.path.startswith("/api/thumb/"):
                     self._send(200, state.thumb(int(u.path.rsplit("/", 1)[1])), "image/jpeg")
                 elif u.path == "/api/wait":
                     since = int(q.get("since", ["0"])[0])
                     seq = state.wait(since)
-                    self._json({"seq": seq, "error": state.last_error})
+                    self._json(
+                        {"seq": seq, "error": state.last_error, "note": state.note}
+                    )
                 elif u.path == "/api/frame.jpg":
                     body = state.frame_jpg or b""
                     self._send(200 if body else 404, body, "image/jpeg")
@@ -304,6 +435,15 @@ def make_handler(state: ViewerState):
                         bool(doc.get("full", False)),
                     )
                     self._json({"ok": True})
+                elif u.path == "/api/profile":
+                    state.save_profile(
+                        str(doc.get("name", "Default")),
+                        dict(doc.get("params") or {}),
+                    )
+                    self._json({"ok": True, "profiles": state.profiles})
+                elif u.path == "/api/export":
+                    dst = state.export(int(doc.get("i", 0)))
+                    self._json({"ok": True, "dst": dst})
                 else:
                     self._json({"error": "not found"}, 404)
             except Exception as e:

@@ -81,6 +81,43 @@ class TestViewer:
         saved = json.load(open(sidecar))
         assert saved["images"]["a.dng"]["exp_comp"] == 0.5
 
+    def test_profile_save_resolve_round_trip(self, server):
+        base, state, folder = server
+        out = _post(
+            base + "/api/profile",
+            {"name": "Warm", "params": {"push_pull": 1.0, "sat_adjust": 1.2,
+                                        "exp_comp": 0.7, "negative_film": "Kodak Gold 200"}},
+        )
+        assert out["ok"] and "Warm" in out["profiles"]
+        # exp_comp is an ImageParams field — must NOT land in the profile.
+        assert "exp_comp" not in out["profiles"]["Warm"]
+        assert out["profiles"]["Warm"]["push_pull"] == 1.0
+        # Assign the profile to an image; resolution layers profile under image.
+        _post(base + "/api/params", {"i": 1, "params": {"profile": "Warm", "exp_comp": -0.5}})
+        code, _, body = _get(base + "/api/params?i=1")
+        doc = json.loads(body)
+        assert doc["push_pull"] == 1.0 and doc["exp_comp"] == -0.5
+        assert doc["negative_film"] == "Kodak Gold 200"
+        # Persisted in the sidecar.
+        saved = json.load(open(os.path.join(folder, "raw2film_settings.json")))
+        assert saved["profiles"]["Warm"]["sat_adjust"] == 1.2
+
+    def test_export_endpoint(self, server):
+        base, state, folder = server
+        out = _post(base + "/api/export", {"i": 0})
+        assert out["ok"]
+        state._export_thread.join(timeout=120)
+        assert not state._export_thread.is_alive()
+        assert state.last_error is None, state.last_error
+        assert os.path.exists(out["dst"]) and open(out["dst"], "rb").read(2) == b"\xff\xd8"
+        assert "exported" in (state.note or "")
+
+    def test_canvas_modes_listed(self, server):
+        base, _, _ = server
+        _, _, body = _get(base + "/api/images")
+        doc = json.loads(body)
+        assert "Uniform white" in doc["canvas_modes"]
+
     def test_bad_settings_reported_not_fatal(self, server):
         base, state, _ = server
         _post(
