@@ -69,8 +69,8 @@ def config_0():
         xyz = demosaic_mhc(mosaic, "RGGB")
         return render_chain(xyz, bundle, cfg, key)
 
-    dt = _timed(run, (mosaic, bundle, jax.random.PRNGKey(0)))
-    return {"config": 0, "name": "demosaic + negative chain, 24MP", "ms": round(dt * 1e3, 1), "MP/s": round(h * w / 1e6 / dt, 1)}
+    dt = _timed(run, (mosaic, bundle, jax.random.PRNGKey(0)), iters=60)
+    return {"config": 0, "name": "demosaic + negative chain, 24MP", "ms": round(dt * 1e3, 2), "MP/s": round(h * w / 1e6 / dt, 1)}
 
 
 def config_1():
