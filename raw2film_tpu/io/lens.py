@@ -74,8 +74,9 @@ _BUILTIN_PROFILES: list[LensProfile] = [
 
 
 def load_profiles(path: str | None = None) -> list[LensProfile]:
-    """Built-in profiles plus optional user JSON database."""
-    profiles = list(_BUILTIN_PROFILES)
+    """User JSON database (imported lensfun data takes precedence), then the
+    curated built-in set (io/lens_db.py), then the synthetic test profile."""
+    profiles: list[LensProfile] = []
     candidates = [path] if path else []
     candidates.append(os.path.expanduser("~/.raw2film_tpu/lenses.json"))
     for p in candidates:
@@ -85,6 +86,10 @@ def load_profiles(path: str | None = None) -> list[LensProfile]:
                     row["dist_params"] = tuple(tuple(x) for x in row.get("dist_params", []))
                     row["vig_params"] = tuple(tuple(x) for x in row.get("vig_params", []))
                     profiles.append(LensProfile(**row))
+    from raw2film_tpu.io.lens_db import PROFILES as _CURATED
+
+    profiles.extend(_CURATED)
+    profiles.extend(_BUILTIN_PROFILES)
     return profiles
 
 
@@ -95,16 +100,24 @@ def _loose(a: str, b: str) -> bool:
 
 def find_profile(metadata: dict, profiles: list[LensProfile] | None = None):
     """Loose EXIF match, the reference's find_data role
-    (src/raw2film/utils.py:24-79). Returns (profile | None)."""
+    (src/raw2film/utils.py:24-79). Returns (profile | None).
+
+    Matching is by LENS MODEL substring. A make-level fallback only applies
+    when the file carries no LensModel at all (a wrong-model guess would
+    apply another lens's distortion silently — worse than no correction).
+    """
     profiles = profiles if profiles is not None else load_profiles()
     lens_model = str(metadata.get("EXIF:LensModel", "") or "")
-    make = str(metadata.get("EXIF:Make", "") or metadata.get("EXIF:LensMake", "") or "")
     for p in profiles:
         if _loose(p.model, lens_model):
             return p
-    for p in profiles:
-        if _loose(p.make, make):
-            return p
+    if not lens_model:
+        make = str(
+            metadata.get("EXIF:LensMake", "") or metadata.get("EXIF:Make", "") or ""
+        )
+        for p in profiles:
+            if _loose(p.make, make):
+                return p
     return None
 
 

@@ -40,8 +40,58 @@ class TestProfiles:
             find_profile({"EXIF:LensModel": "TESTLENS 35MM F/1.4"}, profiles)
             is PROFILE
         )
+        # Make fallback applies only when no LensModel is present — a
+        # wrong-model guess would silently apply another lens's distortion.
         assert find_profile({"EXIF:Make": "testco"}, profiles) is PROFILE
+        assert (
+            find_profile(
+                {"EXIF:Make": "testco", "EXIF:LensModel": "UnknownZoom 10-20"},
+                profiles,
+            )
+            is None
+        )
         assert find_profile({"EXIF:Make": "OtherCo"}, profiles) is None
+
+    def test_curated_db_matches_real_exif_strings(self):
+        """The shipped profile set resolves common real-world EXIF lens
+        strings to plausible corrections."""
+        from raw2film_tpu.io.lens import load_profiles
+
+        profiles = load_profiles(path="/nonexistent")
+        cases = {
+            "EF24-105mm f/4L IS USM": ("Canon", 24.0),
+            "RF24-105mm F4 L IS USM": ("Canon", 24.0),
+            "AF-S NIKKOR 24-70mm f/2.8G ED": ("Nikon", 24.0),
+            "FE 24-70mm F2.8 GM": ("Sony", 24.0),
+            "XF18-55mmF2.8-4 R LM OIS": ("Fujifilm", 18.0),
+            "E PZ 16-50mm F3.5-5.6 OSS": ("Sony", 16.0),
+            "AF-S DX NIKKOR 18-55mm f/3.5-5.6G VR": ("Nikon", 18.0),
+        }
+        for lens_model, (make, wide) in cases.items():
+            p = find_profile({"EXIF:LensModel": lens_model}, profiles)
+            assert p is not None, lens_model
+            assert p.make == make, (lens_model, p.make)
+            k = p.distortion_at(wide)
+            assert k is not None and k[0] < -0.01, (lens_model, k)  # barrel corrected
+            vk = p.vignetting_at(wide, 4.0)
+            assert vk is not None and vk[0] < 0, lens_model
+
+    def test_curated_correction_is_nonzero(self):
+        from raw2film_tpu.io.lens import lens_correction, load_profiles
+
+        rng = np.random.default_rng(0)
+        img = rng.uniform(0.1, 0.9, (3, 60, 90)).astype(np.float32)
+        meta = {
+            "EXIF:LensModel": "FE 24-70mm F2.8 GM",
+            "EXIF:FocalLength": 24.0,
+            "EXIF:FNumber": 2.8,
+        }
+        out = lens_correction(img, meta, profile=None)
+        assert out.shape == img.shape
+        assert np.abs(out - img).max() > 0.01  # correction actually applied
+        # Vignetting correction brightens the corners relative to center.
+        ratio = out / np.clip(img, 1e-6, None)
+        assert ratio[:, 0, 0].mean() > ratio[:, 30, 45].mean()
 
 
 class TestApplication:
