@@ -23,6 +23,7 @@ from raw2film_tpu.data import METADATA_KEYS
 IFD0 = 0
 IFD_EXIF = 0x8769
 IFD_GPS = 0x8825
+IFD_INTEROP = 0xA005
 
 # Whitelist key -> (ifd, tag id). Standard EXIF 2.32 ids.
 _EXIF_TAG_IDS: dict[str, tuple[int, int]] = {
@@ -78,6 +79,9 @@ _EXIF_TAG_IDS: dict[str, tuple[int, int]] = {
     "LensMake": (IFD_EXIF, 42035),
     "LensModel": (IFD_EXIF, 42036),
     "CompositeImage": (IFD_EXIF, 42080),
+    "ComponentsConfiguration": (IFD_EXIF, 37121),
+    "FileSource": (IFD_EXIF, 41728),
+    "SceneType": (IFD_EXIF, 41729),
     # GPS sub-IFD
     "GPSVersionID": (IFD_GPS, 0),
     "GPSLatitudeRef": (IFD_GPS, 1),
@@ -91,6 +95,11 @@ _EXIF_TAG_IDS: dict[str, tuple[int, int]] = {
     "GPSImgDirection": (IFD_GPS, 17),
     "GPSDateStamp": (IFD_GPS, 29),
 }
+# Whitelist keys with no PIL-writable EXIF tag — covered by the exiftool
+# fallback only: LightValue is an exiftool composite;
+# Sensor{Width,Height,Top/Bottom/Left/RightBorder} are RAW vendor tags;
+# Compression/ThumbnailLength belong to the writer-managed thumbnail IFD1;
+# InteropIndex lives in the Interop sub-IFD which PIL does not serialize.
 
 
 def build_exif(metadata: dict, exp_comp: float | None = None) -> Image.Exif:
@@ -114,6 +123,10 @@ def build_exif(metadata: dict, exp_comp: float | None = None) -> Image.Exif:
             if ifd == IFD0:
                 exif[tag] = value
             else:
+                if ifd not in ifds:
+                    # Materialize optional sub-IFDs (Interop) lazily: PIL
+                    # fails to save an empty registered Interop IFD.
+                    ifds[ifd] = exif.get_ifd(ifd)
                 ifds[ifd][tag] = value
         except Exception:
             pass
