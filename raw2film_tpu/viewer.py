@@ -126,6 +126,16 @@ class ViewerState:
             **clean,
         )
 
+    def copy_settings_to_all(self, index: int) -> None:
+        """Copy the source image's stored params to every image in the
+        folder (the reference image bar's middle-click copy-settings signal,
+        src/raw2film/image_bar.py)."""
+        src_name = os.path.basename(self.files[index])
+        params = dict(self.image_params.get(src_name, {}))
+        for f in self.files:
+            self.image_params[os.path.basename(f)] = dict(params)
+        self._persist()
+
     def save_profile(self, name: str, params: dict) -> None:
         """Store the ProfileParams subset of ``params`` as profile ``name``."""
         from raw2film_tpu.pipeline.params import ProfileParams
@@ -241,6 +251,7 @@ button{background:#2a5e9e;color:#eee;border:0;border-radius:3px;padding:5px 10px
  <div id="canvas_sliders"></div>
  <label><input type="checkbox" id="full"> full preview (grain/halation/MTF)</label>
  <button id="export">export full-res JPEG</button>
+ <button id="copyall">copy settings to all</button>
  <div id="note"></div>
  <div id="err"></div>
 </div>
@@ -251,9 +262,12 @@ button{background:#2a5e9e;color:#eee;border:0;border-radius:3px;padding:5px 10px
 <script>
 const SLIDERS = [
  ["exp_comp",-3,3,.1,0],["exp_kelvin",2800,10000,50,6000],["tint",-50,50,1,0],
- ["push_pull",-2,2,.5,0],["halation_intensity",0,3,.05,1],
+ ["push_pull",-2,2,.5,0],
+ ["red_light",-2,2,.05,0],["green_light",-2,2,.05,0],["blue_light",-2,2,.05,0],
+ ["halation_intensity",0,3,.05,1],
  ["highlight_burn",0,1,.05,0],["sat_adjust",0,2,.05,1],
- ["grain_size",1,20,.5,6],["rotation",-45,45,.5,0],["zoom",1,3,.01,1],
+ ["grain_size",1,20,.5,6],["sharpening_strength",0,2,.05,0],
+ ["rotation",-45,45,.5,0],["zoom",1,3,.01,1],
  ["chroma_nr",0,10,1,0]];
 const CANVAS_SLIDERS = [["canvas_scale",1,2,.01,1],["canvas_ratio",.2,1.5,.01,.8]];
 let cur=0, seq=0, t=null, files=[], profiles={};
@@ -339,6 +353,10 @@ async function init(){
  $("export").onclick=()=>{
   $("note").textContent="exporting...";
   fetch("/api/export",{method:"POST",body:JSON.stringify({i:cur})});
+ };
+ $("copyall").onclick=async()=>{
+  await fetch("/api/copy_settings",{method:"POST",body:JSON.stringify({i:cur})});
+  $("note").textContent="settings copied to all "+files.length+" images";
  };
  const strip=$("strip");
  files.forEach((f,i)=>{
@@ -444,6 +462,9 @@ def make_handler(state: ViewerState):
                 elif u.path == "/api/export":
                     dst = state.export(int(doc.get("i", 0)))
                     self._json({"ok": True, "dst": dst})
+                elif u.path == "/api/copy_settings":
+                    state.copy_settings_to_all(int(doc.get("i", 0)))
+                    self._json({"ok": True})
                 else:
                     self._json({"error": "not found"}, 404)
             except Exception as e:

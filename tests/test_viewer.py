@@ -112,6 +112,15 @@ class TestViewer:
         assert os.path.exists(out["dst"]) and open(out["dst"], "rb").read(2) == b"\xff\xd8"
         assert "exported" in (state.note or "")
 
+    def test_copy_settings_to_all(self, server):
+        base, state, folder = server
+        _post(base + "/api/params", {"i": 0, "params": {"exp_comp": 1.25, "tint": 5}})
+        out = _post(base + "/api/copy_settings", {"i": 0})
+        assert out["ok"]
+        assert state.image_params["b.dng"]["exp_comp"] == 1.25
+        saved = json.load(open(os.path.join(folder, "raw2film_settings.json")))
+        assert saved["images"]["b.dng"]["tint"] == 5
+
     def test_canvas_modes_listed(self, server):
         base, _, _ = server
         _, _, body = _get(base + "/api/images")
