@@ -23,7 +23,6 @@ from raw2film_tpu.data import METADATA_KEYS
 IFD0 = 0
 IFD_EXIF = 0x8769
 IFD_GPS = 0x8825
-IFD_INTEROP = 0xA005
 
 # Whitelist key -> (ifd, tag id). Standard EXIF 2.32 ids.
 _EXIF_TAG_IDS: dict[str, tuple[int, int]] = {
@@ -123,10 +122,6 @@ def build_exif(metadata: dict, exp_comp: float | None = None) -> Image.Exif:
             if ifd == IFD0:
                 exif[tag] = value
             else:
-                if ifd not in ifds:
-                    # Materialize optional sub-IFDs (Interop) lazily: PIL
-                    # fails to save an empty registered Interop IFD.
-                    ifds[ifd] = exif.get_ifd(ifd)
                 ifds[ifd][tag] = value
         except Exception:
             pass

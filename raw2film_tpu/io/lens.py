@@ -98,6 +98,15 @@ def _loose(a: str, b: str) -> bool:
     return bool(a) and bool(b) and (a in b or b in a)
 
 
+def _model_match(profile_model: str, exif_model: str) -> bool:
+    """One-directional: the profile's canonical model string must appear in
+    the EXIF LensModel. The reverse direction would let a short generic EXIF
+    string ('35mm F1.4' from a manual lens) claim another maker's profile —
+    a wrong-model guess silently applies someone else's distortion."""
+    a, b = (profile_model or "").lower(), (exif_model or "").lower()
+    return bool(a) and bool(b) and a in b
+
+
 def find_profile(metadata: dict, profiles: list[LensProfile] | None = None):
     """Loose EXIF match, the reference's find_data role
     (src/raw2film/utils.py:24-79). Returns (profile | None).
@@ -109,7 +118,7 @@ def find_profile(metadata: dict, profiles: list[LensProfile] | None = None):
     profiles = profiles if profiles is not None else load_profiles()
     lens_model = str(metadata.get("EXIF:LensModel", "") or "")
     for p in profiles:
-        if _loose(p.model, lens_model):
+        if _model_match(p.model, lens_model):
             return p
     if not lens_model:
         make = str(

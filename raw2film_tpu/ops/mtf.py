@@ -124,8 +124,12 @@ def film_sharpness_grain_from_key(
     """MTF sharpness with the film-grain apply fused as an in-kernel epilogue
     (the density never returns to HBM between the two stages). Returns None
     when the Pallas path can't serve the shape — the caller then runs the
-    stages separately. Equals film_sharpness_from_key -> grain_apply_pallas
-    bit-for-bit (the grain field is positionally stateless).
+    stages separately. On the Pallas platforms where it dispatches, this
+    equals film_sharpness_from_key -> grain_apply_pallas bit-for-bit: the
+    grain field is positionally stateless, and both paths factor small
+    (k<=15) kernels through the same tol=1e-4/rank-6 SVD that
+    depthwise_conv2d uses on TPU (zero-padded common-rank terms add exact
+    zeros).
     """
     from raw2film_tpu.ops import pallas_conv2
 

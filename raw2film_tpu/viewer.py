@@ -68,6 +68,10 @@ class ViewerState:
             name: dataclasses.asdict(p) for name, p in images.items()
         }
         self._cond = threading.Condition()
+        # Serializes param/profile mutation + sidecar persistence across
+        # ThreadingHTTPServer handler threads (unsynchronized writers could
+        # interleave json.dump output in the same .tmp file).
+        self._state_lock = threading.Lock()
         self.seq = 0
         self.frame_jpg: bytes | None = None
         self.hist_png: bytes | None = None
@@ -88,6 +92,7 @@ class ViewerState:
             self.seq += 1
             self.frame_jpg, self.hist_png = jpg, png
             self.last_error = None
+            self.note = None  # one-shot status lines don't outlive a frame
             self._cond.notify_all()
 
     def _on_error(self, exc: Exception):
@@ -105,12 +110,25 @@ class ViewerState:
         base = self.profiles.get(merged.get("profile", ""), {})
         return {**base, **merged}
 
+    def resolved_with_defaults(self, index: int) -> dict:
+        """Full control state for one image: schema defaults ∘ profile ∘
+        stored per-image params. Every key present, so the UI can reset
+        controls an image never touched (instead of inheriting the previous
+        image's slider positions)."""
+        from raw2film_tpu.pipeline.params import merge_params
+
+        name = os.path.basename(self.files[index])
+        defaults = merge_params()
+        resolved = self._resolved(name)
+        return {**defaults, **resolved}
+
     def request(self, index: int, params: dict, full: bool) -> None:
         src = self.files[index]
         name = os.path.basename(src)
-        merged = {**self.image_params.get(name, {}), **params}
-        self.image_params[name] = merged
-        self._persist()
+        with self._state_lock:
+            merged = {**self.image_params.get(name, {}), **params}
+            self.image_params[name] = merged
+            self._persist()
         resolved = self._resolved(name)
         clean = {
             k: v
@@ -131,25 +149,25 @@ class ViewerState:
         folder (the reference image bar's middle-click copy-settings signal,
         src/raw2film/image_bar.py)."""
         src_name = os.path.basename(self.files[index])
-        params = dict(self.image_params.get(src_name, {}))
-        for f in self.files:
-            self.image_params[os.path.basename(f)] = dict(params)
-        self._persist()
+        with self._state_lock:
+            params = dict(self.image_params.get(src_name, {}))
+            for f in self.files:
+                self.image_params[os.path.basename(f)] = dict(params)
+            self._persist()
 
     def save_profile(self, name: str, params: dict) -> None:
         """Store the ProfileParams subset of ``params`` as profile ``name``."""
         from raw2film_tpu.pipeline.params import ProfileParams
 
         fields = {f.name for f in dataclasses.fields(ProfileParams)}
-        self.profiles[name] = {k: v for k, v in params.items() if k in fields}
-        self._persist()
+        with self._state_lock:
+            self.profiles[name] = {k: v for k, v in params.items() if k in fields}
+            self._persist()
 
     def export(self, index: int, quality: int = 95) -> str:
         """Full-resolution export of one image to <folder>/export/ in a
         background thread (the viewer's save_image,
         reference: src/raw2film/gui.py:2357-2378)."""
-        if self._export_thread is not None and self._export_thread.is_alive():
-            raise RuntimeError("an export is already running")
         src = self.files[index]
         name = os.path.basename(src)
         resolved = self._resolved(name)
@@ -188,8 +206,13 @@ class ViewerState:
             except Exception as e:
                 self._on_error(e)
 
-        self._export_thread = threading.Thread(target=run, daemon=True)
-        self._export_thread.start()
+        # Check-and-spawn under the lock: two racing POSTs must not both
+        # start full-res renders of the same file.
+        with self._state_lock:
+            if self._export_thread is not None and self._export_thread.is_alive():
+                raise RuntimeError("an export is already running")
+            self._export_thread = threading.Thread(target=run, daemon=True)
+            self._export_thread.start()
         return dst
 
     def wait(self, since: int, timeout: float = 25.0) -> int:
@@ -415,8 +438,7 @@ def make_handler(state: ViewerState):
                     )
                 elif u.path == "/api/params":
                     i = int(q.get("i", ["0"])[0])
-                    name = os.path.basename(state.files[i])
-                    self._json(state._resolved(name))
+                    self._json(state.resolved_with_defaults(i))
                 elif u.path.startswith("/api/thumb/"):
                     self._send(200, state.thumb(int(u.path.rsplit("/", 1)[1])), "image/jpeg")
                 elif u.path == "/api/wait":

@@ -237,3 +237,15 @@ class TestLensfunConvert:
             lens_mod.lens_correction(img, meta, None)
         msgs = [str(w.message) for w in rec if "lens profile" in str(w.message)]
         assert len(msgs) == 1
+
+
+class TestModelMatchDirection:
+    def test_generic_short_exif_does_not_claim_other_makers(self):
+        """A manual lens reporting a generic '35mm F1.4' must NOT match the
+        Sigma '35mm F1.4 DG' profile (wrong-model distortion is worse than
+        none)."""
+        from raw2film_tpu.io.lens import load_profiles
+
+        profiles = load_profiles(path="/nonexistent")
+        assert find_profile({"EXIF:LensModel": "35mm F1.4"}, profiles) is None
+        assert find_profile({"EXIF:LensModel": "50mm"}, profiles) is None

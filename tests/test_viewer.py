@@ -112,6 +112,18 @@ class TestViewer:
         assert os.path.exists(out["dst"]) and open(out["dst"], "rb").read(2) == b"\xff\xd8"
         assert "exported" in (state.note or "")
 
+    def test_params_endpoint_returns_full_defaults(self, server):
+        """Switching images must reset untouched controls: GET /api/params
+        includes schema defaults for every key, so image B doesn't inherit
+        image A's slider state in the UI."""
+        base, state, _ = server
+        _post(base + "/api/params", {"i": 0, "params": {"exp_comp": 2.0}})
+        code, _, body = _get(base + "/api/params?i=1")
+        doc = json.loads(body)
+        assert doc["exp_comp"] == 0.0  # default, not image 0's value
+        for key in ("push_pull", "canvas_mode", "halation_intensity", "zoom"):
+            assert key in doc, key
+
     def test_copy_settings_to_all(self, server):
         base, state, folder = server
         _post(base + "/api/params", {"i": 0, "params": {"exp_comp": 1.25, "tint": 5}})
