@@ -179,17 +179,9 @@ def main(argv: list[str] | None = None) -> int:
     def process(src, **params):
         merged = merge_params(None, sidecar_images.get(os.path.basename(src)), **params)
         merged.pop("profile", None)
-        # film_format names a frame size (reference FORMATS table); explicit
-        # frame dims win when the user set them away from the 135 default.
-        fmt = merged.pop("film_format", None)
-        if fmt:
-            from raw2film_tpu.data import FORMATS
+        from raw2film_tpu.pipeline.params import apply_film_format
 
-            if fmt in FORMATS and (
-                merged.get("frame_width") == 36.0
-                and merged.get("frame_height") == 24.0
-            ):
-                merged["frame_width"], merged["frame_height"] = FORMATS[fmt]
+        apply_film_format(merged)
         out = proc.process(
             src,
             merged.pop("negative_film"),

@@ -68,6 +68,22 @@ class ImageParams:
     chroma_nr: int = 0
 
 
+def apply_film_format(merged: dict) -> dict:
+    """Resolve ``film_format`` (a FORMATS frame-size name) into
+    frame_width/height in place; explicit frame dims win when the user moved
+    them off the 135 default (reference FORMATS table, data.py)."""
+    fmt = merged.pop("film_format", None)
+    if fmt:
+        from raw2film_tpu.data import FORMATS
+
+        if fmt in FORMATS and (
+            merged.get("frame_width", 36.0) == 36.0
+            and merged.get("frame_height", 24.0) == 24.0
+        ):
+            merged["frame_width"], merged["frame_height"] = FORMATS[fmt]
+    return merged
+
+
 def merge_params(
     profile_params: ProfileParams | dict | None = None,
     image_params: ImageParams | dict | None = None,

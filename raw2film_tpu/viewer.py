@@ -130,10 +130,13 @@ class ViewerState:
             self.image_params[name] = merged
             self._persist()
         resolved = self._resolved(name)
+        from raw2film_tpu.pipeline.params import apply_film_format
+
+        resolved = apply_film_format(dict(resolved))
         clean = {
             k: v
             for k, v in resolved.items()
-            if k not in ("negative_film", "print_film", "profile", "film_format")
+            if k not in ("negative_film", "print_film", "profile")
         }
         self.engine.request(
             src,
@@ -178,11 +181,12 @@ class ViewerState:
         def run():
             try:
                 from raw2film_tpu.io.export import save_image
+                from raw2film_tpu.pipeline.params import apply_film_format
 
                 clean = {
                     k: v
-                    for k, v in resolved.items()
-                    if k not in ("negative_film", "print_film", "profile", "film_format")
+                    for k, v in apply_film_format(dict(resolved)).items()
+                    if k not in ("negative_film", "print_film", "profile")
                 }
                 with self.engine.proc_lock:
                     image = self.proc.process(
@@ -269,6 +273,8 @@ button{background:#2a5e9e;color:#eee;border:0;border-radius:3px;padding:5px 10px
  <div class="row"><button id="saveprof">save profile</button><button id="newprof">new profile</button></div>
  <label>negative <select id="negative_film"></select></label>
  <label>print <select id="print_film"></select></label>
+ <label>format <select id="film_format"></select></label>
+ <div class="row" id="wb_presets"></div>
  <div id="sliders"></div>
  <label>canvas <select id="canvas_mode"></select></label>
  <div id="canvas_sliders"></div>
@@ -295,12 +301,14 @@ const SLIDERS = [
 const CANVAS_SLIDERS = [["canvas_scale",1,2,.01,1],["canvas_ratio",.2,1.5,.01,.8]];
 let cur=0, seq=0, t=null, files=[], profiles={};
 const $=id=>document.getElementById(id);
+const WB_PRESETS={daylight:[5500,0],cloudy:[6500,0],shade:[7500,0],tungsten:[3200,0],fluor:[4000,15],flash:[5800,0]};
 function currentParams(){
  const p={};
  for(const [n] of [...SLIDERS,...CANVAS_SLIDERS]) p[n]=parseFloat($(n).value), $("v_"+n).textContent=$(n).value;
  p.negative_film=$("negative_film").value;
  p.print_film=$("print_film").value==="None"?null:$("print_film").value;
  p.canvas_mode=$("canvas_mode").value;
+ p.film_format=$("film_format").value;
  p.profile=$("profile").value;
  return p;
 }
@@ -313,6 +321,7 @@ function applyParams(p){
  if(p.negative_film)$("negative_film").value=p.negative_film;
  if("print_film" in p)$("print_film").value=p.print_film==null?"None":p.print_film;
  if(p.canvas_mode)$("canvas_mode").value=p.canvas_mode;
+ if(p.film_format)$("film_format").value=p.film_format;
  if(p.profile && [...$("profile").options].some(o=>o.value===p.profile))$("profile").value=p.profile;
 }
 function debounce(){clearTimeout(t);t=setTimeout(post,60)}
@@ -348,6 +357,13 @@ async function init(){
  $("print_film").append(new Option("None","None"));
  for(const s of info.prints) $("print_film").append(new Option(s,s));
  for(const m of info.canvas_modes||["No"]) $("canvas_mode").append(new Option(m,m));
+ for(const m of info.film_formats||["135"]) $("film_format").append(new Option(m,m));
+ $("film_format").value="135";
+ for(const [name,[k,t]] of Object.entries(WB_PRESETS)){
+  const b=document.createElement("button");b.textContent=name;
+  b.onclick=()=>{$("exp_kelvin").value=k;$("tint").value=t;post();};
+  $("wb_presets").append(b);
+ }
  $("negative_film").value=info.default_negative;
  $("print_film").value=info.default_print||"None";
  const mk=(el,list)=>{for(const [n,lo,hi,st,dv] of list){
@@ -357,7 +373,16 @@ async function init(){
   $(n).oninput=debounce;}};
  mk($("sliders"),SLIDERS); mk($("canvas_sliders"),CANVAS_SLIDERS);
  $("negative_film").onchange=post;$("print_film").onchange=post;
- $("canvas_mode").onchange=post;$("full").onchange=post;
+ $("canvas_mode").onchange=post;$("film_format").onchange=post;$("full").onchange=post;
+ document.addEventListener("keydown",e=>{
+  if(e.target.tagName==="INPUT"||e.target.tagName==="SELECT")return;
+  if(e.key==="ArrowRight"&&cur<files.length-1)selectImage(cur+1);
+  else if(e.key==="ArrowLeft"&&cur>0)selectImage(cur-1);
+  else if(e.key>="1"&&e.key<="9"){
+   const o=$("profile").options[e.key-1];
+   if(o){$("profile").value=o.value;const p=profiles[o.value];if(p)applyParams(p);post();}
+  }else if(e.key==="e")$("export").click();
+ });
  $("profile").onchange=()=>{const p=profiles[$("profile").value];if(p)applyParams(p);post();};
  $("saveprof").onclick=async()=>{
   const name=$("profile").value;
@@ -392,6 +417,12 @@ async function init(){
 }
 init();
 </script></body></html>"""
+
+
+def _formats():
+    from raw2film_tpu.data import FORMATS
+
+    return FORMATS
 
 
 def make_handler(state: ViewerState):
@@ -434,6 +465,7 @@ def make_handler(state: ViewerState):
                             "default_print": "Fuji Crystal Archive Maxima",
                             "profiles": state.profiles,
                             "canvas_modes": list(CANVAS_MODES),
+                            "film_formats": list(_formats()),
                         }
                     )
                 elif u.path == "/api/params":

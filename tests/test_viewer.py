@@ -138,6 +138,20 @@ class TestViewer:
         _, _, body = _get(base + "/api/images")
         doc = json.loads(body)
         assert "Uniform white" in doc["canvas_modes"]
+        assert "xpan" in doc["film_formats"]
+
+    def test_film_format_changes_aspect(self, server):
+        """film_format=xpan (65x24) crops the preview to a panoramic frame."""
+        import io as _io
+
+        from PIL import Image
+
+        base, state, _ = server
+        _post(base + "/api/params", {"i": 0, "params": {"film_format": "xpan"}})
+        _get(base + "/api/wait?since=0")
+        _, _, jpg = _get(base + "/api/frame.jpg")
+        w, h = Image.open(_io.BytesIO(jpg)).size
+        assert w / h > 2.2, (w, h)  # 65/24 = 2.71 target aspect
 
     def test_bad_settings_reported_not_fatal(self, server):
         base, state, _ = server
