@@ -11,6 +11,11 @@ trap 'rm -rf "$tmp"' EXIT
 python -m pip install --no-deps -q --target "$tmp" dist_build/*.whl
 cd /tmp
 PYTHONPATH="$tmp" python - <<'PY'
+import jax
+
+# The clean install target has no axon TPU plugin; pin the CPU backend
+# before any backend touch (the env var is owned by sitecustomize).
+jax.config.update("jax_platforms", "cpu")
 import numpy as np
 import raw2film_tpu
 from raw2film_tpu import Processor, load_film_stocks
