@@ -45,6 +45,7 @@ _TAGS = {
     "Photometric": 262,
     "Make": 271,
     "Model": 272,
+    "Orientation": 274,
     "StripOffsets": 273,
     "SamplesPerPixel": 277,
     "RowsPerStrip": 278,
@@ -367,6 +368,12 @@ def _read_tiff_raw(buf: bytes, path: str) -> RawImage:
     for name, tag in (("Make", _TAGS["Make"]), ("Model", _TAGS["Model"])):
         if tag in ifd0:
             meta[f"EXIF:{name}"] = ifd0[tag]
+    # Camera orientation (TIFF tag 274) from IFD0 or the raw IFD: the
+    # reference gets upright images for free from LibRaw's postprocess;
+    # io.raw.decode_raw applies the equivalent rotation on device.
+    orient = ifd0.get(_TAGS["Orientation"]) or ifd.get(_TAGS["Orientation"])
+    if orient:
+        meta["EXIF:Orientation"] = int(orient[0])
     exif_ptr = ifd0.get(_TAGS["ExifIFD"])
     sensor_info = None
     if exif_ptr:
@@ -470,6 +477,7 @@ def write_dng(
     make: str = "raw2film-tpu",
     model: str = "synthetic",
     compression: int = 1,
+    orientation: int | None = None,
 ) -> None:
     """Write a minimal 16-bit CFA DNG (test fixtures). ``compression``:
     1 = none, 7 = lossless JPEG (SOF3, via io.ljpeg)."""
@@ -493,7 +501,7 @@ def write_dng(
 
     # Layout: [header][IFD0][EXIF IFD][heap][pixel data]
     header_size = 8
-    n_ifd0 = 19
+    n_ifd0 = 19 + (1 if orientation is not None else 0)
     n_exif = 3
     ifd0_size = 2 + n_ifd0 * 12 + 4
     exif_size = 2 + n_exif * 12 + 4
@@ -514,6 +522,8 @@ def write_dng(
     E(262, 3, [32803])
     E(271, 2, make)
     E(272, 2, model)
+    if orientation is not None:
+        E(274, 3, [orientation])
     strip_entry_index = len(entries)
     E(273, 4, [0])
     E(277, 3, [1])

@@ -43,10 +43,32 @@ def calc_exposure(
     return math.log2(ref_exposure / max(avg, 1e-9))
 
 
+def apply_orientation(rgb: jnp.ndarray, orientation: int) -> jnp.ndarray:
+    """Upright a planar (3, H, W) image per TIFF tag 274 (the reference gets
+    this from LibRaw's postprocess). Runs once per decode on device."""
+    o = int(orientation)
+    if o == 2:  # top-right: mirror horizontal
+        return rgb[:, :, ::-1]
+    if o == 3:  # bottom-right: rotate 180
+        return rgb[:, ::-1, ::-1]
+    if o == 4:  # bottom-left: mirror vertical
+        return rgb[:, ::-1, :]
+    if o == 5:  # left-top: transpose
+        return jnp.transpose(rgb, (0, 2, 1))
+    if o == 6:  # right-top: rotate 90 CW
+        return jnp.rot90(rgb, k=-1, axes=(1, 2))
+    if o == 7:  # right-bottom: transverse
+        return jnp.transpose(rgb, (0, 2, 1))[:, ::-1, ::-1]
+    if o == 8:  # left-bottom: rotate 90 CCW
+        return jnp.rot90(rgb, k=1, axes=(1, 2))
+    return rgb
+
+
 def decode_raw(
     raw: RawImage, half_size: bool = False, demosaic: str = "mhc"
 ) -> jnp.ndarray:
-    """RawImage -> device planar (3, H, W) float32 camera-linear XYZ in [0~1]."""
+    """RawImage -> device planar (3, H, W) float32 camera-linear XYZ in [0~1],
+    uprighted per the container's Orientation tag."""
     data = jnp.asarray(raw.data)
     norm = 1.0 / max(raw.white_level - raw.black_level, 1.0)
     if raw.cfa_pattern is not None:
@@ -72,6 +94,9 @@ def decode_raw(
             rgb,
             precision=jax.lax.Precision.HIGHEST,  # MXU default is bf16-input
         )
+    orient = int(raw.metadata.get("EXIF:Orientation", 1) or 1)
+    if orient != 1:
+        rgb = apply_orientation(rgb, orient)
     return rgb
 
 

@@ -225,3 +225,44 @@ class TestExifWriteBack:
         assert abs(float(exif_ifd[37380]) - 0.5) < 1e-6
         # Software is stamped by the exporter.
         assert exif[305] == "raw2film-tpu"
+
+
+class TestOrientation:
+    def test_orientation_6_uprights_portrait(self, tmp_path):
+        """A camera held vertically writes Orientation=6; the decode must
+        deliver the uprighted (rotated 90 CW) image like LibRaw does."""
+        from raw2film_tpu.io.dng import write_dng
+        from raw2film_tpu.io.raw import raw_to_linear
+
+        h, w = 40, 64
+        mosaic = np.zeros((h, w), np.uint16)
+        mosaic[:, : w // 2] = 40000  # bright LEFT half as stored
+        mosaic[:, w // 2 :] = 4000
+        p = str(tmp_path / "rot.dng")
+        write_dng(p, mosaic, white_level=60000, orientation=6)
+        xyz, meta = raw_to_linear(p, half_size=True, cache=False)
+        assert meta["EXIF:Orientation"] == 6
+        out = np.asarray(xyz)
+        # Portrait: dimensions swap, and the stored-left bright half appears
+        # at the visual TOP after 90 CW rotation.
+        assert out.shape[1] == w // 2 and out.shape[2] == h // 2
+        top = float(out[1, : out.shape[1] // 2, :].mean())
+        bottom = float(out[1, out.shape[1] // 2 :, :].mean())
+        assert top > 3 * bottom, (top, bottom)
+
+    def test_orientation_3_rotates_180(self, tmp_path):
+        from raw2film_tpu.io.dng import write_dng
+        from raw2film_tpu.io.raw import raw_to_linear
+
+        h, w = 40, 64
+        mosaic = np.zeros((h, w), np.uint16)
+        mosaic[: h // 2, :] = 40000  # bright TOP half as stored
+        mosaic[h // 2 :, :] = 4000
+        p = str(tmp_path / "rot3.dng")
+        write_dng(p, mosaic, white_level=60000, orientation=3)
+        xyz, _ = raw_to_linear(p, half_size=True, cache=False)
+        out = np.asarray(xyz)
+        assert out.shape[1] == h // 2 and out.shape[2] == w // 2
+        top = float(out[1, : out.shape[1] // 2, :].mean())
+        bottom = float(out[1, out.shape[1] // 2 :, :].mean())
+        assert bottom > 3 * top, (top, bottom)
