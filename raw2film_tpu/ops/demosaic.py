@@ -84,6 +84,17 @@ def demosaic_mhc(bayer: jnp.ndarray, pattern: str = "RGGB") -> jnp.ndarray:
     if pattern not in _PATTERNS:
         raise ValueError(f"unsupported Bayer pattern {pattern!r}")
     h, w = bayer.shape
+    from raw2film_tpu.ops.conv import _use_pallas
+
+    if _use_pallas():
+        # All four interpolants + phase selects in one streaming kernel
+        # (4 conv launches + a select pass cost ~2.3GB of HBM at 24MP).
+        from raw2film_tpu.ops.pallas_demosaic import demosaic_mhc_pallas
+
+        ry, rx = _PATTERNS[pattern]
+        out = demosaic_mhc_pallas(bayer, ry, rx)
+        if out is not None:
+            return out
     r_mask, grr, gbr, b_mask = _phase_masks(h, w, _PATTERNS[pattern])
 
     x = bayer[None]  # (1, H, W) single channel for conv

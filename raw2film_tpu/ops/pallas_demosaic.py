@@ -1,0 +1,173 @@
+"""Pallas Malvar-He-Cutler demosaic: all four 5x5 interpolants + the Bayer
+phase selects in ONE streaming kernel.
+
+The XLA formulation (ops/demosaic.py::demosaic_mhc) runs four separate conv
+launches over the mosaic and then a select pass — ~2.3 GB of HBM traffic at
+24MP where the information content is one mosaic read + one RGB write
+(~0.4 GB). Here each row-band block computes the four shift-add interpolants
+on the VPU from one shared halo window and writes the phase-selected RGB
+directly.
+
+Coefficients are the published Malvar-He-Cutler (ICASSP 2004) kernels,
+identical to ops/demosaic.py. Border convention matches: reflect-101.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+SUBLANE = 8
+R = 2  # 5x5 kernel radius
+
+
+def _taps(k2d: np.ndarray):
+    """Nonzero (dy, dx, coef) triples of a 5x5 kernel."""
+    out = []
+    for dy in range(5):
+        for dx in range(5):
+            c = float(k2d[dy, dx])
+            if c != 0.0:
+                out.append((dy, dx, c))
+    return tuple(out)
+
+
+def _mhc_taps():
+    from raw2film_tpu.ops.demosaic import (
+        _G_AT_RB,
+        _RB_AT_G_SAME_COL,
+        _RB_AT_G_SAME_ROW,
+        _RB_AT_OPPOSITE,
+    )
+
+    return (
+        _taps(_G_AT_RB),
+        _taps(_RB_AT_G_SAME_ROW),
+        _taps(_RB_AT_G_SAME_COL),
+        _taps(_RB_AT_OPPOSITE),
+    )
+
+
+def _demosaic_kernel(
+    prev_ref, cur_ref, next_ref, o_ref, win, *, th, chunk, w, nh, ry, rx, tapsets
+):
+    j = pl.program_id(0)
+    for c0 in range(0, w, chunk):
+        cw = min(chunk, w - c0)
+        ew = cw + 2 * R
+
+        def fill(dst_rows, src_ref, src_rows):
+            lo = c0 - R
+            hi = c0 + cw + R
+            if lo >= 0 and hi <= w:
+                win[dst_rows, 0:ew] = src_ref[0, src_rows, lo:hi]
+                return
+            pos = 0
+            if lo < 0:
+                n = -lo
+                for idx in range(n):
+                    win[dst_rows, idx : idx + 1] = src_ref[
+                        0, src_rows, n - idx : n - idx + 1
+                    ]
+                pos = n
+                lo = 0
+            take = min(hi, w) - lo
+            win[dst_rows, pos : pos + take] = src_ref[0, src_rows, lo : lo + take]
+            pos += take
+            if hi > w:
+                n = hi - w
+                for idx in range(n):
+                    win[dst_rows, pos + idx : pos + idx + 1] = src_ref[
+                        0, src_rows, w - 2 - idx : w - 1 - idx
+                    ]
+
+        fill(slice(0, R), prev_ref, slice(th - R, th))
+        fill(slice(R, R + th), cur_ref, slice(0, th))
+        fill(slice(R + th, R + th + R), next_ref, slice(0, R))
+
+        @pl.when(j == 0)
+        def _top():
+            for k in range(R):
+                fill(slice(k, k + 1), cur_ref, slice(R - k, R - k + 1))
+
+        @pl.when(j == nh - 1)
+        def _bottom():
+            for k in range(R):
+                fill(
+                    slice(R + th + k, R + th + k + 1),
+                    cur_ref,
+                    slice(th - 2 - k, th - 1 - k),
+                )
+
+        # Four interpolants via shared-window shift-adds (VPU).
+        interp = []
+        for taps in tapsets:
+            acc = None
+            for dy, dx, coef in taps:
+                term = np.float32(coef) * win[dy : dy + th, dx : dx + cw]
+                acc = term if acc is None else acc + term
+            interp.append(acc)
+        t_g, t_row, t_col, t_opp = interp
+
+        m = win[R : R + th, R : R + cw]
+        # Bayer phase masks from GLOBAL parities.
+        yy = (
+            jax.lax.broadcasted_iota(jnp.int32, (th, cw), 0) + j * np.int32(th)
+        ) & np.int32(1)
+        xx = (
+            jax.lax.broadcasted_iota(jnp.int32, (th, cw), 1) + np.int32(c0)
+        ) & np.int32(1)
+        is_r = (yy == ry) & (xx == rx)
+        is_b = (yy == 1 - ry) & (xx == 1 - rx)
+        g_r_row = (yy == ry) & (xx == 1 - rx)
+        g_b_row = (yy == 1 - ry) & (xx == rx)
+
+        sl = slice(c0, c0 + cw)
+        o_ref[1, :, sl] = jnp.where(is_r | is_b, t_g, m)
+        o_ref[0, :, sl] = jnp.where(
+            is_r, m, jnp.where(g_r_row, t_row, jnp.where(g_b_row, t_col, t_opp))
+        )
+        o_ref[2, :, sl] = jnp.where(
+            is_b, m, jnp.where(g_b_row, t_row, jnp.where(g_r_row, t_col, t_opp))
+        )
+
+
+def demosaic_mhc_pallas(
+    mosaic: jnp.ndarray,
+    ry: int,
+    rx: int,
+    tile_h: int = 32,
+    chunk: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray | None:
+    """(H, W) mosaic -> (3, H, W) RGB; returns None when the shape can't be
+    served (caller falls back to the XLA formulation)."""
+    h, w = mosaic.shape
+    th = tile_h
+    if h % th != 0 or h <= 2 * th or w <= chunk + R:
+        return None
+    nh = h // th
+    x = mosaic[None]
+    clamp = lambda off: (lambda j: (0, jnp.clip(j + off, 0, nh - 1), 0))
+    out = pl.pallas_call(
+        lambda p, cu, n, o, win: _demosaic_kernel(
+            p, cu, n, o, win,
+            th=th, chunk=chunk, w=w, nh=nh, ry=ry, rx=rx, tapsets=_mhc_taps(),
+        ),
+        out_shape=jax.ShapeDtypeStruct((3, h, w), mosaic.dtype),
+        grid=(nh,),
+        in_specs=[
+            pl.BlockSpec((1, th, w), clamp(-1), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, w), clamp(0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, w), clamp(1), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (3, th, w), lambda j: (0, j, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.VMEM((th + 2 * R, chunk + 2 * R), mosaic.dtype)],
+        interpret=interpret,
+    )(x, x, x)
+    return out

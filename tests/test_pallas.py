@@ -246,3 +246,24 @@ class TestFusedRankPerChannel:
                 convops._conv1d_axis(img[c : c + 1], u[c, 0], -2), v[c, 0], -1
             )
             np.testing.assert_allclose(got[c], np.asarray(want)[0], atol=2e-5)
+
+
+class TestPallasDemosaic:
+    @pytest.mark.parametrize("pattern", ["RGGB", "BGGR", "GRBG"])
+    def test_matches_xla_formulation(self, pattern):
+        from raw2film_tpu.ops import demosaic as dm
+        from raw2film_tpu.ops.pallas_demosaic import demosaic_mhc_pallas
+
+        rng = np.random.default_rng(9)
+        bayer = jnp.asarray(rng.random((128, 640)).astype(np.float32))
+        want = dm.demosaic_mhc(bayer, pattern)  # XLA path (pallas off on CPU)
+        ry, rx = dm._PATTERNS[pattern]
+        got = demosaic_mhc_pallas(bayer, ry, rx, chunk=256, interpret=True)
+        assert got is not None
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-6)
+
+    def test_unservable_returns_none(self):
+        from raw2film_tpu.ops.pallas_demosaic import demosaic_mhc_pallas
+
+        bayer = jnp.zeros((50, 600), jnp.float32)  # 50 % 32 != 0
+        assert demosaic_mhc_pallas(bayer, 0, 0, interpret=True) is None
