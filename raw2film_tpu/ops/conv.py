@@ -21,15 +21,38 @@ from jax import lax
 PAD_MODE = "reflect"
 
 
+_FORCE_XLA = False
+
+
 def _use_pallas() -> bool:
     """Route convs through the Pallas streaming kernels on TPU: XLA's fusion
     of many-term shift-adds is unreliable at 45MP (observed 46GB of
     materialized slice temps), while the Pallas path is one HBM read + one
     write per axis."""
+    if _FORCE_XLA:
+        return False
     try:
         return jax.devices()[0].platform in ("tpu", "axon")
     except Exception:
         return False
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def force_xla():
+    """Trace with the XLA formulations even on TPU. Needed when the traced
+    computation must be partitionable by XLA's SPMD (space-sharded rendering:
+    the partitioner inserts conv halo exchanges for lax ops but cannot split
+    a Pallas custom-call across devices)."""
+    global _FORCE_XLA
+    old = _FORCE_XLA
+    _FORCE_XLA = True
+    try:
+        yield
+    finally:
+        _FORCE_XLA = old
 
 
 def _pad_hw(img: jnp.ndarray, ph: int, pw: int) -> jnp.ndarray:

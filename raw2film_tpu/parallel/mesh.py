@@ -91,13 +91,21 @@ def sharded_batch_render(mesh: Mesh, cfg: RenderConfig):
         )
         return jax.jit(body)
 
-    # With a space axis the conv halos need cross-shard exchange - delegate
-    # to XLA's SPMD partitioner via shardings (vmap-free loop body).
+    # With a space axis the conv halos need cross-shard exchange — delegate
+    # to XLA's SPMD partitioner via shardings (vmap-free loop body). The
+    # trace must use the XLA conv formulations: SPMD inserts halo exchanges
+    # for lax ops but cannot partition a Pallas custom-call across devices.
+    from raw2film_tpu.ops import conv as convops
+
+    def fn_spmd(*args):
+        with convops.force_xla():
+            return fn(*args)
+
     in_shard = NamedSharding(mesh, in_spec)
     key_shard = NamedSharding(mesh, key_spec)
     repl = NamedSharding(mesh, P())
     return jax.jit(
-        fn,
+        fn_spmd,
         in_shardings=(in_shard, repl, key_shard),
         out_shardings=in_shard,
     )

@@ -79,3 +79,27 @@ class TestSharding:
         import __graft_entry__ as g
 
         g.dryrun_multichip(8)
+
+
+class TestForceXla:
+    def test_space_sharded_trace_avoids_pallas(self, monkeypatch):
+        """SPMD can't partition Pallas custom-calls: the space-axis jit must
+        trace the XLA formulations even on a Pallas platform."""
+        from raw2film_tpu.ops import conv as convops
+
+        monkeypatch.setattr(
+            convops.jax, "devices", lambda: None, raising=False
+        )
+        # Pretend we're on TPU: _use_pallas would return True...
+        monkeypatch.setattr(convops, "_FORCE_XLA", False)
+        real = convops._use_pallas
+
+        class _Dev:
+            platform = "tpu"
+
+        monkeypatch.setattr(convops.jax, "devices", lambda: [_Dev()])
+        assert convops._use_pallas() is True
+        # ...but not inside force_xla().
+        with convops.force_xla():
+            assert convops._use_pallas() is False
+        assert convops._use_pallas() is True
