@@ -253,7 +253,10 @@ def build_print_params(
             if np.max(np.abs(resid)) < 1e-9:
                 break
             jac = v @ np.diag(np.maximum(slope_from_params(x, *flat), 0.02))
-            log_e0 += 0.7 * np.linalg.solve(jac, resid)
+            # lstsq, not solve: a single-dye BW paper makes V rank-1 (flat
+            # silver absorption -> identical columns), so the Jacobian is
+            # singular and the minimum-norm step is the right one.
+            log_e0 += 0.7 * np.linalg.lstsq(jac, resid, rcond=None)[0]
         log_e0 = log_e0 + lights
         return PrintParams(
             mode="print",

@@ -64,6 +64,19 @@ def _slide_curve(gamma=-1.7, dmax=3.5, dmin=0.12, latitude=2.0):
     )
 
 
+def _bw_paper_curve(gamma=2.0, dmin=0.06, dmax=2.15):
+    """Single-layer silver-gelatin paper curve (grade ~ gamma)."""
+    lat = (dmax - dmin) / gamma
+    return HDCurve(
+        d_min=(dmin,),
+        gamma=(gamma,),
+        x_toe=(-1.45 - lat / 2,),
+        x_shoulder=(-1.45 + lat / 2,),
+        w_toe=(0.20,),
+        w_shoulder=(0.16,),
+    )
+
+
 def _paper_curve(gamma=2.8, dmin=0.07, dmax=2.35):
     lat = (dmax - dmin) / gamma
     return HDCurve(
@@ -541,6 +554,41 @@ def _stocks() -> list[FilmStock]:
             grain=None,
             mtf_model=None,
             comment="Premium motion-picture print stock (projection contrast).",
+        )
+    )
+    s.append(
+        FilmStock(
+            name="Ilford Multigrade IV RC",
+            manufacturer="Ilford",
+            year=1995,
+            stage="print",
+            film_type="paper",
+            medium="paper",
+            iso=0,
+            resolution=100,
+            density_measure="bw",
+            curve=_bw_paper_curve(2.0, dmin=0.06, dmax=2.15),
+            grain=None,
+            mtf_model=None,
+            comment="Silver-gelatin BW enlarging paper (grade 2 contrast).",
+        )
+    )
+    s.append(
+        FilmStock(
+            name="Ilford Multigrade IV RC grade 4",
+            manufacturer="Ilford",
+            year=1995,
+            stage="print",
+            film_type="paper",
+            medium="paper",
+            iso=0,
+            resolution=100,
+            density_measure="bw",
+            alias=("Multigrade hard",),
+            curve=_bw_paper_curve(3.1, dmin=0.06, dmax=2.2),
+            grain=None,
+            mtf_model=None,
+            comment="Hard-grade BW paper for flat negatives.",
         )
     )
     s.append(

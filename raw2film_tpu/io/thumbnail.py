@@ -23,7 +23,10 @@ def extract_thumb(src: str, max_edge: int = 256) -> np.ndarray:
     # 1) embedded JPEG preview (PIL reads TIFF-wrapped JPEG thumbnails for
     # many DNGs; our own synthetic DNGs have none).
     try:
+        from PIL import ImageOps
+
         with Image.open(src) as im:
+            im = ImageOps.exif_transpose(im)  # upright per Orientation tag
             im.thumbnail((max_edge, max_edge))
             return np.asarray(im.convert("RGB"))
     except Exception:

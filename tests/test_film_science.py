@@ -203,6 +203,25 @@ class TestStocks:
         assert d.shape == (3,)
         assert np.all(d > PORTRA.curve.d_min) and np.all(d < 3.0)
 
+    def test_bw_paper_print_path(self):
+        """BW negative -> BW silver-gelatin paper: exactly neutral output,
+        monotone, with the hard grade rendering steeper mid-tones."""
+        g, xyz = _grey_ramp(7)
+        outs = {}
+        for p_name in ("Ilford Multigrade IV RC", "Ilford Multigrade IV RC grade 4"):
+            prt = STOCKS[p_name]
+            neg_p = chain.build_negative_params(TRIX)
+            prt_p = chain.build_print_params(TRIX, prt, neg_params=neg_p)
+            out_p = chain.build_output_params(TRIX, prt, prt_p, neg_p)
+            out = chain.render_oracle(xyz, neg_p, prt_p, out_p)
+            # Single silver dye: channel spread is exactly zero.
+            assert np.max(out.max(axis=0) - out.min(axis=0)) < 1e-6
+            lum = out.mean(axis=0)[:, 0]
+            assert np.all(np.diff(lum) > 0)
+            outs[p_name] = lum
+        soft, hard = outs.values()
+        assert (hard[5] - hard[1]) > (soft[5] - soft[1])  # grade 4 steeper
+
     def test_every_camera_stock_renders(self):
         """Every stock in the database builds a chain and renders a grey ramp
         to finite, near-neutral, monotone output (guards new stock defs)."""
