@@ -31,3 +31,22 @@ cpu_processor.py:405 ``apply_lut_tetrahedral(image, lut, 0.25)``)."""
 
 LOG10_EPS = 1e-6
 """Clip floor before log10 (reference: shaders/lut_1d.wgsl safe_log10_vec3)."""
+
+
+def enable_persistent_jit_cache(path: str | None = None) -> None:
+    """Point JAX's persistent compilation cache at a per-user directory so a
+    render configuration compiles once per machine, not once per session
+    (a cold compile of a fresh config takes minutes through a remote-compile
+    TPU tunnel; the reference's analogue is its 16 pre-built WGSL pipelines).
+    Called by Processor on construction; safe to call repeatedly."""
+    import os
+
+    import jax
+
+    cache = path or os.path.expanduser("~/.raw2film_tpu/jit_cache")
+    try:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass  # older jax or read-only home: run without the cache

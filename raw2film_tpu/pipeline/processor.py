@@ -47,6 +47,9 @@ class Processor:
         # cameras/lenses kept for API compatibility with the reference's
         # lensfun-backed constructor (cpu_processor.py:27); lens correction is
         # handled by io.lens when profiles are available.
+        from raw2film_tpu.config import enable_persistent_jit_cache
+
+        enable_persistent_jit_cache()
         self.cameras = cameras or {}
         self.lenses = lenses or {}
         self._image_cache_key = None
