@@ -190,10 +190,13 @@ def halation_combined_fused(
     halation_size: float,
     factors: jnp.ndarray,
     interpret: bool = False,
+    develop: jnp.ndarray | None = None,
 ) -> jnp.ndarray | None:
     """The whole halation stage — full-res ranks + /4 pyramid upsample +
     per-channel combine — in ONE streaming pallas kernel
     (ops/pallas_halation.py). ``factors``: traced (3,) color factors.
+    ``develop``: optional f32[19] H&D vector (see halation_mega) to also
+    develop to density in-kernel (identity-masking fast path).
 
     Returns None when the mixture tier doesn't apply or the shape can't be
     served; the caller falls back to halation_blur + elementwise combine.
@@ -214,7 +217,8 @@ def halation_combined_fused(
         small_blur, 4, oh=h, interpret=interpret
     )
     return pallas_halation.halation_mega(
-        img, list(us), list(vs), small_rows_up, factors, interpret=interpret
+        img, list(us), list(vs), small_rows_up, factors,
+        interpret=interpret, develop=develop,
     )
 
 

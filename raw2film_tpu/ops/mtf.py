@@ -138,8 +138,15 @@ def film_sharpness_grain_from_key(
     )
     tol, max_rank = (1e-4, 6) if k.shape[-1] <= 15 else (2e-3, 4)
     u3, v3 = _svd_stack(k, tol=tol, max_rank=max_rank)
+    # tile 32 (not the auto 48): the grain epilogue's hash/noise temps push
+    # this kernel to the 16MB scoped-VMEM cliff at tile 48 with per-channel
+    # rank-4 bands (observed 19.06M compile OOM — Mosaic's scheduling
+    # varies run to run at the margin). M=32 costs ~1 ms of MXU utilization;
+    # the fusion still nets positive.
+    h = img.shape[-2]
+    tile = next((t for t in (32, 48, 40) if h % t == 0), 32)
     return pallas_conv2.fused_sep_rank_mxu(
-        img, u3, v3, precision="dc",
+        img, u3, v3, precision="dc", tile_h=tile,
         grain=(grain_seed, grain_prm, float(grain_sigma_px)),
         interpret=interpret,
     )

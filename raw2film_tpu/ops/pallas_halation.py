@@ -45,11 +45,12 @@ PYR_F = 4  # pyramid decimation factor served by the fused upsample
 
 def _mega_kernel(
     prev_ref, cur_ref, next_ref, sm_ref, *rest,
-    ranks, th, chunk, w, rh_max, rw_max, nh, same_last,
+    ranks, th, chunk, w, rh_max, rw_max, nh, same_last, develop=False,
 ):
     """Grid (C, nh). Blocks: ep (1, th, w) x3 neighbors; pyramid blur
     (1, th, w4) row-aligned; band/col matrices; horizontal lerp matrices;
-    fac SMEM f32[C]; out (1, th, w); scratch win, tmp."""
+    fac SMEM f32[C]; [dev SMEM f32[19] when develop]; out (1, th, w);
+    scratch win, tmp."""
     nr = len(ranks)
     bands_per_rank = 1 if same_last else 2
     band_refs = rest[: bands_per_rank * nr]
@@ -58,6 +59,7 @@ def _mega_kernel(
     uwm_ref = rest[(bands_per_rank + 1) * nr + 1]
     uwl_ref = rest[(bands_per_rank + 1) * nr + 2]
     fac_ref = rest[(bands_per_rank + 1) * nr + 3]
+    dev_ref = rest[(bands_per_rank + 1) * nr + 4] if develop else None
     o_ref, win, tmp = rest[-3], rest[-2], rest[-1]
 
     j = pl.program_id(1)
@@ -160,7 +162,33 @@ def _mega_kernel(
         # ---- combine: (img + f * blur) / (1 + f), blur = ranks + pyramid.
         blur = o_ref[0, :, c0 : c0 + cw] + up
         img = win[rh_max : rh_max + th, rw_max : rw_max + cw]
-        o_ref[0, :, c0 : c0 + cw] = (img + f * blur) * inv
+        combined = (img + f * blur) * inv
+        if develop:
+            # Develop epilogue (identity-masking fast path): log exposure ->
+            # per-channel H&D density, so the exposure image never returns
+            # to HBM. dev SMEM layout: [flare, dmin*3, gamma*3, x_toe*3,
+            # x_shoulder*3, w_toe*3, w_shoulder*3].
+            ch = pl.program_id(0)
+            flare = dev_ref[0]
+            dmin = dev_ref[1 + ch]
+            gam = dev_ref[4 + ch]
+            x_t = dev_ref[7 + ch]
+            x_s = dev_ref[10 + ch]
+            w_t = dev_ref[13 + ch]
+            w_s = dev_ref[16 + ch]
+            x = jnp.log(
+                jnp.maximum(combined + flare, np.float32(1e-6))
+            ) * np.float32(1.0 / np.log(10.0))
+
+            def softp(u, wdt):
+                t = u * (np.float32(1.0) / wdt)
+                return wdt * (
+                    jnp.maximum(t, np.float32(0.0))
+                    + jnp.log1p(jnp.exp(-jnp.abs(t)))
+                )
+
+            combined = dmin + gam * (softp(x - x_t, w_t) - softp(x - x_s, w_s))
+        o_ref[0, :, c0 : c0 + cw] = combined
 
 
 def halation_mega(
@@ -172,10 +200,17 @@ def halation_mega(
     tile_h: int | str = "auto",
     chunk: int = 512,
     interpret: bool = False,
+    develop: jnp.ndarray | None = None,
 ) -> jnp.ndarray | None:
     """(C, H, W) exposure + (C, H, W/4) row-upsampled pyramid blur ->
     halation-combined exposure, in one pallas pass. ``u``/``v``: shared
     full-res rank lists; ``factors``: traced (C,) per-channel color factors.
+
+    ``develop``: optional traced f32[19] H&D parameter vector
+    [flare, dmin*3, gamma*3, x_toe*3, x_shoulder*3, w_toe*3, w_shoulder*3];
+    when given, the kernel also develops the combined exposure to density
+    in-register (valid only for identity color masking — the default
+    color_masking=1.0 — where development is per-channel).
 
     Returns None when the shape can't be served (caller falls back to the
     separate-kernel path): needs H % tile == 0 with 4 | W, W > 2*chunk, and
@@ -252,12 +287,16 @@ def halation_mega(
         band_specs.append(const2(m))
     band_args.append(jnp.asarray(factors, jnp.float32).reshape(c))
     band_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+    if develop is not None:
+        band_args.append(jnp.asarray(develop, jnp.float32).reshape(19))
+        band_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
 
     out = pl.pallas_call(
         lambda p, cu, n, sm, *rest: _mega_kernel(
             p, cu, n, sm, *rest,
             ranks=ranks, th=th, chunk=chunk, w=w, rh_max=rh_max,
             rw_max=rw_max, nh=nh, same_last=same_last,
+            develop=develop is not None,
         ),
         out_shape=jax.ShapeDtypeStruct((c, h, w), img.dtype),
         grid=(c, nh),

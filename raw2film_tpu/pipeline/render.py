@@ -74,6 +74,8 @@ class RenderConfig:
     gamma_func: str = "sRGB"
     mtf_key: tuple | None = None
     icc: bool = False  # bundle carries a CP-factored ICC output LUT
+    mask_identity: bool = True  # color_masking == 1.0 (or BW): mask is I,
+    # development is per-channel and may fuse into the halation kernel
 
 
 def make_film_bundle(
@@ -186,6 +188,7 @@ def render_chain(
         jnp.maximum(q, 0.0) for q in _matp(bundle["m_in"], _planes(img))
     )
 
+    d = None
     if cfg.halation:
         g = bundle["hal_green"]
         factors = bundle["hal_intensity"] * (
@@ -194,33 +197,45 @@ def render_chain(
             else jnp.stack([g, g, g])
         )
         # Mega path: ranks + pyramid upsample + combine in one pallas kernel
-        # (the glow never touches HBM). Fallback: blur on the stacked image
-        # with the normalize-combine in planes so it fuses into the develop
-        # section's elementwise pass.
+        # (the glow never touches HBM) — and with identity color masking
+        # (the default), development rides the same kernel so the exposure
+        # image never touches HBM either. Fallback: blur on the stacked
+        # image with the normalize-combine in planes so it fuses into the
+        # develop section's elementwise pass.
+        devvec = None
+        if cfg.mask_identity:
+            devvec = jnp.concatenate(
+                [jnp.reshape(bundle["flare"], (1,))]
+                + [jnp.reshape(c, (3,)) for c in bundle["neg_curve"]]
+            )
         combined = hal_ops.halation_combined_fused(
-            jnp.stack(ep), cfg.scale, cfg.halation_size, factors
+            jnp.stack(ep), cfg.scale, cfg.halation_size, factors, develop=devvec
         )
         if combined is not None:
-            ep = _planes(combined)
+            if devvec is not None:
+                d = combined  # developed in-kernel
+            else:
+                ep = _planes(combined)
         else:
             blur = hal_ops.halation_blur(jnp.stack(ep), cfg.scale, cfg.halation_size)
             ep = tuple(
                 (ep[c] + factors[c] * blur[c]) / (1.0 + factors[c]) for c in range(3)
             )
 
-    # Development: log exposure -> status densities (+ masking coupling).
-    xp = tuple(
-        jnp.log10(jnp.maximum(ep[c] + bundle["flare"], LOG10_EPS))
-        for c in range(3)
-    )
-    dm = jnp.reshape(bundle["d_min"], (3, -1))
-    dp = tuple(
-        _hd_plane(xp[c], bundle["neg_curve"], c) - dm[c, 0] for c in range(3)
-    )
-    dp = tuple(
-        q + dm[c, 0] for c, q in enumerate(_matp(bundle["mask"], dp))
-    )
-    d = jnp.stack(dp)
+    if d is None:
+        # Development: log exposure -> status densities (+ masking coupling).
+        xp = tuple(
+            jnp.log10(jnp.maximum(ep[c] + bundle["flare"], LOG10_EPS))
+            for c in range(3)
+        )
+        dm = jnp.reshape(bundle["d_min"], (3, -1))
+        dp = tuple(
+            _hd_plane(xp[c], bundle["neg_curve"], c) - dm[c, 0] for c in range(3)
+        )
+        dp = tuple(
+            q + dm[c, 0] for c, q in enumerate(_matp(bundle["mask"], dp))
+        )
+        d = jnp.stack(dp)
 
     mtf_on = cfg.sharpness and cfg.has_mtf and cfg.mtf_key is not None
     grain_on = bool(cfg.grain and cfg.has_grain)
@@ -399,4 +414,5 @@ def build_render_config(
         sat_neutral=float(merged["sat_adjust"]) == 1.0,
         gamma_func=str(merged["gamma_func"]),
         mtf_key=mtf_ops._hashable_mtf(neg.mtf) if neg.mtf is not None else None,
+        mask_identity=neg.is_bw or float(merged["color_masking"]) == 1.0,
     )

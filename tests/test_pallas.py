@@ -184,6 +184,54 @@ class TestHalationMega:
         want = (np.asarray(img) + f * np.asarray(blur)) / (1.0 + f)
         np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
 
+    def test_develop_epilogue_matches_xla_develop(self):
+        """halation_mega(develop=prm) == XLA log10 + H&D over the plain
+        combined output (identity-masking fast path)."""
+        from raw2film_tpu.ops import pallas_conv2 as pc2
+        from raw2film_tpu.ops import pallas_halation, pallas_pyramid
+
+        rng = np.random.default_rng(8)
+        h, w = 160, 1088
+        img = jnp.asarray(rng.uniform(0.0, 2.0, (3, h, w)).astype(np.float32))
+        u = [convops.gaussian_kernel1d(1.5)]
+        v = [convops.gaussian_kernel1d(1.5)]
+        small = pallas_pyramid.box_downsample_pallas(img, 4, chunk=128, interpret=True)
+        sk = convops.gaussian_kernel1d(2.0)
+        small_blur = pc2.fused_sep_rank_mxu(small, [0.3 * sk], [sk], chunk=128, interpret=True)
+        rows_up = pallas_pyramid.bilinear_upsample_rows_pallas(
+            small_blur, 4, oh=h, interpret=True
+        )
+        factors = jnp.asarray([1.0, 0.3, 0.0], jnp.float32)
+        flare = 0.0015
+        dmin = np.array([0.2, 0.6, 0.9])
+        gamma = np.array([0.6, 0.63, 0.66])
+        x_t = np.array([-2.4, -2.4, -2.4])
+        x_s = np.array([0.9, 0.9, 0.9])
+        w_t = np.array([0.4, 0.4, 0.4])
+        w_s = np.array([0.6, 0.6, 0.6])
+        prm = jnp.asarray(
+            np.concatenate([[flare], dmin, gamma, x_t, x_s, w_t, w_s]), jnp.float32
+        )
+        got = pallas_halation.halation_mega(
+            img, u, v, rows_up, factors, chunk=384, interpret=True, develop=prm
+        )
+        assert got is not None
+        plain = pallas_halation.halation_mega(
+            img, u, v, rows_up, factors, chunk=384, interpret=True
+        )
+        e = np.asarray(plain)
+        x = np.log10(np.maximum(e + flare, 1e-6))
+
+        def softp(u_, w_):
+            t = u_ / w_
+            return w_ * (np.maximum(t, 0) + np.log1p(np.exp(-np.abs(t))))
+
+        c = lambda a: a.reshape(3, 1, 1)
+        want = c(dmin) + c(gamma) * (
+            softp(x - c(x_t), c(w_t)) - softp(x - c(x_s), c(w_s))
+        )
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
     def test_rows_upsample_matches_resize(self):
         from raw2film_tpu.ops import pallas_pyramid
 
