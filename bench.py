@@ -46,8 +46,33 @@ def main() -> None:
         return jnp.sum(out[:, ::512, ::512].astype(jnp.float32))
 
     keys = [jax.random.PRNGKey(i) for i in range(ITERS + 1)]
-    # Compile + warm-up.
-    float(jax.device_get(run(xyz, bundle, keys[-1])))
+    # Compile + warm-up. Safety net: Mosaic's scoped-VMEM accounting varies
+    # run to run at the margin (observed: a kernel that compiled at ~15.9M
+    # for dozens of runs flipped to a 19.06M hard OOM after an unrelated
+    # upstream change). If the fully-fused chain fails to compile, fall back
+    # to the separate-kernel structure so the benchmark always reports.
+    try:
+        float(jax.device_get(run(xyz, bundle, keys[-1])))
+    except Exception as e:
+        import sys
+
+        import raw2film_tpu.ops.halation as hal_ops
+        import raw2film_tpu.ops.mtf as mtf_ops
+
+        print(
+            f"warning: fused chain failed to compile ({type(e).__name__}); "
+            "falling back to separate kernels",
+            file=sys.stderr,
+        )
+        hal_ops.halation_combined_fused = lambda *a, **k: None
+        mtf_ops.film_sharpness_grain_from_key = lambda *a, **k: None
+
+        @jax.jit
+        def run(xyz, bundle, key):
+            out = render_chain(xyz, bundle, cfg, key)
+            return jnp.sum(out[:, ::512, ::512].astype(jnp.float32))
+
+        float(jax.device_get(run(xyz, bundle, keys[-1])))
 
     # The device executes dispatches FIFO; enqueue renders and force only the
     # last result. (t_many - t_one) / (ITERS - 1) cancels the fixed
