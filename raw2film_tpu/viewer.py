@@ -253,7 +253,8 @@ _PAGE = """<!doctype html><html><head><meta charset="utf-8">
 body{margin:0;background:#16181c;color:#ddd;font:13px system-ui;display:flex;height:100vh}
 #side{width:300px;padding:12px;overflow-y:auto;background:#1d2026}
 #main{flex:1;display:flex;flex-direction:column;align-items:center;overflow:auto}
-#preview{max-width:96%;max-height:72vh;margin-top:12px;border-radius:4px}
+#pframe{overflow:hidden;max-width:96%;max-height:72vh;margin-top:12px;border-radius:4px}
+#preview{display:block;max-width:100%;max-height:72vh;transform-origin:0 0;cursor:grab}
 #hist{width:256px;height:80px;margin:8px;image-rendering:pixelated}
 #strip{display:flex;gap:6px;padding:8px;overflow-x:auto;width:96%}
 #strip img{height:64px;border-radius:3px;cursor:pointer;opacity:.7}
@@ -285,7 +286,7 @@ button{background:#2a5e9e;color:#eee;border:0;border-radius:3px;padding:5px 10px
  <div id="err"></div>
 </div>
 <div id="main">
- <img id="preview"><img id="hist">
+ <div id="pframe"><img id="preview"></div><img id="hist">
  <div id="strip"></div>
 </div>
 <script>
@@ -299,7 +300,7 @@ const SLIDERS = [
  ["rotation",-45,45,.5,0],["zoom",1,3,.01,1],
  ["chroma_nr",0,10,1,0]];
 const CANVAS_SLIDERS = [["canvas_scale",1,2,.01,1],["canvas_ratio",.2,1.5,.01,.8]];
-let cur=0, seq=0, t=null, files=[], profiles={};
+let cur=0, seq=0, t=null, files=[], profiles={}, snapA=null, holdB=false;
 const $=id=>document.getElementById(id);
 const WB_PRESETS={daylight:[5500,0],cloudy:[6500,0],shade:[7500,0],tungsten:[3200,0],fluor:[4000,15],flash:[5800,0]};
 function currentParams(){
@@ -339,7 +340,7 @@ async function loop(){
     $("note").textContent=r.note||"";
     if(r.error){$("err").textContent=r.error}
     else{$("err").textContent="";
-     $("preview").src="/api/frame.jpg?seq="+seq;
+     if(!holdB)$("preview").src="/api/frame.jpg?seq="+seq;
      $("hist").src="/api/hist.png?seq="+seq;}
    }
   }catch(e){await new Promise(r=>setTimeout(r,1000))}
@@ -382,7 +383,25 @@ async function init(){
    const o=$("profile").options[e.key-1];
    if(o){$("profile").value=o.value;const p=profiles[o.value];if(p)applyParams(p);post();}
   }else if(e.key==="e")$("export").click();
+  else if(e.key==="b"&&snapA&&!holdB){holdB=true;$("preview").src=snapA;}
+  else if(e.key==="s"){snapA=$("preview").src;$("note").textContent="snapshot taken — hold 'b' to compare";}
  });
+ document.addEventListener("keyup",e=>{
+  if(e.key==="b"&&holdB){holdB=false;$("preview").src="/api/frame.jpg?seq="+seq;}
+ });
+ // Zoom/pan: wheel to zoom about the cursor, drag to pan, double-click resets.
+ const pv=$("preview");let zf=1,zx=0,zy=0,drag=null;
+ const apply=()=>{pv.style.transform=`translate(${zx}px,${zy}px) scale(${zf})`;};
+ $("pframe").addEventListener("wheel",e=>{
+  e.preventDefault();
+  const r=pv.getBoundingClientRect(),mx=e.clientX-r.left,my=e.clientY-r.top;
+  const f=e.deltaY<0?1.25:0.8,nz=Math.min(12,Math.max(1,zf*f));
+  zx-=(mx/zf)*(nz-zf);zy-=(my/zf)*(nz-zf);zf=nz;if(zf===1){zx=zy=0;}apply();
+ },{passive:false});
+ pv.addEventListener("mousedown",e=>{drag=[e.clientX-zx,e.clientY-zy];e.preventDefault();});
+ document.addEventListener("mousemove",e=>{if(drag){zx=e.clientX-drag[0];zy=e.clientY-drag[1];apply();}});
+ document.addEventListener("mouseup",()=>drag=null);
+ pv.addEventListener("dblclick",()=>{zf=1;zx=zy=0;apply();});
  $("profile").onchange=()=>{const p=profiles[$("profile").value];if(p)applyParams(p);post();};
  $("saveprof").onclick=async()=>{
   const name=$("profile").value;
