@@ -18,6 +18,7 @@ not a dependency here; this module owns:
 from __future__ import annotations
 
 import dataclasses
+import functools
 import json
 import math
 import os
@@ -73,19 +74,30 @@ _BUILTIN_PROFILES: list[LensProfile] = [
 ]
 
 
+@functools.lru_cache(maxsize=4)
+def _load_user_db(path: str, mtime: float) -> list[LensProfile]:
+    with open(path) as f:
+        out = []
+        for row in json.load(f):
+            row["dist_params"] = tuple(tuple(x) for x in row.get("dist_params", []))
+            row["vig_params"] = tuple(tuple(x) for x in row.get("vig_params", []))
+            out.append(LensProfile(**row))
+        return out
+
+
 def load_profiles(path: str | None = None) -> list[LensProfile]:
     """User JSON database (imported lensfun data takes precedence), then the
-    curated built-in set (io/lens_db.py), then the synthetic test profile."""
+    curated built-in set (io/lens_db.py), then the synthetic test profile.
+
+    Called per image from the Processor; the user DB parse is cached keyed
+    by (path, mtime) so re-imports are picked up without per-image I/O.
+    """
     profiles: list[LensProfile] = []
     candidates = [path] if path else []
     candidates.append(os.path.expanduser("~/.raw2film_tpu/lenses.json"))
     for p in candidates:
         if p and os.path.exists(p):
-            with open(p) as f:
-                for row in json.load(f):
-                    row["dist_params"] = tuple(tuple(x) for x in row.get("dist_params", []))
-                    row["vig_params"] = tuple(tuple(x) for x in row.get("vig_params", []))
-                    profiles.append(LensProfile(**row))
+            profiles.extend(_load_user_db(p, os.path.getmtime(p)))
     from raw2film_tpu.io.lens_db import PROFILES as _CURATED
 
     profiles.extend(_CURATED)

@@ -21,6 +21,8 @@ from jax import lax
 PAD_MODE = "reflect"
 
 
+from contextlib import contextmanager
+
 _FORCE_XLA = False
 
 
@@ -35,9 +37,6 @@ def _use_pallas() -> bool:
         return jax.devices()[0].platform in ("tpu", "axon")
     except Exception:
         return False
-
-
-from contextlib import contextmanager
 
 
 @contextmanager

@@ -266,14 +266,12 @@ def render_chain(
     if mtf_on and grain_on and cfg.grain == 2 and _use_pallas():
         # Mega-fusion: MTF conv + grain epilogue in ONE pallas kernel — the
         # density-domain image makes one HBM round trip for both stages.
-        from raw2film_tpu.ops.grain import correlation_sigma_px
-
         seed = (noise_key[0] ^ noise_key[1]).astype(jnp.uint32).reshape(1)
         fused = mtf_ops.film_sharpness_grain_from_key(
             d, cfg.mtf_key, cfg.scale,
             cfg.sharpening_strength, cfg.sharpening_sigma,
             seed,
-            correlation_sigma_px(cfg.scale, cfg.grain_size_mm, cfg.grain_sigma),
+            grain_ops.correlation_sigma_px(cfg.scale, cfg.grain_size_mm, cfg.grain_sigma),
             jnp.stack([jnp.asarray(p, jnp.float32).reshape(()) for p in grain_prm]),
         )
         if fused is not None:
@@ -290,7 +288,6 @@ def render_chain(
             # Fully fused: hash noise + correlation + amplitude + add in one
             # streaming pass (ops/pallas_grain.py). grain==1 shares one field
             # across channels with the channel-mean amplitude.
-            from raw2film_tpu.ops.grain import correlation_sigma_px
             from raw2film_tpu.ops.pallas_grain import (
                 grain_apply_bw_pallas,
                 grain_apply_pallas,
@@ -301,7 +298,7 @@ def render_chain(
             d = apply_fn(
                 d,
                 seed,
-                correlation_sigma_px(cfg.scale, cfg.grain_size_mm, cfg.grain_sigma),
+                grain_ops.correlation_sigma_px(cfg.scale, cfg.grain_size_mm, cfg.grain_sigma),
                 *grain_prm,
             )
         else:

@@ -122,6 +122,21 @@ class ViewerState:
         resolved = self._resolved(name)
         return {**defaults, **resolved}
 
+    def _render_kwargs(self, name: str) -> dict:
+        """Resolved params -> Processor.process kwargs (film_format folded
+        into frame dims, stock names lifted out of the passthrough dict)."""
+        from raw2film_tpu.pipeline.params import apply_film_format
+
+        resolved = apply_film_format(dict(self._resolved(name)))
+        kwargs = {
+            k: v
+            for k, v in resolved.items()
+            if k not in ("negative_film", "print_film", "profile")
+        }
+        kwargs["negative_film"] = resolved.get("negative_film", "Kodak Portra 400")
+        kwargs["print_film"] = resolved.get("print_film") or None
+        return kwargs
+
     def request(self, index: int, params: dict, full: bool) -> None:
         src = self.files[index]
         name = os.path.basename(src)
@@ -129,22 +144,11 @@ class ViewerState:
             merged = {**self.image_params.get(name, {}), **params}
             self.image_params[name] = merged
             self._persist()
-        resolved = self._resolved(name)
-        from raw2film_tpu.pipeline.params import apply_film_format
-
-        resolved = apply_film_format(dict(resolved))
-        clean = {
-            k: v
-            for k, v in resolved.items()
-            if k not in ("negative_film", "print_film", "profile")
-        }
         self.engine.request(
             src,
             full_preview=full,
-            negative_film=resolved.get("negative_film", "Kodak Portra 400"),
-            print_film=resolved.get("print_film") or None,
             max_scale=PREVIEW_MAX_SCALE,
-            **clean,
+            **self._render_kwargs(name),
         )
 
     def copy_settings_to_all(self, index: int) -> None:
@@ -173,7 +177,7 @@ class ViewerState:
         reference: src/raw2film/gui.py:2357-2378)."""
         src = self.files[index]
         name = os.path.basename(src)
-        resolved = self._resolved(name)
+        kwargs = self._render_kwargs(name)
         dst = os.path.join(
             self.folder, "export", os.path.splitext(name)[0] + ".jpg"
         )
@@ -181,26 +185,13 @@ class ViewerState:
         def run():
             try:
                 from raw2film_tpu.io.export import save_image
-                from raw2film_tpu.pipeline.params import apply_film_format
 
-                clean = {
-                    k: v
-                    for k, v in apply_film_format(dict(resolved)).items()
-                    if k not in ("negative_film", "print_film", "profile")
-                }
                 with self.engine.proc_lock:
-                    image = self.proc.process(
-                        src,
-                        negative_film=resolved.get(
-                            "negative_film", "Kodak Portra 400"
-                        ),
-                        print_film=resolved.get("print_film") or None,
-                        **clean,
-                    )
+                    image = self.proc.process(src, **kwargs)
                     meta = dict(getattr(self.proc, "last_metadata", {}) or {})
                 save_image(
                     image, dst, quality=quality, metadata=meta,
-                    exp_comp=resolved.get("exp_comp"),
+                    exp_comp=kwargs.get("exp_comp"),
                 )
                 msg = f"exported {os.path.relpath(dst, self.folder)}"
                 with self._cond:
