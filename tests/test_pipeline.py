@@ -410,3 +410,28 @@ class TestProcessBatch:
 
         with pytest.raises(ValueError, match="devices requested"):
             make_mesh(1024)
+
+
+class TestMaskIdentityFlag:
+    def test_mask_identity_tracks_color_masking(self):
+        """The develop-in-halation fast path is valid ONLY when the masking
+        matrix is identity; the static flag must track the setting."""
+        from raw2film_tpu.film.loader import load_film_stocks
+        from raw2film_tpu.pipeline.params import ImageParams, ProfileParams, merge_params
+        from raw2film_tpu.pipeline.render import build_render_config
+
+        stocks = load_film_stocks()
+        neg = stocks["Kodak Portra 400"]
+        prt = stocks["Fuji Crystal Archive Maxima"]
+
+        def cfg(**over):
+            merged = merge_params(ProfileParams(), ImageParams())
+            merged.update(over)
+            return build_render_config(neg, prt, "print", 100.0, merged)
+
+        assert cfg().mask_identity is True  # default color_masking == 1.0
+        assert cfg(color_masking=0.5).mask_identity is False
+        bw = stocks["Kodak Tri-X 400"]
+        merged = merge_params(ProfileParams(), ImageParams())
+        merged.update(color_masking=0.5)
+        assert build_render_config(bw, prt, "print", 100.0, merged).mask_identity is True
