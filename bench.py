@@ -54,18 +54,15 @@ def main() -> None:
     try:
         float(jax.device_get(run(xyz, bundle, keys[-1])))
     except Exception as e:
+        import dataclasses
         import sys
-
-        import raw2film_tpu.ops.halation as hal_ops
-        import raw2film_tpu.ops.mtf as mtf_ops
 
         print(
             f"warning: fused chain failed to compile ({type(e).__name__}); "
             "falling back to separate kernels",
             file=sys.stderr,
         )
-        hal_ops.halation_combined_fused = lambda *a, **k: None
-        mtf_ops.film_sharpness_grain_from_key = lambda *a, **k: None
+        cfg = dataclasses.replace(cfg, fusion=False)
 
         @jax.jit
         def run(xyz, bundle, key):

@@ -45,6 +45,11 @@ def enable_persistent_jit_cache(path: str | None = None) -> None:
 
     cache = path or os.path.expanduser("~/.raw2film_tpu/jit_cache")
     try:
+        if path is None and (
+            os.environ.get("JAX_COMPILATION_CACHE_DIR")
+            or getattr(jax.config, "jax_compilation_cache_dir", None)
+        ):
+            return  # respect a user-configured cache location
         os.makedirs(cache, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -522,10 +522,10 @@ def write_dng(
     E(262, 3, [32803])
     E(271, 2, make)
     E(272, 2, model)
-    if orientation is not None:
-        E(274, 3, [orientation])
     strip_entry_index = len(entries)
     E(273, 4, [0])
+    if orientation is not None:
+        E(274, 3, [orientation])
     E(277, 3, [1])
     E(278, 4, [h])
     E(279, 4, [len(data)])

@@ -21,9 +21,10 @@ from jax import lax
 PAD_MODE = "reflect"
 
 
+import threading
 from contextlib import contextmanager
 
-_FORCE_XLA = False
+_dispatch_tls = threading.local()
 
 
 def _use_pallas() -> bool:
@@ -31,7 +32,7 @@ def _use_pallas() -> bool:
     of many-term shift-adds is unreliable at 45MP (observed 46GB of
     materialized slice temps), while the Pallas path is one HBM read + one
     write per axis."""
-    if _FORCE_XLA:
+    if getattr(_dispatch_tls, "force_xla", False):
         return False
     try:
         return jax.devices()[0].platform in ("tpu", "axon")
@@ -44,14 +45,14 @@ def force_xla():
     """Trace with the XLA formulations even on TPU. Needed when the traced
     computation must be partitionable by XLA's SPMD (space-sharded rendering:
     the partitioner inserts conv halo exchanges for lax ops but cannot split
-    a Pallas custom-call across devices)."""
-    global _FORCE_XLA
-    old = _FORCE_XLA
-    _FORCE_XLA = True
+    a Pallas custom-call across devices). Thread-local: tracing on another
+    thread (e.g. the viewer's preview worker) keeps the Pallas fast path."""
+    old = getattr(_dispatch_tls, "force_xla", False)
+    _dispatch_tls.force_xla = True
     try:
         yield
     finally:
-        _FORCE_XLA = old
+        _dispatch_tls.force_xla = old
 
 
 def _pad_hw(img: jnp.ndarray, ph: int, pw: int) -> jnp.ndarray:

@@ -361,7 +361,25 @@ class Processor:
         bundle, cfg = self._attach_icc(bundle, cfg, icc_transform)
 
         key = jax.random.PRNGKey(seed)
-        out = render_jit(xyz, bundle, cfg, key)  # (3, H, W) uint8
+        try:
+            out = render_jit(xyz, bundle, cfg, key)  # (3, H, W) uint8
+        except Exception as e:
+            # Mosaic's scoped-VMEM accounting varies run to run at the
+            # margin; if a fused mega-kernel fails to compile, retry once
+            # with fusion off (a distinct jit key) — the separate-kernel
+            # structure is ~15% slower but always serves.
+            if not cfg.fusion or "vmem" not in str(e).lower():
+                raise
+            import dataclasses as _dc
+            import warnings
+
+            warnings.warn(
+                f"fused render failed to compile ({type(e).__name__}); "
+                "retrying with fusion disabled",
+                stacklevel=2,
+            )
+            cfg = _dc.replace(cfg, fusion=False)
+            out = render_jit(xyz, bundle, cfg, key)
 
         image = self._finish(np.asarray(out), None, canvas_mode,
                              canvas_scale, canvas_ratio, orig_resolution)

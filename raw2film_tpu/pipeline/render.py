@@ -76,6 +76,8 @@ class RenderConfig:
     icc: bool = False  # bundle carries a CP-factored ICC output LUT
     mask_identity: bool = True  # color_masking == 1.0 (or BW): mask is I,
     # development is per-channel and may fuse into the halation kernel
+    fusion: bool = True  # False: skip the mega-kernels (Mosaic scoped-VMEM
+    # accounting varies at the margin; Processor retries with fusion off)
 
 
 def make_film_bundle(
@@ -208,8 +210,12 @@ def render_chain(
                 [jnp.reshape(bundle["flare"], (1,))]
                 + [jnp.reshape(c, (3,)) for c in bundle["neg_curve"]]
             )
-        combined = hal_ops.halation_combined_fused(
-            jnp.stack(ep), cfg.scale, cfg.halation_size, factors, develop=devvec
+        combined = (
+            hal_ops.halation_combined_fused(
+                jnp.stack(ep), cfg.scale, cfg.halation_size, factors, develop=devvec
+            )
+            if cfg.fusion
+            else None
         )
         if combined is not None:
             if devvec is not None:
@@ -263,7 +269,7 @@ def render_chain(
 
     from raw2film_tpu.ops.conv import _use_pallas
 
-    if mtf_on and grain_on and cfg.grain == 2 and _use_pallas():
+    if mtf_on and grain_on and cfg.grain == 2 and cfg.fusion and _use_pallas():
         # Mega-fusion: MTF conv + grain epilogue in ONE pallas kernel — the
         # density-domain image makes one HBM round trip for both stages.
         seed = (noise_key[0] ^ noise_key[1]).astype(jnp.uint32).reshape(1)

@@ -375,7 +375,12 @@ async function init(){
    if(o){$("profile").value=o.value;const p=profiles[o.value];if(p)applyParams(p);post();}
   }else if(e.key==="e")$("export").click();
   else if(e.key==="b"&&snapA&&!holdB){holdB=true;$("preview").src=snapA;}
-  else if(e.key==="s"){snapA=$("preview").src;$("note").textContent="snapshot taken — hold 'b' to compare";}
+  else if(e.key==="s"){
+   fetch("/api/frame.jpg").then(r=>r.blob()).then(bl=>{
+    if(snapA)URL.revokeObjectURL(snapA);
+    snapA=URL.createObjectURL(bl);
+    $("note").textContent="snapshot taken — hold 'b' to compare";});
+  }
  });
  document.addEventListener("keyup",e=>{
   if(e.key==="b"&&holdB){holdB=false;$("preview").src="/api/frame.jpg?seq="+seq;}

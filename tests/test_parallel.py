@@ -87,13 +87,7 @@ class TestForceXla:
         trace the XLA formulations even on a Pallas platform."""
         from raw2film_tpu.ops import conv as convops
 
-        monkeypatch.setattr(
-            convops.jax, "devices", lambda: None, raising=False
-        )
         # Pretend we're on TPU: _use_pallas would return True...
-        monkeypatch.setattr(convops, "_FORCE_XLA", False)
-        real = convops._use_pallas
-
         class _Dev:
             platform = "tpu"
 
