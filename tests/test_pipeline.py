@@ -435,3 +435,37 @@ class TestMaskIdentityFlag:
         merged = merge_params(ProfileParams(), ImageParams())
         merged.update(color_masking=0.5)
         assert build_render_config(bw, prt, "print", 100.0, merged).mask_identity is True
+
+
+class TestFusionCompileFallback:
+    def test_processor_retries_with_fusion_off(self, monkeypatch):
+        """A Mosaic scoped-VMEM compile failure on the fused chain must not
+        surface to the user: Processor retries once with fusion=False."""
+        import numpy as np
+
+        from raw2film_tpu.pipeline import processor as proc_mod
+        from raw2film_tpu.pipeline.processor import Processor
+
+        calls = []
+        real = proc_mod.render_jit
+
+        def flaky(xyz, bundle, cfg, key):
+            calls.append(cfg.fusion)
+            if cfg.fusion:
+                raise RuntimeError(
+                    "Ran out of memory in memory space vmem while allocating"
+                )
+            return real(xyz, bundle, cfg, key)
+
+        monkeypatch.setattr(proc_mod, "render_jit", flaky)
+        proc = Processor()
+        img = np.abs(
+            np.random.default_rng(0).normal(0.2, 0.1, (3, 48, 72))
+        ).astype(np.float32)
+        with pytest.warns(UserWarning, match="fusion disabled"):
+            out = proc.process(
+                img, "Kodak Portra 400", print_film=None, grain=0,
+                halation=False, sharpness=False, half_size=False, max_scale=None,
+            )
+        assert out.shape == (48, 72, 3)
+        assert calls == [True, False]
