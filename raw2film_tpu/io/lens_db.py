@@ -108,6 +108,16 @@ PROFILES: list[LensProfile] = [
     _prime("Panasonic", "LUMIX G 25", 25, 1.7, -0.008, crop=2.0),
     _zoom("Olympus", "M.12-40mm F2.8", 12, 40, 2.8, 2.8, -0.026, 0.008, crop=2.0),
     _zoom("Olympus", "M.14-42mm", 14, 42, 3.5, 5.6, -0.032, 0.008, crop=2.0),
+    _prime("Canon", "RF35mm F1.8", 35, 1.8, -0.022),
+    _prime("Canon", "RF50mm F1.2 L", 50, 1.2, -0.006, vig_strength=1.2),
+    _prime("Canon", "EF85mm f/1.2", 85, 1.2, 0.002, vig_strength=1.2),
+    _zoom("Canon", "EF16-35mm f/2.8L", 16, 35, 2.8, 2.8, -0.032, 0.004),
+    _prime("Nikon", "NIKKOR Z 35mm f/1.8", 35, 1.8, -0.010),
+    _prime("Nikon", "NIKKOR Z 85mm f/1.8", 85, 1.8, 0.002),
+    _prime("Sony", "FE 20mm F1.8 G", 20, 1.8, -0.028, vig_strength=1.2),
+    _prime("Sony", "FE 85mm F1.4 GM", 85, 1.4, 0.002, vig_strength=1.1),
+    _zoom("Fujifilm", "XF16-55mm", 16, 55, 2.8, 2.8, -0.026, 0.008, crop=1.5),
+    _prime("Olympus", "M.45mm F1.8", 45, 1.8, 0.001, crop=2.0),
     # ----------------------------------------------------------- Sigma/Tamron
     _prime("Sigma", "35mm F1.4 DG", 35, 1.4, -0.010),
     _prime("Sigma", "50mm F1.4 DG", 50, 1.4, -0.006),
