@@ -59,6 +59,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--full-res", action="store_true", help="disable half-size decode")
     p.add_argument("--trace", action="store_true", help="print per-stage timings")
+    p.add_argument(
+        "--export-lut",
+        metavar="FILE.cube",
+        help="bake the configured film chain into a .cube 3D LUT "
+        "(linear Rec709 in, display RGB out) and exit",
+    )
+    p.add_argument("--lut-size", type=int, default=33, help="3D LUT side length")
     # Every ProfileParams/ImageParams field becomes a flag.
     for dc in (ProfileParams(), ImageParams()):
         for f in dataclasses.fields(dc):
@@ -125,6 +132,37 @@ def main(argv: list[str] | None = None) -> int:
             print(
                 f"{name:32s} {s.stage:6s} {s.film_type:8s} ISO {s.iso:>5g}  {s.comment}"
             )
+        return 0
+
+    if args.export_lut:
+        from raw2film_tpu.io.cube import export_film_lut
+
+        if args.negative_film not in stocks:
+            print(f"unknown negative stock {args.negative_film!r}", file=sys.stderr)
+            return 2
+        prt_name = args.print_film
+        prt = None if prt_name in (None, "", "None") else stocks.get(prt_name)
+        if prt_name not in (None, "", "None") and prt is None:
+            print(f"unknown print stock {prt_name!r}", file=sys.stderr)
+            return 2
+        export_film_lut(
+            args.export_lut,
+            stocks[args.negative_film],
+            prt,
+            size=args.lut_size,
+            red_light=args.red_light,
+            green_light=args.green_light,
+            blue_light=args.blue_light,
+            projector_kelvin=args.projector_kelvin,
+            shadow_comp=args.shadow_comp,
+            inversion_gamma=args.inversion_gamma,
+            idealized_curve=args.idealized_curve,
+            white_balance=args.white_balance,
+            sat_adjust=args.sat_adjust,
+            gamma_func=args.gamma_func,
+            white_clip=args.white_clip,
+        )
+        print(f"wrote {args.export_lut} ({args.lut_size}^3)")
         return 0
 
     files: list[str] = []

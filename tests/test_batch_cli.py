@@ -202,3 +202,38 @@ class TestCLI:
         rc = main([str(folder), "-o", out_dir, "--grain", "0"])
         assert rc == 0
         assert os.path.exists(os.path.join(out_dir, "f1.jpg"))
+
+
+class TestExportLut:
+    def test_cli_exports_cube(self, tmp_path):
+        from raw2film_tpu.cli import main
+        from raw2film_tpu.io.cube import read_cube
+
+        dst = str(tmp_path / "portra.cube")
+        rc = main(
+            ["--export-lut", dst, "--lut-size", "9",
+             "--negative-film", "Kodak Portra 400",
+             "--print-film", "Fuji Crystal Archive Maxima"]
+        )
+        assert rc == 0
+        lut, _, _ = read_cube(dst)
+        assert lut.shape == (9, 9, 9, 3)
+        assert np.all(np.isfinite(lut)) and lut.max() <= 1.0 and lut.min() >= 0.0
+        # Brighter input -> brighter output along the neutral diagonal.
+        diag = np.array([lut[i, i, i].mean() for i in range(9)])
+        assert diag[-1] > diag[1]
+
+    def test_cli_export_lut_bw_paper(self, tmp_path):
+        from raw2film_tpu.cli import main
+        from raw2film_tpu.io.cube import read_cube
+
+        dst = str(tmp_path / "trix.cube")
+        rc = main(
+            ["--export-lut", dst, "--lut-size", "7",
+             "--negative-film", "Kodak Tri-X 400",
+             "--print-film", "Ilford Multigrade IV RC"]
+        )
+        assert rc == 0
+        lut, _, _ = read_cube(dst)
+        # BW chain: LUT output is neutral everywhere.
+        assert np.abs(lut.max(axis=-1) - lut.min(axis=-1)).max() < 1e-5
