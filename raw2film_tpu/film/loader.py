@@ -330,6 +330,21 @@ def _stocks() -> list[FilmStock]:
         )
     )
 
+    s.append(
+        FilmStock(
+            name="Lomography Color Negative 800",
+            manufacturer="Lomography",
+            year=2010,
+            iso=800,
+            resolution=95,
+            curve=_neg_curve(0.64, dmin=(0.22, 0.66, 0.97), latitude=3.1, toe=0.46, sh=0.6),
+            sens=Sensitivities(peaks=(640.0, 552.0, 468.0), widths=(39.0, 38.0, 34.0)),
+            grain=GrainModel(rms=6.5),
+            mtf_model=MTFModel(f50=42.0, adj=0.28),
+            comment="Warm, saturated high-speed consumer negative.",
+        )
+    )
+
     # ----------------------------------------------------- black & white
     s.append(
         FilmStock(
@@ -458,6 +473,35 @@ def _stocks() -> list[FilmStock]:
         )
     )
 
+    s.append(
+        FilmStock(
+            name="Agfa APX 100",
+            manufacturer="Agfa",
+            year=1989,
+            iso=100,
+            resolution=150,
+            density_measure="bw",
+            curve=_bw_curve(0.64, dmin=0.10, latitude=3.3),
+            grain=GrainModel(rms=3.0, floor=0.18),
+            mtf_model=MTFModel(f50=80.0, adj=0.30),
+            comment="Classic European cubic-grain BW with long tonality.",
+        )
+    )
+    s.append(
+        FilmStock(
+            name="Kentmere Pan 400",
+            manufacturer="Kentmere",
+            year=2009,
+            iso=400,
+            resolution=95,
+            density_measure="bw",
+            curve=_bw_curve(0.61, dmin=0.14, latitude=3.2),
+            grain=GrainModel(rms=6.0, floor=0.22),
+            mtf_model=MTFModel(f50=48.0, adj=0.32),
+            comment="Budget fast BW, HP5-adjacent with softer edge response.",
+        )
+    )
+
     # ----------------------------------------------------- reversal (slide)
     s.append(
         FilmStock(
@@ -500,6 +544,23 @@ def _stocks() -> list[FilmStock]:
             curve=_slide_curve(-1.7, dmax=3.6, dmin=0.13, latitude=2.1),
             grain=GrainModel(rms=2.3),
             mtf_model=MTFModel(f50=70.0, adj=0.28),
+        )
+    )
+
+    s.append(
+        FilmStock(
+            name="Kodak Kodachrome 64",
+            manufacturer="Kodak",
+            year=1974,
+            iso=64,
+            film_type="positive",
+            resolution=100,
+            curve=_slide_curve(-1.85, dmax=3.7, dmin=0.15, latitude=2.0),
+            sens=Sensitivities(peaks=(650.0, 545.0, 458.0), widths=(30.0, 31.0, 28.0)),
+            dyes=DyeSet(unwanted=(0.05, 0.08, 0.02)),
+            grain=GrainModel(rms=3.2),
+            mtf_model=MTFModel(f50=63.0, adj=0.34),
+            comment="The archival slide: deep reds, punchy micro-contrast.",
         )
     )
 
