@@ -124,8 +124,10 @@ def find_profile(metadata: dict, profiles: list[LensProfile] | None = None):
     (src/raw2film/utils.py:24-79). Returns (profile | None).
 
     Matching is by LENS MODEL substring. A make-level fallback only applies
-    when the file carries no LensModel at all (a wrong-model guess would
-    apply another lens's distortion silently — worse than no correction).
+    when the file carries no LensModel at all, AND the shot's focal length
+    falls inside the candidate profile's characterized focal range — a bare
+    maker match would hand every LensModel-less Canon file the first Canon
+    profile's distortion (a wrong-model guess is worse than no correction).
     """
     profiles = profiles if profiles is not None else load_profiles()
     lens_model = str(metadata.get("EXIF:LensModel", "") or "")
@@ -136,8 +138,17 @@ def find_profile(metadata: dict, profiles: list[LensProfile] | None = None):
         make = str(
             metadata.get("EXIF:LensMake", "") or metadata.get("EXIF:Make", "") or ""
         )
+        try:
+            focal = float(metadata.get("EXIF:FocalLength"))
+        except (TypeError, ValueError):
+            focal = None
+        if focal is None:
+            return None
         for p in profiles:
-            if _loose(p.make, make):
+            if not _loose(p.make, make):
+                continue
+            focals = [row[0] for row in (p.dist_params or p.vig_params)]
+            if focals and min(focals) - 0.5 <= focal <= max(focals) + 0.5:
                 return p
     return None
 

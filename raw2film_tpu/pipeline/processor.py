@@ -58,6 +58,12 @@ class Processor:
         self._bundle = None
         self._d_ref_green = 1.0
         self._icc_cache: dict = {}
+        # (cfg, image shape) keys whose fused mega-kernels failed a Mosaic
+        # scoped-VMEM compile. JAX does not cache failed compiles, so without
+        # this latch every image in a batch would re-attempt the failing
+        # fused compile (minutes each over a remote-compile tunnel) before
+        # falling back.
+        self._fusion_bad: set = set()
         self.last_metadata: dict = {}
 
     # ------------------------------------------------------------ image
@@ -360,6 +366,12 @@ class Processor:
         cfg = build_render_config(negative_film, print_film, prt_mode, scale, merged)
         bundle, cfg = self._attach_icc(bundle, cfg, icc_transform)
 
+        import dataclasses as _dc
+
+        fusion_key = (cfg, tuple(xyz.shape))
+        if cfg.fusion and fusion_key in self._fusion_bad:
+            cfg = _dc.replace(cfg, fusion=False)
+
         key = jax.random.PRNGKey(seed)
         try:
             out = render_jit(xyz, bundle, cfg, key)  # (3, H, W) uint8
@@ -370,7 +382,6 @@ class Processor:
             # structure is ~15% slower but always serves.
             if not cfg.fusion or "vmem" not in str(e).lower():
                 raise
-            import dataclasses as _dc
             import warnings
 
             warnings.warn(
@@ -378,6 +389,7 @@ class Processor:
                 "retrying with fusion disabled",
                 stacklevel=2,
             )
+            self._fusion_bad.add(fusion_key)
             cfg = _dc.replace(cfg, fusion=False)
             out = render_jit(xyz, bundle, cfg, key)
 

@@ -144,11 +144,16 @@ class ViewerState:
             merged = {**self.image_params.get(name, {}), **params}
             self.image_params[name] = merged
             self._persist()
+            # Snapshot the render kwargs inside the same critical section: a
+            # concurrent copy_settings_to_all/save_profile from another
+            # handler thread must not interleave between the merge above and
+            # the param resolution, or the frame renders from torn state.
+            kwargs = self._render_kwargs(name)
         self.engine.request(
             src,
             full_preview=full,
             max_scale=PREVIEW_MAX_SCALE,
-            **self._render_kwargs(name),
+            **kwargs,
         )
 
     def copy_settings_to_all(self, index: int) -> None:

@@ -40,9 +40,24 @@ class TestProfiles:
             find_profile({"EXIF:LensModel": "TESTLENS 35MM F/1.4"}, profiles)
             is PROFILE
         )
-        # Make fallback applies only when no LensModel is present — a
-        # wrong-model guess would silently apply another lens's distortion.
-        assert find_profile({"EXIF:Make": "testco"}, profiles) is PROFILE
+        # Make fallback applies only when no LensModel is present AND the
+        # shot's focal length sits inside the profile's characterized range —
+        # a wrong-model guess would silently apply another lens's distortion.
+        assert (
+            find_profile(
+                {"EXIF:Make": "testco", "EXIF:FocalLength": "35"}, profiles
+            )
+            is PROFILE
+        )
+        # Right maker, wrong focal (a 24mm shot must not inherit the 35mm
+        # profile), and no focal at all: both refuse the guess.
+        assert (
+            find_profile(
+                {"EXIF:Make": "testco", "EXIF:FocalLength": "24"}, profiles
+            )
+            is None
+        )
+        assert find_profile({"EXIF:Make": "testco"}, profiles) is None
         assert (
             find_profile(
                 {"EXIF:Make": "testco", "EXIF:LensModel": "UnknownZoom 10-20"},
@@ -50,7 +65,12 @@ class TestProfiles:
             )
             is None
         )
-        assert find_profile({"EXIF:Make": "OtherCo"}, profiles) is None
+        assert (
+            find_profile(
+                {"EXIF:Make": "OtherCo", "EXIF:FocalLength": "35"}, profiles
+            )
+            is None
+        )
 
     def test_curated_db_matches_real_exif_strings(self):
         """The shipped profile set resolves common real-world EXIF lens

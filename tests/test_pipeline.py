@@ -469,3 +469,14 @@ class TestFusionCompileFallback:
             )
         assert out.shape == (48, 72, 3)
         assert calls == [True, False]
+        # The failure is latched on the Processor: a second image with the
+        # same config/shape goes straight to fusion=False instead of paying
+        # the failing fused compile again (JAX does not cache failed
+        # compiles, so without the latch every image in a batch would
+        # re-attempt it — minutes each over a remote-compile tunnel).
+        out2 = proc.process(
+            img, "Kodak Portra 400", print_film=None, grain=0,
+            halation=False, sharpness=False, half_size=False, max_scale=None,
+        )
+        assert out2.shape == (48, 72, 3)
+        assert calls == [True, False, False]
