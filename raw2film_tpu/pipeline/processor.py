@@ -372,7 +372,10 @@ class Processor:
         if cfg.fusion and fusion_key in self._fusion_bad:
             cfg = _dc.replace(cfg, fusion=False)
 
-        key = jax.random.PRNGKey(seed)
+        # fold_in(base, position): the same derivation process_batch uses, so
+        # a single render equals the batch render of the same image at
+        # position 0 bit-for-bit, grain included.
+        key = jax.random.fold_in(jax.random.PRNGKey(seed), 0)
         try:
             out = render_jit(xyz, bundle, cfg, key)  # (3, H, W) uint8
         except Exception as e:
@@ -397,14 +400,9 @@ class Processor:
                              canvas_scale, canvas_ratio, orig_resolution)
         return image
 
-    def _attach_icc(self, bundle: dict, cfg, icc_transform):
-        """Bake an ICC transform into a CP-factored output LUT carried in
-        the bundle (cached per transform object); cfg.icc flags the jitted
-        chain to apply it pre-quantization."""
-        if icc_transform is None:
-            return bundle, cfg
-        import dataclasses
-
+    def _icc_arrays(self, icc_transform):
+        """CP-factored (u, v, w) device arrays for an ICC transform, cached
+        per transform object."""
         from raw2film_tpu.io.icc import bake_output_cp
 
         key = id(icc_transform)
@@ -413,8 +411,20 @@ class Processor:
             u, v, w_bc, err = bake_output_cp(icc_transform)
             cached = (icc_transform, (jnp.asarray(u), jnp.asarray(v), jnp.asarray(w_bc)), err)
             self._icc_cache[key] = cached
+        return cached[1]
+
+    def _attach_icc(self, bundle: dict, cfg, icc_transform):
+        """Bake an ICC transform into a CP-factored output LUT carried in
+        the bundle (cached per transform object); cfg.icc flags the jitted
+        chain to apply it pre-quantization."""
+        if icc_transform is None:
+            return bundle, cfg
+        import dataclasses
+
         bundle = dict(bundle)
-        bundle["icc_u"], bundle["icc_v"], bundle["icc_w"] = cached[1]
+        bundle["icc_u"], bundle["icc_v"], bundle["icc_w"] = self._icc_arrays(
+            icc_transform
+        )
         return bundle, dataclasses.replace(cfg, icc=True)
 
     def _finish(
@@ -512,22 +522,37 @@ class Processor:
 
         fw = float(params.get("frame_width", 36.0))
         fh = float(params.get("frame_height", 24.0))
+        # ICC attaches to the bundle once (shape-independent); cfg gets the
+        # flag per bucket below. Per-image grain keys are fold_in(base,
+        # position-in-srcs): independent of how images bucket by shape, so a
+        # render is deterministic across bucket compositions, and position 0
+        # matches a single process() call with the same seed.
+        bundle = dict(bundle)
+        if icc_transform is not None:
+            bundle["icc_u"], bundle["icc_v"], bundle["icc_w"] = self._icc_arrays(
+                icc_transform
+            )
+        base_key = _jax.random.PRNGKey(seed)
         results: list = [None] * len(srcs)
         for shape, items in buckets.items():
             scale = max(shape[-2:]) / max(fw, fh)
             cfg = build_render_config(negative_film, print_film, prt_mode, scale, merged)
-            bundle, cfg = self._attach_icc(bundle, cfg, icc_transform)
+            if icc_transform is not None:
+                import dataclasses as _dc
+
+                cfg = _dc.replace(cfg, icc=True)
             # Sub-batch so a bucket of 100x45MP frames never tries to stack
             # into one HBM array (~2GB of f32 inputs per group).
             img_bytes = int(np.prod(shape)) * 4
             group = max(1, int(2e9 // max(img_bytes, 1)))
             if mesh is not None:
                 group = max(group, mesh.shape["batch"])
-            all_keys = _jax.random.split(_jax.random.PRNGKey(seed), len(srcs))
             for g0 in range(0, len(items), group):
                 part = items[g0 : g0 + group]
                 batch = jnp.asarray(np.stack([a for _, a, _ in part]))
-                keys = jnp.stack([all_keys[idx] for idx, _, _ in part])
+                keys = jnp.stack(
+                    [_jax.random.fold_in(base_key, idx) for idx, _, _ in part]
+                )
                 if mesh is not None:
                     b = batch.shape[0]
                     per = mesh.shape["batch"]

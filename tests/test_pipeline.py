@@ -341,6 +341,39 @@ class TestProcessBatch:
             single = proc.process(img, "Kodak Portra 400", **kw)
             np.testing.assert_array_equal(out, single)
 
+    def test_grain_parity_and_bucket_composition_determinism(self):
+        """Per-image grain keys are fold_in(seed, position-in-srcs):
+
+        * a single-image process() equals position 0 of a batch, grain
+          included;
+        * an image's render never depends on HOW the other images bucket by
+          shape (changing a neighbor's shape regroups the buckets but must
+          not touch this image's pixels).
+        """
+        rng = np.random.default_rng(7)
+        small = lambda: np.abs(rng.normal(0.2, 0.1, (3, 48, 72))).astype(np.float32)  # noqa: E731
+        a, c = small(), small()
+        b_big = np.abs(rng.normal(0.2, 0.1, (3, 64, 96))).astype(np.float32)
+        b_small = small()
+        proc = Processor()
+        kw = dict(
+            print_film=None, grain=2, halation=False, sharpness=False,
+            half_size=False, max_scale=None, seed=11,
+        )
+        # [a, b_big, c] buckets as {a, c} + {b_big}; [a, b_small, c] buckets
+        # as one group of three. a (position 0) and c (position 2) keep
+        # their keys either way.
+        split_buckets = proc.process_batch([a, b_big, c], "Kodak Portra 400", **kw)
+        one_bucket = proc.process_batch([a, b_small, c], "Kodak Portra 400", **kw)
+        np.testing.assert_array_equal(split_buckets[0], one_bucket[0])
+        np.testing.assert_array_equal(split_buckets[2], one_bucket[2])
+        # Grain really ran (a differs from c even though both draw from the
+        # same noise program — different fold_in positions).
+        assert not np.array_equal(split_buckets[0], split_buckets[2])
+
+        single = proc.process(a, "Kodak Portra 400", **kw)
+        np.testing.assert_array_equal(single, split_buckets[0])
+
     def test_mixed_shapes_bucketed(self):
         rng = np.random.default_rng(1)
         imgs = [
