@@ -251,11 +251,23 @@ def config_5():
     got = np.asarray(render_jit(jnp.asarray(xyz), bundle, cfg, jax.random.PRNGKey(0)))
     de = delta_e_2000_u8(got, want_u8)
     dn = np.abs(got.astype(np.int32) - want_u8.astype(np.int32))
+    # The gate proper: pre-quantization float ΔE (a one-code flip at an
+    # 8-bit rounding boundary is f32-vs-f64 epsilon, not color error).
+    import dataclasses
+
+    from oracle.color_metrics import delta_e_2000_float
+
+    cfg_f = dataclasses.replace(cfg, quantize=False)
+    got_f = np.asarray(
+        render_jit(jnp.asarray(xyz), bundle, cfg_f, jax.random.PRNGKey(0))
+    )
+    de_f = delta_e_2000_float(got_f, np.clip(want, 0.0, 1.0))
     return {
         "config": 5,
         "name": "device fidelity: bare chain vs float64 oracle",
-        "max_dE2000": round(float(de.max()), 3),
-        "p99_dE2000": round(float(np.percentile(de, 99)), 3),
+        "max_dE2000_float": round(float(de_f.max()), 4),
+        "max_dE2000_u8": round(float(de.max()), 3),
+        "p99_dE2000_u8": round(float(np.percentile(de, 99)), 3),
         "max_8bit_code_diff": int(dn.max()),
     }
 

@@ -78,6 +78,9 @@ class RenderConfig:
     # development is per-channel and may fuse into the halation kernel
     fusion: bool = True  # False: skip the mega-kernels (Mosaic scoped-VMEM
     # accounting varies at the margin; Processor retries with fusion off)
+    quantize: bool = True  # False: return the encoded float image instead
+    # of uint8 — the fidelity gates compare in float, where a rounding
+    # boundary can't alias f32-vs-f64 epsilon into a full 8-bit code
 
 
 def make_film_bundle(
@@ -376,6 +379,8 @@ def render_chain(
             0.0,
             1.0,
         )
+    if not cfg.quantize:
+        return rgb
     return jnp.round(rgb * 255.0).astype(jnp.uint8)
 
 

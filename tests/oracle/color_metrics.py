@@ -10,12 +10,11 @@ from __future__ import annotations
 import numpy as np
 
 
-def srgb_u8_to_lab(u8: np.ndarray, white=(0.95047, 1.0, 1.08883)) -> np.ndarray:
-    """(..., 3) or (3, H, W) sRGB uint8 -> CIE L*a*b* (D65)."""
-    x = np.asarray(u8, np.float64)
+def srgb_float_to_lab(f: np.ndarray, white=(0.95047, 1.0, 1.08883)) -> np.ndarray:
+    """(..., 3) or (3, H, W) sRGB-encoded float [0,1] -> CIE L*a*b* (D65)."""
+    x = np.asarray(f, np.float64)
     if x.shape[0] == 3 and x.ndim == 3:
         x = np.moveaxis(x, 0, -1)
-    x = x / 255.0
     lin = np.where(x <= 0.04045, x / 12.92, ((x + 0.055) / 1.055) ** 2.4)
     m = np.array(
         [
@@ -93,6 +92,23 @@ def ciede2000(lab1: np.ndarray, lab2: np.ndarray) -> np.ndarray:
     )
 
 
+def srgb_u8_to_lab(u8: np.ndarray, white=(0.95047, 1.0, 1.08883)) -> np.ndarray:
+    """(..., 3) or (3, H, W) sRGB uint8 -> CIE L*a*b* (D65)."""
+    return srgb_float_to_lab(np.asarray(u8, np.float64) / 255.0, white)
+
+
 def delta_e_2000_u8(a_u8: np.ndarray, b_u8: np.ndarray) -> np.ndarray:
     """CIEDE2000 between two uint8 sRGB images (3, H, W) or (..., 3)."""
     return ciede2000(srgb_u8_to_lab(a_u8), srgb_u8_to_lab(b_u8))
+
+
+def delta_e_2000_float(a_f: np.ndarray, b_f: np.ndarray) -> np.ndarray:
+    """CIEDE2000 between two sRGB-encoded float images in [0, 1].
+
+    The pre-quantization form of the fidelity gate: at an 8-bit rounding
+    boundary, two pipelines that agree to f32 epsilon can still land one
+    code apart after uint8 encode, which reads as ΔE ≈ 1 — quantization,
+    not color error. Comparing the encoded floats measures the pipelines
+    themselves.
+    """
+    return ciede2000(srgb_float_to_lab(a_f), srgb_float_to_lab(b_f))

@@ -1,5 +1,7 @@
 """End-to-end pipeline tests: device chain vs host oracle, Processor API."""
 
+import dataclasses
+
 import numpy as np
 import pytest
 
@@ -132,8 +134,8 @@ class TestDeviceVsOracle:
             render_jit(jnp.asarray(xyz), bundle, cfg, jax.random.PRNGKey(0))
         )
         de = delta_e_2000_u8(got, want_u8)
-        # Gate: dE2000 < 0.5 everywhere, EXCEPT pixels sitting exactly on an
-        # 8-bit rounding boundary (fp32 vs fp64 flips one code; that is
+        # Quantized gate: dE2000 < 0.5 everywhere, EXCEPT pixels sitting on
+        # an 8-bit rounding boundary (fp32 vs fp64 flips one code; that is
         # quantization, not color error). Those must be <=1 code per channel
         # and vanishingly rare.
         over = de >= 0.5
@@ -142,6 +144,18 @@ class TestDeviceVsOracle:
             assert dn.max(axis=0)[over].max() <= 1, (neg_name, prt_name, de.max())
             assert over.mean() < 1e-3, (neg_name, prt_name, over.mean())
         assert np.percentile(de, 99.9) < 0.5, (neg_name, prt_name)
+
+        # Float-domain gate (the BASELINE.json ΔE < 0.5 gate proper,
+        # pre-quantization): strict MAX over every pixel, no boundary
+        # carve-out — this is where the pipelines themselves are compared.
+        from oracle.color_metrics import delta_e_2000_float
+
+        cfg_f = dataclasses.replace(cfg, quantize=False)
+        got_f = np.asarray(
+            render_jit(jnp.asarray(xyz), bundle, cfg_f, jax.random.PRNGKey(0))
+        )
+        de_f = delta_e_2000_float(got_f, np.clip(want, 0.0, 1.0))
+        assert de_f.max() < 0.5, (neg_name, prt_name, float(de_f.max()))
 
     def test_effects_change_output_but_stay_bounded(self):
         xyz = _scene(96, 144)
