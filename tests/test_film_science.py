@@ -344,6 +344,119 @@ class TestLookDifferentiation:
 
         assert midslope("Kodak Ektar 100") > midslope("Kodak Portra 400")
 
+    def test_saturation_anchor_orderings(self):
+        """Published-character anchors: Velvia 50 is Fuji's highest-saturation
+        slide film (datasheet: 'ultrahigh saturation', vs Provia's 'faithful
+        color'), and Kodak markets Ektar 100 as the 'world's highest
+        saturation' C-41 negative (vs Portra's 'smooth, natural' palette).
+        A recalibration of film/chain.py that flattens these orderings has
+        changed the character of named stocks and must fail here."""
+        from raw2film_tpu.data import REC709_TO_XYZ
+
+        pats = (
+            np.array(
+                [
+                    [0.8, 0.2, 0.15], [0.2, 0.6, 0.2], [0.2, 0.3, 0.7],
+                    [0.8, 0.7, 0.2], [0.6, 0.3, 0.5], [0.75, 0.45, 0.2],
+                ]
+            )
+            * 0.6
+        )
+        xyz = np.einsum("ij,pj->ip", REC709_TO_XYZ, pats).reshape(3, -1, 1)
+
+        def mean_chroma(name, prt=None):
+            neg = STOCKS[name]
+            p = STOCKS[prt] if prt else None
+            neg_p = chain.build_negative_params(neg)
+            prt_p = chain.build_print_params(neg, p, neg_params=neg_p)
+            out_p = chain.build_output_params(neg, p, prt_p, neg_p)
+            out = chain.render_oracle(xyz, neg_p, prt_p, out_p)
+            return float((out.max(axis=0) - out.min(axis=0)).mean())
+
+        # Slide films, direct mode.
+        assert mean_chroma("Fuji Velvia 50") > mean_chroma("Fuji Provia 100F")
+        # Color negatives through the same paper.
+        paper = "Fuji Crystal Archive Maxima"
+        assert mean_chroma("Kodak Ektar 100", paper) > mean_chroma(
+            "Kodak Portra 400", paper
+        )
+
+    def test_paper_grade_contrast_anchor(self):
+        """Multigrade paper grades are DEFINED by contrast: grade 4 must
+        render a steeper midtone ramp than grade 2 (Ilford Multigrade IV
+        datasheet: ISO(R) ~110 at grade 2 vs ~70 at grade 4 — a smaller
+        log-exposure range over the same density range = harder paper)."""
+        g, xyz = _grey_ramp(9)
+
+        def ramp(paper_name):
+            paper = STOCKS[paper_name]
+            neg_p = chain.build_negative_params(TRIX)
+            prt_p = chain.build_print_params(TRIX, paper, neg_params=neg_p)
+            out_p = chain.build_output_params(TRIX, paper, prt_p, neg_p)
+            return chain.render_oracle(xyz, neg_p, prt_p, out_p)[1, :, 0]
+
+        soft, hard = ramp("Ilford Multigrade IV RC"), ramp(
+            "Ilford Multigrade IV RC grade 4"
+        )
+        # Harder paper: steeper steepest section, deeper shadows AND brighter
+        # highlights from the same negative (contrast stretches both ends).
+        assert np.diff(hard).max() > 1.1 * np.diff(soft).max()
+        assert hard[0] < soft[0]
+        assert hard[-1] > soft[-1]
+        assert hard[-1] - hard[0] > soft[-1] - soft[0]
+
+    def test_slide_highlight_latitude_anchor(self):
+        """Slide film clips highlights hard; color negative keeps separation
+        — the most-published difference between reversal and negative film
+        (Velvia 50 datasheet dynamic range vs Portra's famous overexposure
+        latitude). Four stops over mid-grey a slide is effectively white;
+        Portra through paper still holds highlight separation."""
+        w = spectra.white_with_tint(6500.0, 0.0)
+        g = 0.18 * 2.0 ** np.array([0.0, 1.0, 4.0, 6.0])
+        xyz = w.reshape(3, 1, 1) * g.reshape(1, -1, 1)
+
+        def ramp(name, prt=None):
+            neg = STOCKS[name]
+            p = STOCKS[prt] if prt else None
+            neg_p = chain.build_negative_params(neg)
+            prt_p = chain.build_print_params(neg, p, neg_params=neg_p)
+            out_p = chain.build_output_params(neg, p, prt_p, neg_p)
+            return chain.render_oracle(xyz, neg_p, prt_p, out_p)[1, :, 0]
+
+        for slide_name in ("Fuji Velvia 50", "Kodak Ektachrome E100"):
+            slide = ramp(slide_name)
+            negp = ramp("Kodak Portra 400", "Fuji Crystal Archive Maxima")
+            # Slide: blown to near-white at +4 stops, dead by +6.
+            assert slide[2] > 0.95 and slide[3] - slide[2] < 0.02, slide_name
+            # Negative through paper: still below paper-white with real
+            # separation left between +4 and +6.
+            assert negp[2] < 0.9
+            assert negp[3] - negp[2] > 1.5 * (slide[3] - slide[2]), slide_name
+            # And the defining contrast difference: steeper slide midtones.
+            assert slide[1] - slide[0] > 1.3 * (negp[1] - negp[0]), slide_name
+
+    def test_grain_amplitude_anchor_ordering(self):
+        """Ilford's published RMS granularity ordering: Delta 3200 (ISO
+        3200) is far grainier than HP5 Plus (400), which is grainier than
+        Delta 100 — checked on the rendered grain amplitude, not the raw
+        datasheet number."""
+        from raw2film_tpu.film.grain import grain_amplitude
+
+        d = np.linspace(0.3, 1.8, 32)
+
+        def amp(name):
+            return float(
+                np.mean(grain_amplitude(STOCKS[name], d, scale=200.0, bw_grain=True))
+            )
+
+        a3200, a400, a100 = (
+            amp("Ilford Delta 3200"),
+            amp("Ilford HP5 Plus 400"),
+            amp("Ilford Delta 100"),
+        )
+        assert a3200 > a400 > a100, (a3200, a400, a100)
+        assert a3200 > 2.0 * a100  # the spread is large, not marginal
+
     def test_push_changes_look(self):
         g, xyz = _grey_ramp(9)
         outs = []

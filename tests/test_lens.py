@@ -114,6 +114,60 @@ class TestProfiles:
         assert ratio[:, 0, 0].mean() > ratio[:, 30, 45].mean()
 
 
+class TestCuratedDataAnchors:
+    """Cross-checks of the curated (approximate, original) profile data
+    against published optical measurements — so a rewrite of io/lens_db.py
+    that changes the CHARACTER of a named lens fails loudly. For poly3, the
+    correction magnitude |k1| tracks the measured relative distortion at the
+    frame edge (D(r) = k1 (r^2 - 1), |D| max = |k1|)."""
+
+    def _profile(self, model):
+        from raw2film_tpu.io.lens_db import PROFILES
+
+        return next(p for p in PROFILES if p.model == model)
+
+    def test_kit_zoom_wide_end_barrel_magnitude(self):
+        """Canon EF-S 18-55: every published measurement of this kit zoom
+        (opticallimits, lenstip) puts 18mm at ~3-4% barrel distortion — one
+        of the best-documented distortion figures in photography."""
+        p = self._profile("EF-S18-55mm")
+        (k1,) = p.distortion_at(18.0)
+        assert -0.045 <= k1 <= -0.025, k1
+
+    def test_pz1650_strongest_uncorrected_barrel(self):
+        """Sony E PZ 16-50 is the textbook software-corrected lens: published
+        raw-file measurements show ~5-7% barrel at 16mm, far beyond any
+        conventional kit zoom (which cluster at 3-4%)."""
+        pz = self._profile("E PZ 16-50mm")
+        (k1,) = pz.distortion_at(16.0)
+        assert k1 <= -0.045, k1
+        for model, wide in (
+            ("EF-S18-55mm", 18.0),
+            ("AF-S DX NIKKOR 18-55mm", 18.0),
+            ("E 18-55mm F3.5-5.6 OSS", 18.0),
+            ("XF18-55mm", 18.0),
+        ):
+            (other,) = self._profile(model).distortion_at(wide)
+            assert k1 < other, (model, other)
+
+    def test_short_tele_primes_pincushion(self):
+        """85mm-class primes measure as near-distortion-free with a trace of
+        pincushion (published: +0.2-0.5%) — opposite SIGN from wide glass."""
+        for model in ("EF85mm f/1.8", "AF-S NIKKOR 85mm f/1.8", "FE 85mm F1.8"):
+            (k1,) = self._profile(model).distortion_at(85.0)
+            assert 0.0 < k1 <= 0.01, (model, k1)
+
+    def test_zoom_sign_flip_wide_to_tele(self):
+        """Standard zooms flip barrel -> pincushion through the range
+        (published for every 24-70/24-105 class design)."""
+        for model in ("EF24-105mm f/4L", "FE 24-70mm F2.8 GM"):
+            p = self._profile(model)
+            focals = sorted(row[0] for row in p.dist_params)
+            (kw,) = p.distortion_at(focals[0])
+            (kt,) = p.distortion_at(focals[-1])
+            assert kw < 0.0 < kt, (model, kw, kt)
+
+
 class TestApplication:
     def test_vignetting_gain_shape(self):
         g = np.asarray(vignetting_gain((32, 48), (-0.8, 0.1, 0.0)))
