@@ -78,6 +78,13 @@ class ViewerState:
         self.last_error: str | None = None
         self.note: str | None = None
         self._thumb_cache: dict[str, bytes] = {}
+        self._swatch_cache: dict[str, bytes] = {}
+        self._stock_info: list[dict] | None = None
+        # ICC softproof/display state (viewer-only: exports stay un-proofed,
+        # matching the reference's display-transform semantics,
+        # src/raw2film/gui.py:2771-2934).
+        self.icc_paths: dict = {"softproof": None, "display": None, "intent": 0}
+        self._icc_transform = None
         self._export_thread: threading.Thread | None = None
         self.engine = PreviewEngine(
             self.proc, self._on_frame, on_error=self._on_error
@@ -135,6 +142,8 @@ class ViewerState:
         }
         kwargs["negative_film"] = resolved.get("negative_film", "Kodak Portra 400")
         kwargs["print_film"] = resolved.get("print_film") or None
+        if self._icc_transform is not None:
+            kwargs["icc_transform"] = self._icc_transform
         return kwargs
 
     def request(self, index: int, params: dict, full: bool) -> None:
@@ -183,6 +192,10 @@ class ViewerState:
         src = self.files[index]
         name = os.path.basename(src)
         kwargs = self._render_kwargs(name)
+        # Softproof/display transforms are for the screen, never baked into
+        # the exported file (reference: proof transform applies to the
+        # preview LUT only, gui.py:2845-2890).
+        kwargs.pop("icc_transform", None)
         dst = os.path.join(
             self.folder, "export", os.path.splitext(name)[0] + ".jpg"
         )
@@ -214,6 +227,79 @@ class ViewerState:
             self._export_thread = threading.Thread(target=run, daemon=True)
             self._export_thread.start()
         return dst
+
+    def set_icc(
+        self,
+        softproof: str | None = None,
+        display: str | None = None,
+        intent: int = 0,
+    ) -> None:
+        """Build and store the viewer's ICC transform: softproof (optionally
+        through a display profile) or display-only, or clear both."""
+        from raw2film_tpu.io import icc as icc_mod
+
+        softproof, display = softproof or None, display or None
+        if softproof:
+            t = icc_mod.build_softproof_transform(softproof, display, int(intent))
+        elif display:
+            t = icc_mod.build_transform(display, int(intent))
+        else:
+            t = None
+        if (softproof or display) and t is None:
+            raise RuntimeError("ICC support unavailable (PIL.ImageCms missing)")
+        with self._state_lock:
+            self.icc_paths = {
+                "softproof": softproof, "display": display, "intent": int(intent)
+            }
+            self._icc_transform = t
+
+    def stock_info(self) -> list[dict]:
+        """Metadata rows for the film-stock browser (the reference's
+        FilmStockSelector data, src/raw2film/gui.py:941-994)."""
+        if self._stock_info is None:
+            from raw2film_tpu.film.loader import load_film_stocks
+
+            rows = []
+            for name, s in load_film_stocks().items():
+                rows.append(
+                    dict(
+                        name=name,
+                        manufacturer=s.manufacturer,
+                        year=int(s.year),
+                        iso=float(s.iso),
+                        stage=s.stage,
+                        film_type=s.film_type,
+                        medium=s.medium,
+                        resolution=float(s.resolution),
+                        rms=s.rms,
+                        comment=str(getattr(s, "comment", "") or ""),
+                    )
+                )
+            self._stock_info = rows
+        return self._stock_info
+
+    def swatch_png(self, name: str, scale: int = 14) -> bytes:
+        """Color-checker thumbnail for one stock: 24 patches rendered through
+        the stock's default chain, upscaled to a (4*scale, 6*scale) PNG."""
+        cached = self._swatch_cache.get(name)
+        if cached is not None:
+            return cached
+        from raw2film_tpu.film.loader import load_film_stocks
+
+        stock = load_film_stocks()[name]
+        sw = np.asarray(stock.color_checker)  # (6, 4, 3) floats in [0, 1]
+        img = np.clip(sw, 0.0, 1.0).transpose(1, 0, 2)  # 4 rows x 6 cols
+        img = np.repeat(np.repeat(img, scale, axis=0), scale, axis=1)
+        rgba = np.concatenate(
+            [
+                (img * 255.0 + 0.5).astype(np.uint8),
+                np.full((*img.shape[:2], 1), 255, np.uint8),
+            ],
+            axis=-1,
+        )
+        png = _png_bytes(rgba)
+        self._swatch_cache[name] = png
+        return png
 
     def wait(self, since: int, timeout: float = 25.0) -> int:
         with self._cond:
@@ -263,13 +349,38 @@ button{background:#2a5e9e;color:#eee;border:0;border-radius:3px;padding:5px 10px
 #note{color:#8fc98f}
 .v{float:right;color:#9ab}
 .row{display:flex;gap:4px}
+input[type=text],input:not([type]){width:100%;background:#2a2e36;color:#ddd;border:0;padding:4px;box-sizing:border-box}
+#browser{position:fixed;inset:6vh 10vw;background:#1d2026;border:1px solid #3a4050;border-radius:6px;
+ display:none;flex-direction:column;padding:12px;z-index:10}
+#stocklist{overflow-y:auto;margin-top:8px}
+.stockrow{display:flex;gap:10px;align-items:center;padding:5px;border-radius:4px;cursor:pointer}
+.stockrow:hover{background:#262b33}
+.stockrow img{border-radius:2px}
+.stockmeta{color:#9ab;font-size:11px}
 </style></head><body>
+<div id="browser">
+ <div class="row">
+  <input id="q" placeholder="search name / maker / year / type">
+  <select id="sortby" style="width:140px">
+   <option value="name">sort: name</option><option value="year">sort: year</option>
+   <option value="manufacturer">sort: maker</option><option value="iso">sort: ISO</option>
+  </select>
+  <button id="closebr">close</button>
+ </div>
+ <div id="stocklist"></div>
+</div>
 <div id="side">
  <h3>raw2film-tpu</h3>
  <label>profile <select id="profile"></select></label>
  <div class="row"><button id="saveprof">save profile</button><button id="newprof">new profile</button></div>
  <label>negative <select id="negative_film"></select></label>
  <label>print <select id="print_film"></select></label>
+ <button id="stocks_btn">browse stocks</button>
+ <details><summary>ICC / softproof</summary>
+  <label>softproof profile <input id="icc_soft" placeholder="/path/to/paper.icc"></label>
+  <label>display profile <input id="icc_disp" placeholder="optional display.icc"></label>
+  <div class="row"><button id="icc_apply">proof on</button><button id="icc_off">off</button></div>
+ </details>
  <label>format <select id="film_format"></select></label>
  <div class="row" id="wb_presets"></div>
  <div id="sliders"></div>
@@ -426,6 +537,52 @@ async function init(){
   await fetch("/api/copy_settings",{method:"POST",body:JSON.stringify({i:cur})});
   $("note").textContent="settings copied to all "+files.length+" images";
  };
+ // --- film-stock browser (searchable/sortable, color-checker swatches) ---
+ let stockRows=null;
+ function renderStocks(){
+  const q=$("q").value.toLowerCase(), by=$("sortby").value, el=$("stocklist");
+  let rows=stockRows.filter(s=>
+   (s.name+" "+s.manufacturer+" "+s.year+" "+s.film_type+" "+s.medium+" "+s.comment)
+    .toLowerCase().includes(q));
+  rows.sort((a,b)=>by==="name"||by==="manufacturer"
+   ?String(a[by]).localeCompare(String(b[by])):a[by]-b[by]);
+  el.innerHTML="";
+  for(const s of rows){
+   const d=document.createElement("div");d.className="stockrow";
+   const role=s.stage==="camera"?"negative":"print";
+   d.innerHTML=`<img src="/api/swatch?name=${encodeURIComponent(s.name)}" width="84" height="56">
+    <div><b>${s.name}</b> <span class="stockmeta">(${role})</span><br>
+    <span class="stockmeta">${s.manufacturer} · ${s.year} · ISO ${s.iso} · ${s.film_type} ${s.medium}
+    · ${s.resolution} l/mm${s.rms?` · rms ${s.rms}`:""}${s.comment?` · ${s.comment}`:""}</span></div>`;
+   d.onclick=()=>{
+    if(s.stage==="camera")$("negative_film").value=s.name;
+    else $("print_film").value=s.name;
+    $("browser").style.display="none";post();
+   };
+   el.append(d);
+  }
+ }
+ $("stocks_btn").onclick=async()=>{
+  if(!stockRows)stockRows=(await (await fetch("/api/stocks")).json()).stocks;
+  $("browser").style.display="flex";renderStocks();$("q").focus();
+ };
+ $("closebr").onclick=()=>$("browser").style.display="none";
+ $("q").oninput=renderStocks;$("sortby").onchange=renderStocks;
+ // --- ICC softproof (viewer-only; exports stay un-proofed) ---
+ $("icc_apply").onclick=async()=>{
+  const r=await (await fetch("/api/icc",{method:"POST",body:JSON.stringify(
+   {softproof:$("icc_soft").value||null,display:$("icc_disp").value||null})})).json();
+  if(r.error){$("err").textContent=r.error;return;}
+  $("err").textContent="";$("note").textContent=r.active?"softproof ON":"softproof off";post();
+ };
+ $("icc_off").onclick=async()=>{
+  await fetch("/api/icc",{method:"POST",body:JSON.stringify({})});
+  $("note").textContent="softproof off";post();
+ };
+ fetch("/api/icc").then(r=>r.json()).then(r=>{
+  if(r.softproof)$("icc_soft").value=r.softproof;
+  if(r.display)$("icc_disp").value=r.display;
+ });
  const strip=$("strip");
  files.forEach((f,i)=>{
   const im=document.createElement("img");im.src="/api/thumb/"+i;im.title=f;
@@ -505,6 +662,13 @@ def make_handler(state: ViewerState):
                 elif u.path == "/api/hist.png":
                     body = state.hist_png or b""
                     self._send(200 if body else 404, body, "image/png")
+                elif u.path == "/api/stocks":
+                    self._json({"stocks": state.stock_info()})
+                elif u.path == "/api/swatch":
+                    name = q.get("name", [""])[0]
+                    self._send(200, state.swatch_png(name), "image/png")
+                elif u.path == "/api/icc":
+                    self._json(dict(state.icc_paths, active=state._icc_transform is not None))
                 else:
                     self._json({"error": "not found"}, 404)
             except BrokenPipeError:
@@ -539,6 +703,15 @@ def make_handler(state: ViewerState):
                 elif u.path == "/api/copy_settings":
                     state.copy_settings_to_all(int(doc.get("i", 0)))
                     self._json({"ok": True})
+                elif u.path == "/api/icc":
+                    state.set_icc(
+                        doc.get("softproof"),
+                        doc.get("display"),
+                        int(doc.get("intent", 0) or 0),
+                    )
+                    self._json(
+                        dict(state.icc_paths, active=state._icc_transform is not None)
+                    )
                 else:
                     self._json({"error": "not found"}, 404)
             except Exception as e:

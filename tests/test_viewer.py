@@ -153,6 +153,64 @@ class TestViewer:
         w, h = Image.open(_io.BytesIO(jpg)).size
         assert w / h > 2.2, (w, h)  # 65/24 = 2.71 target aspect
 
+    def test_stock_browser_endpoints(self, server):
+        base, _, _ = server
+        _, _, body = _get(base + "/api/stocks")
+        rows = json.loads(body)["stocks"]
+        assert len(rows) >= 38
+        by_name = {r["name"]: r for r in rows}
+        portra = by_name["Kodak Portra 400"]
+        assert portra["manufacturer"] == "Kodak" and portra["stage"] == "camera"
+        for key in ("year", "iso", "film_type", "medium", "resolution"):
+            assert key in portra
+        assert any(r["stage"] == "print" for r in rows)
+        # Color-checker swatch renders as a PNG for camera AND print stocks.
+        import urllib.parse
+
+        for name in ("Kodak Portra 400", "Fuji Crystal Archive Maxima"):
+            code, ctype, png = _get(
+                base + "/api/swatch?name=" + urllib.parse.quote(name)
+            )
+            assert code == 200 and png[:8] == b"\x89PNG\r\n\x1a\n", name
+
+    def test_icc_softproof_round_trip(self, server, tmp_path):
+        base, state, _ = server
+        pytest.importorskip("PIL.ImageCms")
+        from PIL import ImageCms
+
+        # A real ICC file to proof through: PIL's built-in sRGB profile.
+        prof = str(tmp_path / "proof.icc")
+        with open(prof, "wb") as f:
+            f.write(ImageCms.ImageCmsProfile(ImageCms.createProfile("sRGB")).tobytes())
+
+        doc = _post(base + "/api/icc", {"softproof": prof})
+        assert doc["active"] and doc["softproof"] == prof
+        # The render kwargs now carry the transform; a frame renders with it.
+        assert "icc_transform" in state._render_kwargs("a.dng")
+        out = _post(base + "/api/params", {"i": 0, "params": {"grain": 0}})
+        assert out["ok"]
+        _, _, body = _get(base + "/api/wait?since=0")
+        assert json.loads(body)["seq"] >= 1 and not json.loads(body).get("error")
+        # Viewer-only: the export path strips the proof transform.
+        kw = state._render_kwargs("a.dng")
+        assert "icc_transform" in kw  # preview keeps it ...
+        # ... and switching off clears it.
+        doc = _post(base + "/api/icc", {})
+        assert not doc["active"]
+        assert "icc_transform" not in state._render_kwargs("a.dng")
+
+    def test_icc_bad_path_is_an_error_not_fatal(self, server):
+        base, _, _ = server
+        import urllib.error
+
+        try:
+            doc = _post(base + "/api/icc", {"softproof": "/nonexistent/p.icc"})
+        except urllib.error.HTTPError as e:
+            doc = json.loads(e.read())
+        assert "error" in doc
+        code, _, _ = _get(base + "/api/images")
+        assert code == 200
+
     def test_bad_settings_reported_not_fatal(self, server):
         base, state, _ = server
         _post(
