@@ -19,10 +19,13 @@ Containers handled by :func:`read_raw`:
   0x5352 'RS').
 * **CR2** — lossless-JPEG raw IFD (Compression 6) decoded with the native
   SOF3 decoder, slice-interleaved columns reassembled via tag 0xC640.
+* **Nikon-compressed NEF** (Compression 34713) — Huffman predictor
+  bitstream + MakerNote 0x0096 linearization, decoded by the native kernel
+  (:mod:`raw2film_tpu.io.nef`).
 
-Vendor-compressed bitstreams (Nikon compressed NEF, Sony cRAW, Pentax
-Huffman, Olympus compressed, CR3/CRW/RAF containers) are rejected with a
-clear error — converting to DNG is the documented ingest path for those.
+Remaining vendor-compressed bitstreams (Sony cRAW, Pentax Huffman, Olympus
+compressed, CR3/CRW containers) are rejected with a clear error —
+converting to DNG is the documented ingest path for those.
 
 Also parsed: CFAPattern, BlackLevel/WhiteLevel, ColorMatrix1, AsShotNeutral,
 core EXIF (ISO, exposure time, f-number, focal length, make/model/lens).
@@ -244,22 +247,64 @@ def _read_tiff_raw(buf: bytes, path: str) -> RawImage:
     )
 
     comp = (ifd.get(_TAGS["Compression"]) or [1])[0]
-    if comp not in (1, 6, 7):
+    if comp not in (1, 6, 7, 34713):
         known = {
-            34713: "Nikon-compressed NEF",
             32767: "Sony cRAW/ARW-compressed",
             65535: "Pentax-Huffman PEF",
             65536: "Olympus-compressed ORF",
         }
         what = known.get(comp, f"compression {comp}")
         raise NotImplementedError(
-            f"{path}: {what} is unsupported (uncompressed and lossless-JPEG "
-            "raws are handled; convert vendor-compressed files to DNG)"
+            f"{path}: {what} is unsupported (uncompressed, lossless-JPEG and "
+            "Nikon-compressed raws are handled; convert other "
+            "vendor-compressed files to DNG)"
         )
     w = ifd[_TAGS["ImageWidth"]][0]
     h = ifd[_TAGS["ImageLength"]][0]
     bits = (ifd.get(_TAGS["BitsPerSample"]) or [16])[0]
     spp = (ifd.get(_TAGS["SamplesPerPixel"]) or [1])[0]
+
+    # Metadata first: the Nikon-compressed decode below needs the
+    # MakerNote's linearization blob.
+    ifd0 = ifds[0]
+    meta = {}
+    for name, tag in (("Make", _TAGS["Make"]), ("Model", _TAGS["Model"])):
+        if tag in ifd0:
+            meta[f"EXIF:{name}"] = ifd0[tag]
+    # Camera orientation (TIFF tag 274) from IFD0 or the raw IFD: the
+    # reference gets upright images for free from LibRaw's postprocess;
+    # io.raw.decode_raw applies the equivalent rotation on device.
+    orient = ifd0.get(_TAGS["Orientation"]) or ifd.get(_TAGS["Orientation"])
+    if orient:
+        meta["EXIF:Orientation"] = int(orient[0])
+    exif_ptr = ifd0.get(_TAGS["ExifIFD"])
+    sensor_info = None
+    makernote: bytes | None = None
+    if exif_ptr:
+        exif, _ = _read_ifd(buf, exif_ptr[0], endian)
+        for name in ("ExposureTime", "FNumber", "ISO", "FocalLength", "LensModel"):
+            tag = _TAGS[name]
+            if tag in exif:
+                v = exif[tag]
+                meta[f"EXIF:{name}"] = v[0] if isinstance(v, list) else v
+        mn = exif.get(_TAGS["MakerNote"])
+        if isinstance(mn, (bytes, bytearray)):
+            makernote = bytes(mn)
+        make = str(meta.get("EXIF:Make", ""))
+        if is_cr2 or make.lower().startswith("canon"):
+            mn_off = _entry_value_offset(
+                buf, exif_ptr[0], endian, _TAGS["MakerNote"]
+            )
+            if mn_off is not None:
+                try:
+                    # Canon MakerNote is a plain IFD whose value offsets are
+                    # file-absolute — the easy vendor.
+                    mn_ifd, _ = _read_ifd(buf, mn_off, endian)
+                    si = mn_ifd.get(0x00E0)
+                    if si and len(si) >= 9:
+                        sensor_info = [int(x) for x in si]
+                except Exception:
+                    sensor_info = None
 
     tiled = _TAGS["TileOffsets"] in ifd
     if comp == 7:
@@ -301,6 +346,32 @@ def _read_tiff_raw(buf: bytes, path: str) -> RawImage:
                     data[y : y + eh] = strip[:eh, : w * spp].reshape(eh, w, spp)
                 y += dh
         data = data[..., 0] if spp == 1 else data
+    elif comp == 34713:
+        # Nikon-compressed NEF: Huffman predictor bitstream; metadata lives
+        # in MakerNote tag 0x0096 (version, vpred, linearization curve).
+        from raw2film_tpu.io import nef as nefmod
+
+        if makernote is None:
+            raise NotImplementedError(
+                f"{path}: Nikon-compressed NEF without a readable MakerNote"
+            )
+        found = nefmod.find_nikon_makernote(makernote, 0, len(makernote))
+        if found is None:
+            raise NotImplementedError(
+                f"{path}: unrecognized Nikon MakerNote layout"
+            )
+        mn_base, mn_endian = found
+        blob = nefmod.read_makernote_tag(makernote, mn_base, mn_endian, 0x0096)
+        if blob is None:
+            raise NotImplementedError(
+                f"{path}: NEF linearization table (MakerNote 0x0096) missing"
+            )
+        offsets = ifd[_TAGS["StripOffsets"]]
+        counts = ifd[_TAGS["StripByteCounts"]]
+        payload = b"".join(buf[o : o + c] for o, c in zip(offsets, counts))
+        data = nefmod.decode_nef_compressed(
+            payload, bytes(blob), mn_endian, w, h, bits
+        ).astype(np.float32)
     elif comp == 6:
         # CR2: one lossless-JPEG blob; columns stored as vertical slices
         # (tag 0xC640: [n, slice_w, last_slice_w]).
@@ -361,43 +432,6 @@ def _read_tiff_raw(buf: bytes, path: str) -> RawImage:
             cfa = "RGGB"
         else:
             cfa = "".join(_CFA_CODES.get(int(v), "G") for v in bytes(bytearray(int(x) for x in pat)))
-
-    # IFD0 carries metadata.
-    ifd0 = ifds[0]
-    meta = {}
-    for name, tag in (("Make", _TAGS["Make"]), ("Model", _TAGS["Model"])):
-        if tag in ifd0:
-            meta[f"EXIF:{name}"] = ifd0[tag]
-    # Camera orientation (TIFF tag 274) from IFD0 or the raw IFD: the
-    # reference gets upright images for free from LibRaw's postprocess;
-    # io.raw.decode_raw applies the equivalent rotation on device.
-    orient = ifd0.get(_TAGS["Orientation"]) or ifd.get(_TAGS["Orientation"])
-    if orient:
-        meta["EXIF:Orientation"] = int(orient[0])
-    exif_ptr = ifd0.get(_TAGS["ExifIFD"])
-    sensor_info = None
-    if exif_ptr:
-        exif, _ = _read_ifd(buf, exif_ptr[0], endian)
-        for name in ("ExposureTime", "FNumber", "ISO", "FocalLength", "LensModel"):
-            tag = _TAGS[name]
-            if tag in exif:
-                v = exif[tag]
-                meta[f"EXIF:{name}"] = v[0] if isinstance(v, list) else v
-        make = str(meta.get("EXIF:Make", ""))
-        if is_cr2 or make.lower().startswith("canon"):
-            mn_off = _entry_value_offset(
-                buf, exif_ptr[0], endian, _TAGS["MakerNote"]
-            )
-            if mn_off is not None:
-                try:
-                    # Canon MakerNote is a plain IFD whose value offsets are
-                    # file-absolute — the easy vendor.
-                    mn, _ = _read_ifd(buf, mn_off, endian)
-                    si = mn.get(0x00E0)
-                    if si and len(si) >= 9:
-                        sensor_info = [int(x) for x in si]
-                except Exception:
-                    sensor_info = None
 
     def tag0(name, default=None):
         v = ifd.get(_TAGS[name]) or ifd0.get(_TAGS[name])

@@ -45,8 +45,12 @@ def _build() -> bool:
         return False
 
 
+_ABI = 2
+
+
 def get_lib():
-    """ctypes handle to the native library, building it on first use.
+    """ctypes handle to the native library, building it on first use (and
+    rebuilding once if a stale .so from an older source revision is found).
     Returns None when unavailable."""
     global _lib, _tried
     if _lib is not None or _tried:
@@ -55,10 +59,32 @@ def get_lib():
     if not os.path.exists(_LIB_PATH):
         if not _build():
             return None
+    lib = _try_load()
+    if lib is None:
+        # Stale or broken binary: rebuild from source once.
+        if not _build():
+            return None
+        lib = _try_load()
+    _lib = lib
+    return _lib
+
+
+def _try_load():
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
         return None
+    try:
+        lib.r2f_abi_version.restype = ctypes.c_int
+        if lib.r2f_abi_version() != _ABI:
+            return None
+    except AttributeError:
+        return None
+    _bind(lib)
+    return lib
+
+
+def _bind(lib):
     lib.r2f_decode_ljpeg.restype = ctypes.c_int
     lib.r2f_decode_ljpeg.argtypes = [
         ctypes.c_char_p,
@@ -79,11 +105,24 @@ def get_lib():
         ctypes.c_float,
         ctypes.POINTER(ctypes.c_float),
     ]
-    lib.r2f_abi_version.restype = ctypes.c_int
-    if lib.r2f_abi_version() != 1:
-        return None
-    _lib = lib
-    return _lib
+    lib.r2f_decode_nef.restype = ctypes.c_int
+    lib.r2f_decode_nef.argtypes = [
+        ctypes.c_char_p,  # bitstream
+        ctypes.c_long,
+        ctypes.c_char_p,  # tree1 counts[16]
+        ctypes.c_char_p,  # tree1 values
+        ctypes.c_int,
+        ctypes.c_char_p,  # tree2 counts[16] (nullable)
+        ctypes.c_char_p,  # tree2 values (nullable)
+        ctypes.c_int,
+        ctypes.c_int,  # split_row
+        ctypes.POINTER(ctypes.c_uint16),  # vpred[4]
+        ctypes.POINTER(ctypes.c_uint16),  # curve
+        ctypes.c_long,  # curve_len
+        ctypes.c_int,  # width
+        ctypes.c_int,  # height
+        ctypes.POINTER(ctypes.c_uint16),  # out
+    ]
 
 
 def have_native() -> bool:
@@ -115,6 +154,52 @@ def decode_ljpeg(data: bytes, max_samples: int) -> tuple[np.ndarray, int, int, i
         raise ValueError(f"lossless JPEG decode failed (code {rc})")
     n = w.value * h.value * comps.value
     return out[:n], w.value, h.value, comps.value
+
+
+def decode_nef(
+    bitstream: bytes,
+    tree1: tuple[list[int], list[int]],
+    tree2: tuple[list[int], list[int]] | None,
+    split_row: int,
+    vpred: np.ndarray,
+    curve: np.ndarray,
+    width: int,
+    height: int,
+) -> np.ndarray:
+    """Decode a Nikon-compressed (34713) strip -> (height, width) uint16.
+    Trees are (counts[16], values) JPEG-canonical Huffman specs."""
+    lib = get_lib()
+    if lib is None:
+        raise NotImplementedError(
+            "Nikon-compressed NEF needs the native decoder; g++ was "
+            "unavailable to build raw2film_tpu/native/libr2f_native.so"
+        )
+    c1, v1 = bytes(tree1[0]), bytes(tree1[1])
+    c2 = bytes(tree2[0]) if tree2 else None
+    v2 = bytes(tree2[1]) if tree2 else None
+    vp = np.ascontiguousarray(vpred, np.uint16)
+    cv = np.ascontiguousarray(curve, np.uint16)
+    out = np.empty(height * width, np.uint16)
+    rc = lib.r2f_decode_nef(
+        bitstream,
+        len(bitstream),
+        c1,
+        v1,
+        len(v1),
+        c2,
+        v2,
+        len(v2) if v2 else 0,
+        int(split_row),
+        vp.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        cv.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        len(cv),
+        int(width),
+        int(height),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+    )
+    if rc != 0:
+        raise ValueError(f"NEF bitstream decode failed (code {rc})")
+    return out.reshape(height, width)
 
 
 def unpack_normalize(

@@ -255,6 +255,89 @@ int r2f_decode_ljpeg(const uint8_t* src, long len, uint16_t* out,
   return 0;
 }
 
+// Decode a Nikon-compressed NEF bitstream (Compression 34713, the scheme
+// LibRaw/dcraw call nikon_load_raw). The entropy stream is a Huffman-coded
+// predictor residual stream — LJPEG-style categories but with Nikon's FIXED
+// Huffman trees (passed in as JPEG-canonical counts/values, they are format
+// constants), a two-column predictor state seeded from the MakerNote's
+// vpred[2][2], and an optional linearization curve. Unlike JPEG entropy
+// data there is NO 0xFF byte stuffing. `split_row` switches to the second
+// tree mid-image (lossy "split" variants); pass 0 when absent. Symbol
+// values carry an optional shift in the high nibble (len = v & 15,
+// shl = v >> 4), used by the lossy-after-split trees; for the lossless
+// trees shl is always 0 and the residual coding reduces to T.81 extend.
+int r2f_decode_nef(const uint8_t* src, long len, const uint8_t* counts1,
+                   const uint8_t* values1, int nvals1, const uint8_t* counts2,
+                   const uint8_t* values2, int nvals2, int split_row,
+                   const uint16_t* vpred_in, const uint16_t* curve,
+                   long curve_len, int width, int height, uint16_t* out) {
+  if (width <= 0 || height <= 0 || curve_len <= 0) return -1;
+  Huff huff[2];
+  huff[0].build(counts1, values1, nvals1);
+  if (split_row > 0 && counts2 && values2) {
+    huff[1].build(counts2, values2, nvals2);
+  }
+
+  // Plain MSB-first bit reader (no JPEG stuffing, no markers).
+  const uint8_t* p = src;
+  const uint8_t* end = src + len;
+  uint32_t bits = 0;
+  int nbits = 0;
+  auto fill = [&]() {
+    while (nbits <= 24) {
+      uint8_t b = p < end ? *p++ : 0;
+      bits |= uint32_t(b) << (24 - nbits);
+      nbits += 8;
+    }
+  };
+  auto getbits = [&](int n) -> int {
+    if (n <= 0) return 0;
+    fill();
+    uint32_t v = bits >> (32 - n);
+    bits <<= n;
+    nbits -= n;
+    return int(v);
+  };
+  auto gethuff = [&](const Huff& h) -> int {
+    int code = 0;
+    for (int l = 1; l <= 16; ++l) {
+      code = (code << 1) | getbits(1);
+      if (h.maxcode[l] >= 0 && code <= h.maxcode[l]) {
+        return h.values[h.valptr[l] + code - h.mincode[l]];
+      }
+    }
+    return -1;
+  };
+
+  int32_t vpred[2][2] = {
+      {int32_t(vpred_in[0]), int32_t(vpred_in[1])},
+      {int32_t(vpred_in[2]), int32_t(vpred_in[3])}};
+  int32_t hpred[2] = {0, 0};
+  const Huff* h = &huff[0];
+  for (int row = 0; row < height; ++row) {
+    if (split_row > 0 && row == split_row) h = &huff[1];
+    for (int col = 0; col < width; ++col) {
+      int sym = gethuff(*h);
+      if (sym < 0) return -9;
+      int len = sym & 15, shl = sym >> 4;
+      int diff = ((getbits(len - shl) << 1) + 1) << shl >> 1;
+      if (len > 0 && (diff & (1 << (len - 1))) == 0) {
+        diff -= (1 << len) - (shl ? 0 : 1);
+      }
+      if (col < 2) {
+        hpred[col] = vpred[row & 1][col] += diff;
+      } else {
+        hpred[col & 1] += diff;
+      }
+      int32_t v = hpred[col & 1];
+      if (v < 0) v = 0;
+      if (v >= curve_len) v = int32_t(curve_len - 1);
+      out[size_t(row) * width + col] = curve[v];
+    }
+  }
+  return 0;
+}
+
 // Fast strip unpack: 16-bit (little/big endian) or 8-bit source to float32
 // with black-level subtraction and normalization.
 void r2f_unpack_normalize(const uint8_t* src, long n_samples, int bits,
@@ -276,6 +359,6 @@ void r2f_unpack_normalize(const uint8_t* src, long n_samples, int bits,
   }
 }
 
-int r2f_abi_version() { return 1; }
+int r2f_abi_version() { return 2; }
 
 }  // extern "C"

@@ -173,6 +173,132 @@ def write_nef(path, mosaic, bits=14, make="NIKON CORPORATION", model="NIKON Z 6"
         f.write(blob)
 
 
+class _MsbBitWriter:
+    """MSB-first bit writer WITHOUT JPEG byte stuffing (Nikon streams)."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value: int, nbits: int):
+        if nbits <= 0:
+            return
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.nbits += nbits
+        while self.nbits >= 8:
+            self.buf.append((self.acc >> (self.nbits - 8)) & 0xFF)
+            self.nbits -= 8
+            self.acc &= (1 << self.nbits) - 1
+
+    def done(self) -> bytes:
+        if self.nbits:
+            self.put(0, 8 - self.nbits)
+        return bytes(self.buf)
+
+
+def _canonical_codes(counts, values):
+    """JPEG-canonical (code, length) per symbol value."""
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            codes[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def nef_compress_lossless(mosaic: np.ndarray, bits: int) -> tuple[bytes, bytes]:
+    """Encode a mosaic as a Nikon lossless-compressed bitstream. Returns
+    (bitstream, makernote 0x0096 blob). Inverse of
+    raw2film_tpu/io/nef.py::decode_nef_compressed for version 0x46."""
+    from raw2film_tpu.io.nef import _TREES
+
+    counts, values = _TREES[f"{bits}_lossless"]
+    codes = _canonical_codes(counts, values)
+    m = mosaic.astype(np.int64)
+    h, w = m.shape
+    vpred_init = np.full((2, 2), 1 << (bits - 1), np.int64)
+    vpred = vpred_init.copy()
+    bw = _MsbBitWriter()
+    hpred = [0, 0]
+    for row in range(h):
+        for col in range(w):
+            target = int(m[row, col])
+            if col < 2:
+                diff = target - int(vpred[row & 1, col])
+                vpred[row & 1, col] = target
+                hpred[col] = target
+            else:
+                diff = target - hpred[col & 1]
+                hpred[col & 1] = target
+            cat = int(abs(diff)).bit_length()
+            code, length = codes[cat]
+            bw.put(code, length)
+            if cat:
+                bw.put(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+    blob = bytes([0x46, 0x30]) + struct.pack(
+        "<4H", *[int(x) for x in vpred_init.ravel()]
+    ) + struct.pack("<H", 1)  # csize=1: identity curve
+    return bw.done(), blob
+
+
+def _nikon_makernote(blob_0x96: bytes) -> bytes:
+    """Self-contained Nikon MakerNote: "Nikon\\0" header + embedded
+    little-endian TIFF whose value offsets are relative to its own start."""
+    # embedded TIFF: header (8) + IFD with 1 entry (2 + 12 + 4 = 18) = 26
+    blob_off = 26
+    tiff = bytearray(b"II" + struct.pack("<HI", 42, 8))
+    tiff += struct.pack("<H", 1)
+    tiff += struct.pack("<HHI", 0x0096, 7, len(blob_0x96)) + struct.pack(
+        "<I", blob_off
+    )
+    tiff += struct.pack("<I", 0)
+    assert len(tiff) == blob_off
+    tiff += blob_0x96
+    return b"Nikon\x00\x02\x10\x00\x00" + bytes(tiff)
+
+
+def write_nef_compressed(
+    path, mosaic, bits=14, make="NIKON CORPORATION", model="NIKON Z 7"
+):
+    """NEF with the real Nikon-compressed layout: Compression 34713 raw
+    strip + MakerNote 0x0096 linearization blob (lossless version 0x46)."""
+    h, w = mosaic.shape
+    payload, blob96 = nef_compress_lossless(np.asarray(mosaic), bits)
+    raw = _Ifd()
+    raw.add(254, 4, [0])
+    raw.add(256, 4, [w])
+    raw.add(257, 4, [h])
+    raw.add(258, 3, [bits])
+    raw.add(259, 3, [34713])
+    raw.add(262, 3, [32803])
+    raw.add(273, 4, ("blob", 0))
+    raw.add(277, 3, [1])
+    raw.add(278, 4, [h])
+    raw.add(279, 4, [len(payload)])
+    raw.add(33421, 3, [2, 2])
+    raw.add(33422, 1, [0, 1, 1, 2])  # RGGB
+    exif = _Ifd()
+    exif.add(33434, 5, [(1, 250)])
+    exif.add(33437, 5, [(28, 10)])
+    exif.add(34855, 3, [400])
+    exif.add(37500, 7, _nikon_makernote(blob96))
+    ifd0 = _Ifd()
+    ifd0.add(256, 4, [32])
+    ifd0.add(257, 4, [32])
+    ifd0.add(271, 2, make)
+    ifd0.add(272, 2, model)
+    ifd0.add(330, 4, ("ifd", 1))
+    ifd0.add(34665, 4, ("ifd", 2))
+    blob = _serialize([ifd0, raw, exif], [payload])
+    with open(path, "wb") as f:
+        f.write(blob)
+
+
 def write_arw(path, mosaic, make="SONY", model="ILCE-7M3"):
     """ARW skeleton: raw in IFD0, 16-bit stored samples, no BlackLevel tag
     (the parser must apply the Sony pedestal default)."""
