@@ -30,20 +30,29 @@ def main() -> None:
     import jax.numpy as jnp
 
     from __graft_entry__ import _build
-    from raw2film_tpu.pipeline.render import render_chain
+    from raw2film_tpu.data import REC709_TO_XYZ
+    from raw2film_tpu.pipeline.render import render_chain_from_mosaic
 
     bundle, cfg = _build(H, W)
 
     rng = np.random.default_rng(0)
-    # Band pattern instead of full random to keep host-side setup fast.
-    row = np.abs(rng.normal(0.25, 0.2, (3, 1, W))).astype(np.float32)
-    col = np.abs(rng.normal(1.0, 0.3, (1, H, 1))).astype(np.float32)
-    xyz = jnp.asarray(row * col)
+    # Synthetic CFA mosaic (band pattern instead of full random to keep
+    # host-side setup fast). The chain starts AT the mosaic — fused
+    # demosaic + camera matrix + full film chain in one jit (the camera
+    # matrix folds into the chain's input transform) — matching
+    # BASELINE.json's "demosaic-onward on device" metric definition.
+    row = np.abs(rng.normal(0.35, 0.2, (1, W))).astype(np.float32)
+    col = np.abs(rng.normal(1.0, 0.3, (H, 1))).astype(np.float32)
+    mosaic = jnp.asarray(np.clip(row * col, 0.0, 1.0))
+    cam_to_xyz = jnp.asarray(REC709_TO_XYZ, jnp.float32)
+
+    def chain_from_mosaic(mosaic, cam_to_xyz, bundle, cfg, key):
+        out = render_chain_from_mosaic(mosaic, cam_to_xyz, bundle, cfg, key)
+        return jnp.sum(out[:, ::512, ::512].astype(jnp.float32))
 
     @jax.jit
-    def run(xyz, bundle, key):
-        out = render_chain(xyz, bundle, cfg, key)
-        return jnp.sum(out[:, ::512, ::512].astype(jnp.float32))
+    def run(mosaic, bundle, key):
+        return chain_from_mosaic(mosaic, cam_to_xyz, bundle, cfg, key)
 
     keys = [jax.random.PRNGKey(i) for i in range(ITERS + 1)]
     # Compile + warm-up. Safety net: Mosaic's scoped-VMEM accounting varies
@@ -52,7 +61,7 @@ def main() -> None:
     # upstream change). If the fully-fused chain fails to compile, fall back
     # to the separate-kernel structure so the benchmark always reports.
     try:
-        float(jax.device_get(run(xyz, bundle, keys[-1])))
+        float(jax.device_get(run(mosaic, bundle, keys[-1])))
     except Exception as e:
         import dataclasses
         import sys
@@ -65,21 +74,20 @@ def main() -> None:
         cfg = dataclasses.replace(cfg, fusion=False)
 
         @jax.jit
-        def run(xyz, bundle, key):
-            out = render_chain(xyz, bundle, cfg, key)
-            return jnp.sum(out[:, ::512, ::512].astype(jnp.float32))
+        def run(mosaic, bundle, key):
+            return chain_from_mosaic(mosaic, cam_to_xyz, bundle, cfg, key)
 
-        float(jax.device_get(run(xyz, bundle, keys[-1])))
+        float(jax.device_get(run(mosaic, bundle, keys[-1])))
 
     # The device executes dispatches FIFO; enqueue renders and force only the
     # last result. (t_many - t_one) / (ITERS - 1) cancels the fixed
     # dispatch+fetch round trip of the tunnel.
     t0 = time.perf_counter()
-    float(jax.device_get(run(xyz, bundle, keys[0])))
+    float(jax.device_get(run(mosaic, bundle, keys[0])))
     t_one = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    outs = [run(xyz, bundle, k) for k in keys[:ITERS]]
+    outs = [run(mosaic, bundle, k) for k in keys[:ITERS]]
     float(jax.device_get(outs[-1]))
     t_many = time.perf_counter() - t0
     dt = max((t_many - t_one) / (ITERS - 1), 1e-6)
@@ -89,7 +97,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "45MP full negative->print chain (halation+MTF+grain+burn), single chip",
+                "metric": "45MP mosaic->print chain (demosaic+halation+MTF+grain+burn), single chip",
                 "value": round(mp_s, 1),
                 "unit": "MP/s",
                 "vs_baseline": round(mp_s / BASELINE_MP_S, 3),

@@ -22,10 +22,13 @@ Containers handled by :func:`read_raw`:
 * **Nikon-compressed NEF** (Compression 34713) — Huffman predictor
   bitstream + MakerNote 0x0096 linearization, decoded by the native kernel
   (:mod:`raw2film_tpu.io.nef`).
+* **RW2** — Panasonic magic-85 TIFF dialect (sensor borders, per-channel
+  blacks, CFA code) with v4-compressed, 16-bit and 12-bit-packed payloads
+  (:mod:`raw2film_tpu.io.rw2`).
 
 Remaining vendor-compressed bitstreams (Sony cRAW, Pentax Huffman, Olympus
-compressed, CR3/CRW containers) are rejected with a clear error —
-converting to DNG is the documented ingest path for those.
+compressed, Panasonic v5/v6, CR3/CRW containers) are rejected with a clear
+error — converting to DNG is the documented ingest path for those.
 
 Also parsed: CFAPattern, BlackLevel/WhiteLevel, ColorMatrix1, AsShotNeutral,
 core EXIF (ISO, exposure time, f-number, focal length, make/model/lens).
@@ -145,8 +148,9 @@ def _decode_values(raw: bytes, typ: int, n: int, endian: str):
 
 _CFA_CODES = {0: "R", 1: "G", 2: "B"}
 
-# TIFF magic numbers: classic TIFF (DNG/NEF/ARW/PEF/CR2) + Olympus ORF.
-_TIFF_MAGICS = {42, 0x4F52, 0x5352}
+# TIFF magic numbers: classic TIFF (DNG/NEF/ARW/PEF/CR2), Olympus ORF,
+# Panasonic RW2 (magic 85, dispatched to io.rw2).
+_TIFF_MAGICS = {42, 0x4F52, 0x5352, 0x55}
 
 # Vendor black-level defaults where the TIFF-EP tags are absent (the vendors
 # store them in MakerNotes; these are the conventional sensor pedestals).
@@ -202,6 +206,10 @@ def _read_tiff_raw(buf: bytes, path: str) -> RawImage:
     (magic, first_ifd) = struct.unpack_from(endian + "HI", buf, 2)
     if magic not in _TIFF_MAGICS:
         raise ValueError(f"{path}: bad TIFF magic {magic}")
+    if magic == 0x55:
+        from raw2film_tpu.io.rw2 import read_rw2
+
+        return read_rw2(buf, path)
     is_cr2 = buf[8:10] == b"CR"
 
     # Collect IFDs: walk the chain plus SubIFDs.

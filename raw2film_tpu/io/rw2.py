@@ -1,0 +1,130 @@
+"""Panasonic RW2 container decode.
+
+The reference ingests RW2 via LibRaw (reference:
+src/raw2film/raw_conversion.py:36-48; extension list
+src/raw2film/data.py:87-102). RW2 is a little-endian TIFF dialect with
+magic 85 ("IIU\\0") and Panasonic-private tags in IFD0:
+
+====== ======================================
+0x0002 SensorWidth (full raw width)
+0x0003 SensorHeight
+0x0004 SensorTopBorder    (active-area crop)
+0x0005 SensorLeftBorder
+0x0006 SensorBottomBorder
+0x0007 SensorRightBorder
+0x0009 CFAPattern (1=RGGB 2=GRBG 3=GBRG 4=BGGR)
+0x000A BitsPerSample
+0x0017 ISO
+0x001C/1D/1E per-channel black level (stored minus the +15 pedestal
+       LibRaw/rawspeed add back)
+0x002D RawFormat (4 = v4 bitstream; others vary by generation)
+0x0118 RawDataOffset (payload runs to end of file)
+====== ======================================
+
+Payloads: RawFormat 4 decodes through the native v4 kernel
+(``native/r2f_native.cc::r2f_decode_rw2_v4``); plain 16-bit and Panasonic
+12-bit-packed payloads are size-inferred like the NEF/ORF strips. The v5/v6
+(newer S/GH bodies) bitstreams are rejected with a clear error.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from raw2film_tpu.io.dng import RawImage, _read_ifd
+
+_CFA = {1: "RGGB", 2: "GRBG", 3: "GBRG", 4: "BGGR"}
+
+
+def _unpack12_le(payload: bytes, n: int) -> np.ndarray:
+    """Panasonic little-endian 12-bit packing: 3 bytes -> 2 samples,
+    low sample first (p0 = b0 | (b1 & 0xF) << 8; p1 = b1 >> 4 | b2 << 4)."""
+    b = np.frombuffer(payload, np.uint8)
+    b = b[: (n + 1) // 2 * 3].reshape(-1, 3).astype(np.uint16)
+    p0 = b[:, 0] | ((b[:, 1] & 0x0F) << 8)
+    p1 = (b[:, 1] >> 4) | (b[:, 2] << 4)
+    return np.stack([p0, p1], axis=1).ravel()[:n]
+
+
+def read_rw2(buf: bytes, path: str) -> RawImage:
+    endian = "<"
+    (first_ifd,) = struct.unpack_from(endian + "I", buf, 4)
+    ifd, _ = _read_ifd(buf, first_ifd, endian)
+
+    def tag(t, default=None):
+        v = ifd.get(t)
+        return v if v is not None else default
+
+    full_w = int(tag(0x0002, [0])[0])
+    full_h = int(tag(0x0003, [0])[0])
+    if not full_w or not full_h:
+        raise ValueError(f"{path}: RW2 missing sensor dimensions")
+    bits = int(tag(0x000A, [12])[0])
+    raw_format = int(tag(0x002D, [0])[0])
+    off_entry = tag(0x0118)
+    if not off_entry:
+        raise NotImplementedError(f"{path}: RW2 without RawDataOffset (0x0118)")
+    offset = int(off_entry[0])
+    payload = buf[offset:]
+    n = full_w * full_h
+
+    if raw_format == 4 or (raw_format == 0 and len(payload) < 2 * n):
+        from raw2film_tpu.native import decode_rw2_v4
+
+        if full_w % 14 != 0:
+            raise NotImplementedError(
+                f"{path}: RW2 v4 with width {full_w} not a multiple of 14"
+            )
+        data = decode_rw2_v4(bytes(payload), full_w, full_h).astype(np.float32)
+    elif len(payload) >= 2 * n:
+        data = np.frombuffer(payload, "<u2", count=n).astype(np.float32)
+        data = data.reshape(full_h, full_w)
+    elif len(payload) * 2 >= 3 * n and bits == 12:
+        data = _unpack12_le(payload, n).astype(np.float32).reshape(full_h, full_w)
+    else:
+        raise NotImplementedError(
+            f"{path}: RW2 RawFormat {raw_format} payload "
+            f"({len(payload)} bytes for {n} samples) is not supported "
+            "(v4, 16-bit and 12-bit-packed are; convert newer-body files "
+            "to DNG)"
+        )
+
+    # Active-area crop (even Bayer phase, like the Canon SensorInfo path).
+    top = int(tag(0x0004, [0])[0])
+    left = int(tag(0x0005, [0])[0])
+    bottom = int(tag(0x0006, [full_h])[0])
+    right = int(tag(0x0007, [full_w])[0])
+    meta = {}
+    if 0 <= top < bottom <= full_h and 0 <= left < right <= full_w:
+        left += left % 2
+        top += top % 2
+        data = data[top:bottom, left:right]
+        meta["EXIF:SensorLeftBorder"] = left
+        meta["EXIF:SensorTopBorder"] = top
+
+    cfa = _CFA.get(int(tag(0x0009, [1])[0]), "RGGB")
+    # Per-channel blacks (tags store the value minus the +15 pedestal that
+    # LibRaw/rawspeed add back); collapse to the mean like the DNG path.
+    blacks = [int(tag(t, [0])[0]) for t in (0x001C, 0x001D, 0x001E)]
+    black = float(np.mean(blacks)) + 15.0 if any(blacks) else 15.0
+    white = float((1 << bits) - 1)
+
+    for name, t in (("Make", 0x010F), ("Model", 0x0110)):
+        if t in ifd:
+            meta[f"EXIF:{name}"] = ifd[t]
+    if 0x0112 in ifd:
+        meta["EXIF:Orientation"] = int(ifd[0x0112][0])
+    if 0x0017 in ifd:
+        meta["EXIF:ISO"] = int(ifd[0x0017][0])
+
+    return RawImage(
+        data=data,
+        cfa_pattern=cfa,
+        black_level=black,
+        white_level=white,
+        color_matrix=None,
+        as_shot_neutral=None,
+        metadata=meta,
+    )

@@ -45,7 +45,7 @@ def _build() -> bool:
         return False
 
 
-_ABI = 2
+_ABI = 3
 
 
 def get_lib():
@@ -123,6 +123,14 @@ def _bind(lib):
         ctypes.c_int,  # height
         ctypes.POINTER(ctypes.c_uint16),  # out
     ]
+    lib.r2f_decode_rw2_v4.restype = ctypes.c_int
+    lib.r2f_decode_rw2_v4.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_long,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint16),
+    ]
 
 
 def have_native() -> bool:
@@ -199,6 +207,27 @@ def decode_nef(
     )
     if rc != 0:
         raise ValueError(f"NEF bitstream decode failed (code {rc})")
+    return out.reshape(height, width)
+
+
+def decode_rw2_v4(bitstream: bytes, width: int, height: int) -> np.ndarray:
+    """Decode a Panasonic RW2 v4 (RawFormat 4) stream -> (h, w) uint16."""
+    lib = get_lib()
+    if lib is None:
+        raise NotImplementedError(
+            "Panasonic v4 RW2 needs the native decoder; g++ was unavailable "
+            "to build raw2film_tpu/native/libr2f_native.so"
+        )
+    out = np.empty(height * width, np.uint16)
+    rc = lib.r2f_decode_rw2_v4(
+        bitstream,
+        len(bitstream),
+        int(width),
+        int(height),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+    )
+    if rc != 0:
+        raise ValueError(f"RW2 v4 decode failed (code {rc})")
     return out.reshape(height, width)
 
 

@@ -338,6 +338,75 @@ int r2f_decode_nef(const uint8_t* src, long len, const uint8_t* counts1,
   return 0;
 }
 
+// Decode a Panasonic RW2 v4 bitstream (RawFormat 4, 12-bit — the scheme
+// LibRaw/dcraw call panasonic_load_raw and rawspeed's
+// PanasonicDecompressorV4). Layout: the stream is split into 0x4000-byte
+// sections whose first 0x1ff8 bytes are stored LAST (section rotation,
+// dcraw load_flags 0x2008); each section holds 1024 fixed-size 16-byte
+// packets of 14 pixels, the buffer consumed from its END backwards (packet
+// k occupies bytes [0x4000-16(k+1), 0x4000-16k)). Within a packet, dcraw's
+// pana_bits addressing: with v = 128 - p bits remaining after a read of n
+// ends at bit-position p, the value is ((pk[v>>3] | pk[(v>>3)+1]<<8) >>
+// (v&7)) & mask — each byte consumed from its high bits down, spanning
+// reads borrow the NEXT byte's low bits; this packs the per-packet read
+// sequence (two 12-bit lane seeds, 2-bit shift tokens before every third
+// pixel, 8-bit deltas) bijectively into exactly 128 bits. Per 14-pixel
+// packet: two interleaved predictor lanes; deltas are signed in units of
+// 1<<sh with a reseed quirk at sh==4.
+int r2f_decode_rw2_v4(const uint8_t* src, long len, int width, int height,
+                      uint16_t* out) {
+  if (width <= 0 || height <= 0 || width % 14 != 0) return -1;
+  const long SECTION = 0x4000;
+  const long SPLIT = 0x1ff8;  // bytes of each section stored at the end
+  const long PPS = (SECTION / 16) * 14;  // pixels per section
+  long npix = long(width) * height;
+
+  std::vector<uint8_t> sec(SECTION + 2, 0);
+  long pix = 0;
+  for (long sec_base = 0; pix < npix; sec_base += SECTION) {
+    // Un-rotate: buffer = file[split:SECTION] + file[0:split].
+    for (long i = 0; i < SECTION; ++i) {
+      long fo = sec_base + ((i < SECTION - SPLIT) ? (SPLIT + i)
+                                                  : (i - (SECTION - SPLIT)));
+      sec[size_t(i)] = fo < len ? src[fo] : 0;
+    }
+    sec[SECTION] = sec[SECTION + 1] = 0;
+
+    long sec_pixels = npix - pix < PPS ? npix - pix : PPS;
+    for (long pk = 0; pk * 14 < sec_pixels; ++pk) {
+      const uint8_t* buf = sec.data() + (SECTION - 16 * (pk + 1));
+      int p = 0;  // bits consumed within this packet
+      auto bits = [&](int n) -> int {
+        p += n;
+        int v = 128 - p;  // bits remaining
+        return ((buf[v >> 3] | (buf[(v >> 3) + 1] << 8)) >> (v & 7)) &
+               ((1 << n) - 1);
+      };
+      int pred[2] = {0, 0}, nonz[2] = {0, 0}, sh = 0;
+      for (int i = 0; i < 14; ++i) {
+        if (i % 3 == 2) sh = 4 >> (3 - bits(2));
+        if (nonz[i & 1]) {
+          int j = bits(8);
+          if (j) {
+            pred[i & 1] -= 0x80 << sh;
+            if (pred[i & 1] < 0 || sh == 4) pred[i & 1] &= ~(-1 << sh);
+            pred[i & 1] += j << sh;
+          }
+        } else {
+          nonz[i & 1] = bits(8);
+          if (nonz[i & 1] || i > 11) {
+            pred[i & 1] = (nonz[i & 1] << 4) | bits(4);
+          }
+        }
+        long idx = pix + pk * 14 + i;
+        if (idx < npix) out[idx] = uint16_t(pred[i & 1] & 0xffff);
+      }
+    }
+    pix += sec_pixels;
+  }
+  return 0;
+}
+
 // Fast strip unpack: 16-bit (little/big endian) or 8-bit source to float32
 // with black-level subtraction and normalization.
 void r2f_unpack_normalize(const uint8_t* src, long n_samples, int bits,
@@ -359,6 +428,6 @@ void r2f_unpack_normalize(const uint8_t* src, long n_samples, int bits,
   }
 }
 
-int r2f_abi_version() { return 2; }
+int r2f_abi_version() { return 3; }
 
 }  // extern "C"

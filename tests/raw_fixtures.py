@@ -56,7 +56,11 @@ class _Ifd:
 
 
 def _serialize(
-    ifds: list[_Ifd], data_blobs: list[bytes], next_links=None, header: int = 8
+    ifds: list[_Ifd],
+    data_blobs: list[bytes],
+    next_links=None,
+    header: int = 8,
+    magic: int = 42,
 ) -> bytes:
     """Layout: header, IFDs in order, heap, data blobs. Placeholder tag
     values of the form ("blob", i) / ("ifd", i) resolve to offsets."""
@@ -124,7 +128,7 @@ def _serialize(
             "<I", blob_offsets[bi]
         )
 
-    out = bytearray(b"II" + struct.pack("<HI", 42, header))
+    out = bytearray(b"II" + struct.pack("<HI", magic, header))
     out += b"\0" * (header - len(out))
     next_links = next_links or {}
     for i, (ifd, ents) in enumerate(zip(ifds, serialized)):
@@ -297,6 +301,124 @@ def write_nef_compressed(
     blob = _serialize([ifd0, raw, exif], [payload])
     with open(path, "wb") as f:
         f.write(blob)
+
+
+def rw2_v4_compress(mosaic: np.ndarray) -> bytes:
+    """Encode a 12-bit mosaic as a Panasonic v4 bitstream (inverse of
+    native r2f_decode_rw2_v4). Emits sh=0 tokens and plain 8-bit deltas, so
+    the input must satisfy: width % 14 == 0, all samples in [0x80, 0xfff],
+    and same-lane horizontal deltas within +/-127 (random-walk fixture data
+    — the regime real sensor rows live in)."""
+    m = np.asarray(mosaic, np.int64)
+    h, w = m.shape
+    assert w % 14 == 0
+    assert m.min() >= 0x80 and m.max() <= 0xFFF, "samples out of v4 fixture range"
+
+    SECTION, SPLIT = 0x4000, 0x1FF8
+    packets = []
+    for row in range(h):
+        for p0 in range(0, w, 14):
+            buf = bytearray(17)
+            p = 0
+
+            def put(value, n):
+                # Inverse of pana_bits: with v = 128 - p bits remaining
+                # after the read ends at p, bits live at (pk[v>>3] |
+                # pk[(v>>3)+1] << 8) >> (v & 7).
+                nonlocal p
+                p += n
+                v = 128 - p
+                byte, shift = v >> 3, v & 7
+                word = (buf[byte] | (buf[byte + 1] << 8)) | (
+                    (value & ((1 << n) - 1)) << shift
+                )
+                buf[byte] = word & 0xFF
+                buf[byte + 1] = (word >> 8) & 0xFF
+
+            pred = [0, 0]
+            seeded = [False, False]
+            for i in range(14):
+                if i % 3 == 2:
+                    put(0, 2)  # sh = 0
+                t = int(m[row, p0 + i])
+                lane = i & 1
+                if not seeded[lane]:
+                    put(t >> 4, 8)  # nonz seed (>= 8 given t >= 0x80)
+                    put(t & 0xF, 4)
+                    seeded[lane] = True
+                else:
+                    delta = t - pred[lane]
+                    assert -127 <= delta <= 127, "lane delta too large for fixture"
+                    put(delta + 0x80, 8)
+                pred[lane] = t
+            assert p <= 128
+            packets.append(bytes(buf[:16]))
+
+    stream = bytearray()
+    per_sec = SECTION // 16
+    for s0 in range(0, len(packets), per_sec):
+        # Packets fill each section from its END backwards (pana_bits
+        # consumes the 16KB buffer high-address-first).
+        sec = bytearray(SECTION)
+        for k, pkt in enumerate(packets[s0 : s0 + per_sec]):
+            base = SECTION - 16 * (k + 1)
+            sec[base : base + 16] = pkt
+        stream += bytes(sec[SECTION - SPLIT :]) + bytes(sec[: SECTION - SPLIT])
+    return bytes(stream)
+
+
+def write_rw2(
+    path,
+    mosaic,
+    borders=None,
+    raw_format=4,
+    make="Panasonic",
+    model="DC-GH5",
+    cfa=1,
+):
+    """RW2 skeleton: magic-85 TIFF, Panasonic tag dialect (sensor dims +
+    active-area borders + per-channel blacks + RawDataOffset), v4-compressed
+    or 16-bit payload."""
+    h, w = mosaic.shape
+    if raw_format == 4:
+        payload = rw2_v4_compress(mosaic)
+    else:
+        payload = np.asarray(mosaic).astype("<u2").tobytes()
+    top, left, bottom, right = borders or (0, 0, h, w)
+    ifd0 = _Ifd()
+    ifd0.add(0x0001, 7, b"0400")
+    ifd0.add(0x0002, 3, [w])
+    ifd0.add(0x0003, 3, [h])
+    ifd0.add(0x0004, 3, [top])
+    ifd0.add(0x0005, 3, [left])
+    ifd0.add(0x0006, 3, [bottom])
+    ifd0.add(0x0007, 3, [right])
+    ifd0.add(0x0009, 3, [cfa])
+    ifd0.add(0x000A, 3, [12])
+    ifd0.add(0x0017, 3, [200])
+    ifd0.add(0x001C, 3, [128])  # blacks minus the +15 pedestal
+    ifd0.add(0x001D, 3, [128])
+    ifd0.add(0x001E, 3, [128])
+    ifd0.add(0x002D, 3, [raw_format])
+    ifd0.add(0x010F, 2, make)
+    ifd0.add(0x0110, 2, model)
+    ifd0.add(0x0112, 3, [1])
+    ifd0.add(0x0118, 4, ("blob", 0))
+    blob = _serialize([ifd0], [payload], magic=0x55)
+    with open(path, "wb") as f:
+        f.write(blob)
+
+
+def rw2_walk_mosaic(h: int, w: int, seed: int = 0) -> np.ndarray:
+    """Random-walk 12-bit mosaic within the v4 fixture encoder's regime."""
+    rng = np.random.default_rng(seed)
+    steps = rng.integers(-60, 61, (h, w))
+    m = 2048 + np.cumsum(steps, axis=1)
+    # Reflect into [0x180, 0xE7F] so lane deltas stay small but values span
+    # a wide range.
+    lo, hi = 0x180, 0xE7F
+    m = lo + np.abs((m - lo) % (2 * (hi - lo)) - (hi - lo))
+    return m.astype(np.uint16)
 
 
 def write_arw(path, mosaic, make="SONY", model="ILCE-7M3"):

@@ -484,6 +484,65 @@ class TestMaskIdentityFlag:
         assert build_render_config(bw, prt, "print", 100.0, merged).mask_identity is True
 
 
+class TestRenderFromMosaic:
+    def test_matches_staged_decode_then_render(self):
+        """The fused mosaic entry (camera matrix folded into m_in) must
+        match demosaic -> matrix -> render_chain to <=1 code (the fold only
+        changes f32 association order)."""
+        from raw2film_tpu.data import REC709_TO_XYZ
+        from raw2film_tpu.ops import demosaic as dm
+        from raw2film_tpu.pipeline.render import render_chain_from_mosaic
+
+        rng = np.random.default_rng(5)
+        mosaic = jnp.asarray(
+            np.clip(rng.normal(0.3, 0.15, (64, 96)), 0, 1).astype(np.float32)
+        )
+        cam = jnp.asarray(REC709_TO_XYZ, jnp.float32)
+        neg_p = fchain.build_negative_params(PORTRA)
+        prt_p = fchain.build_print_params(PORTRA, PAPER, neg_params=neg_p)
+        out_p = fchain.build_output_params(PORTRA, PAPER, prt_p, neg_p)
+        bundle = make_film_bundle(neg_p, prt_p, out_p)
+        merged = _merged(grain=0)
+        cfg = build_render_config(PORTRA, PAPER, prt_p.mode, 64 / 36, merged)
+        key = jax.random.PRNGKey(0)
+
+        fused = np.asarray(render_chain_from_mosaic(mosaic, cam, bundle, cfg, key))
+        rgb = jnp.clip(dm.demosaic_mhc(mosaic, "RGGB"), 0.0, 1.0)
+        xyz = jnp.einsum(
+            "ij,jhw->ihw", cam, rgb, precision=jax.lax.Precision.HIGHEST
+        )
+        from raw2film_tpu.pipeline.render import render_jit
+
+        staged = np.asarray(render_jit(xyz, bundle, cfg, key))
+        diff = np.abs(fused.astype(np.int32) - staged.astype(np.int32))
+        assert diff.max() <= 1, diff.max()
+
+    def test_exposure_gain_folds(self):
+        """exposure_gain must act like pre-scaling the XYZ input."""
+        from raw2film_tpu.data import REC709_TO_XYZ
+        from raw2film_tpu.pipeline.render import render_chain_from_mosaic
+
+        rng = np.random.default_rng(6)
+        mosaic = jnp.asarray(
+            np.clip(rng.normal(0.1, 0.05, (32, 64)), 0, 1).astype(np.float32)
+        )
+        cam = jnp.asarray(REC709_TO_XYZ, jnp.float32)
+        neg_p = fchain.build_negative_params(PORTRA)
+        prt_p = fchain.build_print_params(PORTRA, PAPER, neg_params=neg_p)
+        out_p = fchain.build_output_params(PORTRA, PAPER, prt_p, neg_p)
+        bundle = make_film_bundle(neg_p, prt_p, out_p)
+        merged = _merged(grain=0, halation=False, sharpness=False)
+        cfg = build_render_config(PORTRA, PAPER, prt_p.mode, 64 / 36, merged)
+        key = jax.random.PRNGKey(0)
+        dark = np.asarray(render_chain_from_mosaic(mosaic, cam, bundle, cfg, key))
+        bright = np.asarray(
+            render_chain_from_mosaic(
+                mosaic, cam, bundle, cfg, key, exposure_gain=4.0
+            )
+        )
+        assert bright.mean() > dark.mean() + 10
+
+
 class TestFusionCompileFallback:
     def test_processor_retries_with_fusion_off(self, monkeypatch):
         """A Mosaic scoped-VMEM compile failure on the fused chain must not
