@@ -25,10 +25,14 @@ Containers handled by :func:`read_raw`:
 * **RW2** — Panasonic magic-85 TIFF dialect (sensor borders, per-channel
   blacks, CFA code) with v4-compressed, 16-bit and 12-bit-packed payloads
   (:mod:`raw2film_tpu.io.rw2`).
+* **RAF** — Fuji container (offset table + CFA-header records + embedded
+  Fuji TIFF), Bayer and X-Trans mosaics; X-Trans demosaics through the
+  generic masked-interpolation kernel (:mod:`raw2film_tpu.io.raf`).
 
 Remaining vendor-compressed bitstreams (Sony cRAW, Pentax Huffman, Olympus
-compressed, Panasonic v5/v6, CR3/CRW containers) are rejected with a clear
-error — converting to DNG is the documented ingest path for those.
+compressed, Panasonic v5/v6, Fuji-compressed RAF, CR3/CRW containers) are
+rejected with a clear error — converting to DNG is the documented ingest
+path for those.
 
 Also parsed: CFAPattern, BlackLevel/WhiteLevel, ColorMatrix1, AsShotNeutral,
 core EXIF (ISO, exposure time, f-number, focal length, make/model/lens).
@@ -182,9 +186,9 @@ def read_raw(path: str) -> RawImage:
     with open(path, "rb") as f:
         buf = f.read()
     if buf[:8].startswith(b"FUJIFILM"):
-        raise NotImplementedError(
-            f"{path}: Fuji RAF containers are not supported; convert to DNG"
-        )
+        from raw2film_tpu.io.raf import read_raf
+
+        return read_raf(buf, path)
     if len(buf) >= 8 and buf[4:8] == b"ftyp":
         raise NotImplementedError(
             f"{path}: CR3 (ISO-BMFF) containers are not supported; convert to DNG"

@@ -1,0 +1,168 @@
+"""Fuji RAF container decode.
+
+The reference ingests RAF via LibRaw (reference:
+src/raw2film/raw_conversion.py:36-48; extension list
+src/raw2film/data.py:87-102). RAF is Fuji's own container:
+
+* Fixed big-endian header: magic ``FUJIFILMCCD-RAW``, camera string at
+  0x1C, then an offset table — 0x54 JPEG offset/length, 0x5C CFA-header
+  offset/length, 0x64 CFA-data offset/length.
+* **CFA header**: a count-prefixed list of (tag u16, size u16, data)
+  records — 0x0100 RawImageFullSize (height, width), 0x0121 RawImageSize,
+  0x0130 FujiLayout, 0x0131 XTransLayout (36 bytes, 0=R 1=G 2=B — the 6x6
+  X-Trans mosaic).
+* **CFA data**: either the bare sensor dump (older bodies) or an embedded
+  little-endian TIFF whose FujiIFD (tag 0xF000) carries RawImageFullWidth/
+  Height (0xF001/2), BitsPerSample (0xF003), StripOffsets/ByteCounts
+  (0xF007/8, relative to the embedded TIFF) and BlackLevel (0xF00A).
+
+Uncompressed payloads (16-bit little-endian; 12/14-bit packed inferred
+from byte counts) decode for both Bayer and X-Trans mosaics — X-Trans
+demosaics through the generic masked-interpolation kernel
+(:func:`raw2film_tpu.ops.demosaic.demosaic_masked`). Fuji lossless-
+compressed RAF is rejected with a clear error.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from raw2film_tpu.io.dng import RawImage, _read_ifd, _unpack_12bit, _unpack_14bit
+
+# The canonical X-Trans 6x6 layout shared by every X-Trans sensor
+# generation (row-major, as in the RAF 0x0131 record).
+XTRANS_CANONICAL = (
+    "GGRGGB"
+    "GGBGGR"
+    "BRGRBG"
+    "GGBGGR"
+    "GGRGGB"
+    "RBGBRG"
+)
+
+_CODES = {0: "R", 1: "G", 2: "B"}
+
+
+def _parse_cfa_header(buf: bytes, off: int) -> dict:
+    """Record list: u32-BE count, then (tag u16, size u16, data)."""
+    out: dict = {}
+    try:
+        (count,) = struct.unpack_from(">I", buf, off)
+        pos = off + 4
+        for _ in range(min(count, 256)):
+            tag, size = struct.unpack_from(">HH", buf, pos)
+            data = buf[pos + 4 : pos + 4 + size]
+            pos += 4 + size
+            if tag == 0x0100 and size >= 4:
+                h, w = struct.unpack_from(">HH", data, 0)
+                out["full_size"] = (h, w)
+            elif tag == 0x0131 and size >= 36:
+                out["xtrans"] = "".join(
+                    _CODES.get(b, "G") for b in data[:36]
+                )
+            elif tag == 0x0130:
+                out["layout"] = bytes(data)
+    except struct.error:
+        pass
+    return out
+
+
+def _parse_fuji_tiff(buf: bytes, base: int) -> dict | None:
+    """Embedded TIFF at the CFA-data offset: FujiIFD 0xF000 -> raw tags.
+    All offsets are relative to the embedded TIFF start."""
+    bom = buf[base : base + 2]
+    endian = {"II": "<", "MM": ">"}.get(bom.decode("latin1", "replace"))
+    if endian is None:
+        return None
+    try:
+        (magic, first) = struct.unpack_from(endian + "HI", buf, base + 2)
+        if magic != 42:
+            return None
+        sub = buf[base:]
+        ifd, _ = _read_ifd(sub, first, endian)
+        fuji_ptr = ifd.get(0xF000)
+        if fuji_ptr:
+            ifd, _ = _read_ifd(sub, int(fuji_ptr[0]), endian)
+        out = {}
+        if 0xF001 in ifd:
+            out["width"] = int(ifd[0xF001][0])
+        if 0xF002 in ifd:
+            out["height"] = int(ifd[0xF002][0])
+        if 0xF003 in ifd:
+            out["bits"] = int(ifd[0xF003][0])
+        if 0xF007 in ifd and 0xF008 in ifd:
+            out["strips"] = [
+                (base + int(o), int(c))
+                for o, c in zip(ifd[0xF007], ifd[0xF008])
+            ]
+        if 0xF00A in ifd:
+            blacks = ifd[0xF00A]
+            if isinstance(blacks, list) and blacks:
+                out["black"] = float(np.mean(blacks))
+        return out
+    except (struct.error, ValueError):
+        return None
+
+
+def read_raf(buf: bytes, path: str) -> RawImage:
+    if not buf.startswith(b"FUJIFILM"):
+        raise ValueError(f"{path}: not a RAF file")
+    model = buf[0x1C:0x3C].split(b"\0")[0].decode("ascii", "replace").strip()
+    cfa_hdr_off, cfa_hdr_len, cfa_off, cfa_len = struct.unpack_from(
+        ">IIII", buf, 0x5C
+    )
+    hdr = _parse_cfa_header(buf, cfa_hdr_off) if cfa_hdr_off else {}
+    tiff = _parse_fuji_tiff(buf, cfa_off) if cfa_off else None
+
+    if tiff and "strips" in tiff:
+        w = tiff.get("width", hdr.get("full_size", (0, 0))[1])
+        h = tiff.get("height", hdr.get("full_size", (0, 0))[0])
+        bits = tiff.get("bits", 14)
+        payload = b"".join(buf[o : o + c] for o, c in tiff["strips"])
+        black = tiff.get("black", 0.0)
+    else:
+        if "full_size" not in hdr:
+            raise NotImplementedError(
+                f"{path}: RAF without a parseable CFA header or Fuji IFD"
+            )
+        h, w = hdr["full_size"]
+        bits = 14
+        payload = buf[cfa_off : cfa_off + (cfa_len or len(buf) - cfa_off)]
+        black = 0.0
+    if not w or not h:
+        raise ValueError(f"{path}: RAF missing raw dimensions")
+
+    n = h * w
+    if len(payload) >= 2 * n:
+        data = np.frombuffer(payload, "<u2", count=n).astype(np.float32)
+    elif bits == 12 and len(payload) * 2 >= 3 * n:
+        data = _unpack_12bit(payload, n).astype(np.float32)
+    elif bits == 14 and len(payload) * 4 >= 7 * n:
+        data = _unpack_14bit(payload, n).astype(np.float32)
+    else:
+        raise NotImplementedError(
+            f"{path}: Fuji-compressed RAF payloads are not supported "
+            f"({len(payload)} bytes for {n} {bits}-bit samples); convert "
+            "to DNG"
+        )
+    data = data.reshape(h, w)
+
+    cfa = hdr.get("xtrans")
+    if cfa is None:
+        # No X-Trans record: Bayer body (GFX / X-A / early FinePix).
+        cfa = "RGGB"
+
+    meta = {"EXIF:Make": "FUJIFILM"}
+    if model:
+        meta["EXIF:Model"] = model
+    return RawImage(
+        data=data,
+        cfa_pattern=cfa,
+        black_level=black,
+        white_level=float((1 << bits) - 1),
+        color_matrix=None,
+        as_shot_neutral=None,
+        metadata=meta,
+    )

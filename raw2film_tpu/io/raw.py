@@ -74,7 +74,15 @@ def decode_raw(
     if raw.cfa_pattern is not None:
         mosaic = (data - raw.black_level) * norm
         mosaic = jnp.clip(mosaic, 0.0, 1.0)
-        if half_size:
+        if len(raw.cfa_pattern) == 36:
+            # X-Trans (6x6): generic masked-interpolation demosaic; the
+            # half-size preview is the same decode box-averaged 2x2.
+            rgb = dm.demosaic_masked(mosaic, raw.cfa_pattern, 6, 6)
+            if half_size:
+                h2, w2 = rgb.shape[1] // 2, rgb.shape[2] // 2
+                rgb = rgb[:, : h2 * 2, : w2 * 2]
+                rgb = rgb.reshape(3, h2, 2, w2, 2).mean(axis=(2, 4))
+        elif half_size:
             rgb = dm.half_size_decode(mosaic, raw.cfa_pattern)
         elif demosaic == "bilinear":
             rgb = dm.demosaic_bilinear(mosaic, raw.cfa_pattern)

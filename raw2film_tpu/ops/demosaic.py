@@ -137,6 +137,44 @@ def demosaic_bilinear(bayer: jnp.ndarray, pattern: str = "RGGB") -> jnp.ndarray:
     return jnp.stack([r, g, b])
 
 
+def demosaic_masked(
+    mosaic: jnp.ndarray, pattern: str, tile_h: int, tile_w: int
+) -> jnp.ndarray:
+    """Generic masked-interpolation demosaic for arbitrary CFA tilings —
+    the X-Trans (6x6) path: out_c = conv(mosaic * mask_c) / conv(mask_c),
+    keeping the measured value at each channel's own sites. Separable
+    triangle kernels (3x3 for the dense green plane, 5x5 for R/B — the
+    X-Trans layout guarantees an R/B site within every 5x5 window). All
+    compute is three depthwise convs: XLA fuses the mask multiplies and the
+    divide into the conv epilogues on TPU.
+    """
+    h, w = mosaic.shape
+    code = {"R": 0, "G": 1, "B": 2}
+    grid = np.array([code[c] for c in pattern], np.int32).reshape(
+        tile_h, tile_w
+    )
+    reps = (-(-h // tile_h), -(-w // tile_w))
+    full = np.tile(grid, reps)[:h, :w]
+
+    t3 = np.array([1.0, 2.0, 1.0], np.float32)
+    t5 = np.array([1.0, 2.0, 3.0, 2.0, 1.0], np.float32)
+    k3 = np.outer(t3, t3)
+    k5 = np.outer(t5, t5)
+    # (3, kh, kw) per-channel kernels, zero-padded to the common 5x5 so one
+    # depthwise conv serves all three planes.
+    kg = np.zeros((5, 5), np.float32)
+    kg[1:4, 1:4] = k3
+    kernels = np.stack([k5, kg, k5])
+
+    masks = jnp.asarray(
+        np.stack([(full == c) for c in range(3)]).astype(np.float32)
+    )
+    num = convops.depthwise_conv2d(mosaic[None] * masks, kernels)
+    den = convops.depthwise_conv2d(masks, kernels)
+    interp = num / jnp.maximum(den, 1e-8)
+    return jnp.where(masks > 0.5, mosaic[None], interp)
+
+
 def half_size_decode(bayer: jnp.ndarray, pattern: str = "RGGB") -> jnp.ndarray:
     """LibRaw half_size-style decode: each 2x2 cell -> one RGB pixel (greens
     averaged). Used for fast previews (reference: raw_conversion.py:33

@@ -421,6 +421,62 @@ def rw2_walk_mosaic(h: int, w: int, seed: int = 0) -> np.ndarray:
     return m.astype(np.uint16)
 
 
+def write_raf(
+    path,
+    mosaic,
+    xtrans: str | None = None,
+    style: str = "tiff",
+    model="X-T5",
+    black=1022,
+):
+    """RAF skeleton: FUJIFILM header + offset table + CFA-header records
+    (0x0100 dims, 0x0131 X-Trans layout) + CFA data as either an embedded
+    Fuji TIFF (``style="tiff"``: 0xF001/2/3/7/8/A tags, modern bodies) or
+    the bare sensor dump (``style="bare"``: older bodies)."""
+    h, w = mosaic.shape
+    payload = np.asarray(mosaic).astype("<u2").tobytes()
+
+    # CFA header records (big-endian).
+    records = []
+    records.append((0x0100, struct.pack(">HH", h, w)))
+    if xtrans:
+        code = {"R": 0, "G": 1, "B": 2}
+        records.append((0x0131, bytes(code[c] for c in xtrans)))
+    cfa_hdr = struct.pack(">I", len(records))
+    for tag, data in records:
+        cfa_hdr += struct.pack(">HH", tag, len(data)) + data
+
+    if style == "tiff":
+        fuji = _Ifd()
+        fuji.add(0xF001, 4, [w])
+        fuji.add(0xF002, 4, [h])
+        fuji.add(0xF003, 4, [14])
+        fuji.add(0xF007, 4, ("blob", 0))
+        fuji.add(0xF008, 4, [len(payload)])
+        fuji.add(0xF00A, 4, [black] * 4)
+        ifd0 = _Ifd()
+        ifd0.add(0xF000, 4, ("ifd", 1))
+        cfa_data = _serialize([ifd0, fuji], [payload])
+    else:
+        cfa_data = payload
+
+    header = bytearray(b"FUJIFILMCCD-RAW ")
+    header += b"0201"  # format version
+    header += b"FF000000"  # camera number
+    header += model.encode("ascii").ljust(32, b"\0")
+    header += b"0100"  # dir version
+    header += b"\0" * 20
+    assert len(header) == 0x54
+    cfa_hdr_off = 0x6C
+    cfa_off = cfa_hdr_off + len(cfa_hdr)
+    header += struct.pack(">II", 0, 0)  # JPEG offset/len (none)
+    header += struct.pack(">II", cfa_hdr_off, len(cfa_hdr))
+    header += struct.pack(">II", cfa_off, len(cfa_data))
+    assert len(header) == 0x6C
+    with open(path, "wb") as f:
+        f.write(bytes(header) + cfa_hdr + cfa_data)
+
+
 def write_arw(path, mosaic, make="SONY", model="ILCE-7M3"):
     """ARW skeleton: raw in IFD0, 16-bit stored samples, no BlackLevel tag
     (the parser must apply the Sony pedestal default)."""

@@ -90,11 +90,25 @@ class TestCR2:
 
 
 class TestUnsupported:
-    def test_raf_clear_error(self, tmp_path):
+    def test_raf_header_only_clear_error(self, tmp_path):
         p = str(tmp_path / "x.raf")
         with open(p, "wb") as f:
-            f.write(b"FUJIFILMCCD-RAW " + b"\0" * 64)
+            f.write(b"FUJIFILMCCD-RAW " + b"\0" * 96)
         with pytest.raises(NotImplementedError, match="RAF"):
+            read_raw(p)
+
+    def test_raf_compressed_clear_error(self, tmp_path):
+        """A payload far smaller than the sensor dump = Fuji-compressed."""
+        from raw_fixtures import write_raf
+
+        m = _mosaic(24, 36, bits=14)
+        p = str(tmp_path / "c.raf")
+        write_raf(p, m, style="bare")
+        data = bytearray(open(p, "rb").read())
+        truncated = data[: len(data) - 24 * 36 * 2 + 100]
+        with open(p, "wb") as f:
+            f.write(truncated)
+        with pytest.raises(NotImplementedError, match="compressed"):
             read_raw(p)
 
     def test_cr3_clear_error(self, tmp_path):
@@ -210,6 +224,89 @@ class TestPanasonicRW2:
         )
         assert out.dtype == np.uint8 and out.shape[2] == 3
         assert out.std() > 1.0  # actual image content
+
+
+class TestFujiRAF:
+    """RAF container (offset table + CFA-header records + embedded Fuji
+    TIFF), Bayer and X-Trans, both container generations. Matches the
+    reference's LibRaw ingest surface (src/raw2film/raw_conversion.py:36-48)."""
+
+    def test_bayer_tiff_style(self, tmp_path):
+        from raw_fixtures import write_raf
+
+        m = _mosaic(24, 36, bits=14)
+        p = str(tmp_path / "a.raf")
+        write_raf(p, m, model="GFX 100")
+        raw = read_raw(p)
+        np.testing.assert_array_equal(raw.data.astype(np.uint16), m)
+        assert raw.cfa_pattern == "RGGB"
+        assert raw.black_level == 1022.0
+        assert raw.metadata["EXIF:Model"] == "GFX 100"
+
+    def test_xtrans_both_styles(self, tmp_path):
+        from raw_fixtures import write_raf
+
+        from raw2film_tpu.io.raf import XTRANS_CANONICAL
+
+        m = _mosaic(24, 36, bits=14)
+        for style in ("tiff", "bare"):
+            p = str(tmp_path / f"x_{style}.raf")
+            write_raf(p, m, xtrans=XTRANS_CANONICAL, style=style)
+            raw = read_raw(p)
+            np.testing.assert_array_equal(raw.data.astype(np.uint16), m)
+            assert raw.cfa_pattern == XTRANS_CANONICAL
+
+    def test_xtrans_masked_demosaic_accuracy(self):
+        """On a smooth per-channel gradient scene the masked interpolation
+        must reconstruct each plane closely (it holds exact values at
+        native sites and blends neighbors elsewhere)."""
+        from raw2film_tpu.io.raf import XTRANS_CANONICAL
+        from raw2film_tpu.ops.demosaic import demosaic_masked
+
+        h, w = 36, 48
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+        planes = np.stack(
+            [
+                0.2 + 0.5 * xx / w,
+                0.3 + 0.4 * yy / h,
+                0.6 - 0.4 * xx / w,
+            ]
+        )
+        code = {"R": 0, "G": 1, "B": 2}
+        grid = np.array([code[c] for c in XTRANS_CANONICAL]).reshape(6, 6)
+        full = np.tile(grid, (h // 6, w // 6))
+        mosaic = np.take_along_axis(
+            planes, full[None], axis=0
+        )[0].astype(np.float32)
+        import jax.numpy as jnp
+
+        rgb = np.asarray(
+            demosaic_masked(jnp.asarray(mosaic), XTRANS_CANONICAL, 6, 6)
+        )
+        assert np.isfinite(rgb).all()
+        interior = np.s_[:, 4:-4, 4:-4]
+        err = np.abs(rgb - planes)[interior]
+        assert err.max() < 0.02, err.max()
+        # Native sites are exact.
+        for c in range(3):
+            sel = full == c
+            np.testing.assert_allclose(
+                rgb[c][sel], mosaic[sel], rtol=0, atol=1e-6
+            )
+
+    def test_full_pipeline_from_xtrans_raf(self, tmp_path):
+        from raw_fixtures import write_raf
+
+        from raw2film_tpu.io.raf import XTRANS_CANONICAL
+        from raw2film_tpu.pipeline.processor import Processor
+
+        m = (_mosaic(36, 48, bits=14) // 2 + 2048).astype(np.uint16)
+        p = str(tmp_path / "p.raf")
+        write_raf(p, m, xtrans=XTRANS_CANONICAL)
+        out = Processor().process(
+            p, "Kodak Portra 400", grain=0, half_size=False, max_scale=None
+        )
+        assert out.dtype == np.uint8 and out.shape[2] == 3
 
 
 class TestNikonCompressed:
