@@ -28,8 +28,12 @@ Containers handled by :func:`read_raw`:
 * **RAF** — Fuji container (offset table + CFA-header records + embedded
   Fuji TIFF), Bayer and X-Trans mosaics; X-Trans demosaics through the
   generic masked-interpolation kernel (:mod:`raw2film_tpu.io.raf`).
+* **Sony cRAW / ARW2** (Compression 32767) — 16-byte max/min + 7-bit-delta
+  blocks via the native kernel; the decompanding tone curve falls back to
+  the linear no-tag expansion (the real curve lives in Sony's encrypted
+  SR2 maker region — a documented fidelity limitation).
 
-Remaining vendor-compressed bitstreams (Sony cRAW, Pentax Huffman, Olympus
+Remaining vendor-compressed bitstreams (Pentax Huffman, Olympus
 compressed, Panasonic v5/v6, Fuji-compressed RAF, CR3/CRW containers) are
 rejected with a clear error — converting to DNG is the documented ingest
 path for those.
@@ -259,16 +263,15 @@ def _read_tiff_raw(buf: bytes, path: str) -> RawImage:
     )
 
     comp = (ifd.get(_TAGS["Compression"]) or [1])[0]
-    if comp not in (1, 6, 7, 34713):
+    if comp not in (1, 6, 7, 32767, 34713):
         known = {
-            32767: "Sony cRAW/ARW-compressed",
             65535: "Pentax-Huffman PEF",
             65536: "Olympus-compressed ORF",
         }
         what = known.get(comp, f"compression {comp}")
         raise NotImplementedError(
-            f"{path}: {what} is unsupported (uncompressed, lossless-JPEG and "
-            "Nikon-compressed raws are handled; convert other "
+            f"{path}: {what} is unsupported (uncompressed, lossless-JPEG, "
+            "Nikon-compressed and Sony-cRAW raws are handled; convert other "
             "vendor-compressed files to DNG)"
         )
     w = ifd[_TAGS["ImageWidth"]][0]
@@ -384,6 +387,19 @@ def _read_tiff_raw(buf: bytes, path: str) -> RawImage:
         data = nefmod.decode_nef_compressed(
             payload, bytes(blob), mn_endian, w, h, bits
         ).astype(np.float32)
+    elif comp == 32767:
+        # Sony cRAW / ARW2: 16-byte blocks of 16 same-phase pixels (11-bit
+        # max/min + 7-bit deltas) expanded through a decompanding curve.
+        # The SR2 tone-curve tag lives in Sony's encrypted maker region;
+        # without it the dcraw default (linear, curve[j] = 16 j) applies —
+        # tones from bodies that wrote a nonlinear curve come out linear.
+        from raw2film_tpu.native import decode_arw2
+
+        offsets = ifd[_TAGS["StripOffsets"]]
+        counts = ifd[_TAGS["StripByteCounts"]]
+        payload = b"".join(buf[o : o + c] for o, c in zip(offsets, counts))
+        data = decode_arw2(payload, w, h).astype(np.float32)
+        bits = 14  # decoded values are linear 14-bit regardless of storage
     elif comp == 6:
         # CR2: one lossless-JPEG blob; columns stored as vertical slices
         # (tag 0xC640: [n, slice_w, last_slice_w]).

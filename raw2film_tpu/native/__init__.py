@@ -45,7 +45,7 @@ def _build() -> bool:
         return False
 
 
-_ABI = 3
+_ABI = 4
 
 
 def get_lib():
@@ -130,6 +130,15 @@ def _bind(lib):
         ctypes.c_int,
         ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint16),
+    ]
+    lib.r2f_decode_arw2.restype = ctypes.c_int
+    lib.r2f_decode_arw2.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_long,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint16),  # curve[4096]
+        ctypes.POINTER(ctypes.c_uint16),  # out
     ]
 
 
@@ -228,6 +237,37 @@ def decode_rw2_v4(bitstream: bytes, width: int, height: int) -> np.ndarray:
     )
     if rc != 0:
         raise ValueError(f"RW2 v4 decode failed (code {rc})")
+    return out.reshape(height, width)
+
+
+def decode_arw2(
+    bitstream: bytes, width: int, height: int, curve: np.ndarray | None = None
+) -> np.ndarray:
+    """Decode a Sony cRAW/ARW2 (Compression 32767) stream -> (h, w) uint16
+    in linear 14-bit units. ``curve`` is the 4096-entry decompanding LUT;
+    default = dcraw's no-tone-tag linear expansion (curve[j] = 16 j)."""
+    lib = get_lib()
+    if lib is None:
+        raise NotImplementedError(
+            "Sony cRAW needs the native decoder; g++ was unavailable to "
+            "build raw2film_tpu/native/libr2f_native.so"
+        )
+    if curve is None:
+        curve = (np.arange(4096, dtype=np.uint32) * 16).astype(np.uint16)
+    cv = np.ascontiguousarray(curve, np.uint16)
+    if cv.shape != (4096,):
+        raise ValueError("ARW2 curve must have 4096 entries")
+    out = np.empty(height * width, np.uint16)
+    rc = lib.r2f_decode_arw2(
+        bitstream,
+        len(bitstream),
+        int(width),
+        int(height),
+        cv.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+    )
+    if rc != 0:
+        raise ValueError(f"ARW2 decode failed (code {rc})")
     return out.reshape(height, width)
 
 

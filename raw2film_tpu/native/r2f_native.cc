@@ -407,6 +407,61 @@ int r2f_decode_rw2_v4(const uint8_t* src, long len, int width, int height,
   return 0;
 }
 
+// Decode a Sony cRAW / ARW2 stream (Compression 32767 — the scheme
+// LibRaw/dcraw call sony_arw2_load_raw). Each row is `width` BYTES; every
+// 16-byte block codes 16 pixels of one Bayer phase (blocks alternate
+// even/odd columns: after a block the column cursor advances by 1 for an
+// odd phase, or jumps back 31 to interleave). Block layout (little
+// endian): bits 0..10 max, 11..21 min, 22..25 imax, 26..29 imin, then
+// fourteen 7-bit deltas from bit 30; delta shift sh is the smallest s in
+// 0..4 with (0x80 << s) > max - min. Decoded 11-bit values expand through
+// `curve` (4096 entries -> linear sensor units; identity<<2 when the SR2
+// tone curve is unavailable, dcraw's no-tag default).
+int r2f_decode_arw2(const uint8_t* src, long len, int width, int height,
+                    const uint16_t* curve, uint16_t* out) {
+  if (width <= 0 || height <= 0) return -1;
+  if (long(width) * height > len) return -2;  // one byte per pixel
+  // Row copy with a guard byte: the final 7-bit delta read of a block
+  // touches dp[16] (masked out), which for the last block of the last row
+  // is one past the payload.
+  std::vector<uint8_t> rowbuf(size_t(width) + 2, 0);
+  for (int row = 0; row < height; ++row) {
+    std::memcpy(rowbuf.data(), src + long(row) * width, size_t(width));
+    const uint8_t* data = rowbuf.data();
+    int col = 0;
+    for (const uint8_t* dp = data; col < width - 30; dp += 16) {
+      uint32_t val = uint32_t(dp[0]) | (uint32_t(dp[1]) << 8) |
+                     (uint32_t(dp[2]) << 16) | (uint32_t(dp[3]) << 24);
+      int max = val & 0x7ff;
+      int min = (val >> 11) & 0x7ff;
+      int imax = (val >> 22) & 0x0f;
+      int imin = (val >> 26) & 0x0f;
+      int sh;
+      for (sh = 0; sh < 4 && (0x80 << sh) <= max - min; ++sh) {
+      }
+      uint16_t pix[16];
+      int bit = 30;
+      for (int i = 0; i < 16; ++i) {
+        if (i == imax) {
+          pix[i] = uint16_t(max);
+        } else if (i == imin) {
+          pix[i] = uint16_t(min);
+        } else {
+          int word = (dp[bit >> 3] | (dp[(bit >> 3) + 1] << 8));
+          int v = (((word >> (bit & 7)) & 0x7f) << sh) + min;
+          pix[i] = uint16_t(v > 0x7ff ? 0x7ff : v);
+          bit += 7;
+        }
+      }
+      for (int i = 0; i < 16; ++i, col += 2) {
+        out[size_t(row) * width + col] = curve[(pix[i] << 1) & 0xfff] >> 2;
+      }
+      col -= (col & 1) ? 1 : 31;
+    }
+  }
+  return 0;
+}
+
 // Fast strip unpack: 16-bit (little/big endian) or 8-bit source to float32
 // with black-level subtraction and normalization.
 void r2f_unpack_normalize(const uint8_t* src, long n_samples, int bits,
@@ -428,6 +483,6 @@ void r2f_unpack_normalize(const uint8_t* src, long n_samples, int bits,
   }
 }
 
-int r2f_abi_version() { return 3; }
+int r2f_abi_version() { return 4; }
 
 }  // extern "C"

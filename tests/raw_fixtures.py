@@ -477,6 +477,86 @@ def write_raf(
         f.write(bytes(header) + cfa_hdr + cfa_data)
 
 
+def arw2_compress(mosaic11: np.ndarray) -> bytes:
+    """Encode an 11-bit mosaic as a Sony cRAW/ARW2 stream (inverse of
+    native r2f_decode_arw2). Each 16-byte block codes 16 same-phase pixels;
+    exact round-trips need every block's max-min <= 127 (sh = 0, the regime
+    smooth sensor data occupies — larger spans quantize like the real
+    camera encoder). Width must be a multiple of 32."""
+    m = np.asarray(mosaic11, np.int64)
+    h, w = m.shape
+    assert w % 32 == 0
+    assert m.min() >= 0 and m.max() <= 0x7FF
+
+    out = bytearray()
+    for row in range(h):
+        # Decoder's column walk: even-phase block, odd-phase block, next 32.
+        col_starts = []
+        for base in range(0, w, 32):
+            col_starts.append((base, 0))
+            col_starts.append((base + 1, 1))
+        for start, _phase in col_starts:
+            vals = m[row, start : start + 32 : 2]
+            vmax, vmin = int(vals.max()), int(vals.min())
+            imax, imin = int(vals.argmax()), int(vals.argmin())
+            if imax == imin:  # flat block: decoder takes imax first
+                imin = (imax + 1) % 16
+            sh = 0
+            while sh < 4 and (0x80 << sh) <= vmax - vmin:
+                sh += 1
+            block = bytearray(17)
+            hdr = (vmax & 0x7FF) | ((vmin & 0x7FF) << 11) | (imax << 22) | (imin << 26)
+            block[0:4] = struct.pack("<I", hdr)
+            bit = 30
+            for i in range(16):
+                if i in (imax, imin):
+                    continue
+                d = (int(vals[i]) - vmin) >> sh
+                assert 0 <= d <= 0x7F
+                byte = bit >> 3
+                word = (block[byte] | (block[byte + 1] << 8)) | (d << (bit & 7))
+                block[byte] = word & 0xFF
+                block[byte + 1] = (word >> 8) & 0xFF
+                bit += 7
+            out += block[:16]
+    return bytes(out)
+
+
+def write_arw2(path, mosaic11, make="SONY", model="ILCE-7M3"):
+    """ARW with the real cRAW layout: Compression 32767, one byte per
+    pixel, 8-bit declared storage."""
+    h, w = mosaic11.shape
+    payload = arw2_compress(mosaic11)
+    ifd0 = _Ifd()
+    ifd0.add(256, 4, [w])
+    ifd0.add(257, 4, [h])
+    ifd0.add(258, 3, [8])
+    ifd0.add(259, 3, [32767])
+    ifd0.add(262, 3, [32803])
+    ifd0.add(271, 2, make)
+    ifd0.add(272, 2, model)
+    ifd0.add(273, 4, ("blob", 0))
+    ifd0.add(277, 3, [1])
+    ifd0.add(278, 4, [h])
+    ifd0.add(279, 4, [len(payload)])
+    ifd0.add(33421, 3, [2, 2])
+    ifd0.add(33422, 1, [0, 1, 1, 2])  # RGGB
+    blob = _serialize([ifd0], [payload])
+    with open(path, "wb") as f:
+        f.write(blob)
+
+
+def arw2_walk_mosaic(h: int, w: int, seed: int = 0) -> np.ndarray:
+    """11-bit mosaic whose 16-pixel phase blocks stay within a 127 span."""
+    rng = np.random.default_rng(seed)
+    base = rng.integers(200, 1800, (h, w // 32 + 1))
+    m = np.zeros((h, w), np.int64)
+    for b0 in range(0, w, 32):
+        jitter = rng.integers(0, 120, (h, 32))
+        m[:, b0 : b0 + 32] = base[:, [b0 // 32]] + jitter
+    return np.clip(m, 0, 0x7FF).astype(np.uint16)
+
+
 def write_arw(path, mosaic, make="SONY", model="ILCE-7M3"):
     """ARW skeleton: raw in IFD0, 16-bit stored samples, no BlackLevel tag
     (the parser must apply the Sony pedestal default)."""

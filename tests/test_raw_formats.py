@@ -124,14 +124,14 @@ class TestUnsupported:
         ifd0 = _Ifd()
         ifd0.add(256, 4, [8])
         ifd0.add(257, 4, [8])
-        ifd0.add(259, 3, [32767])  # Sony cRAW
+        ifd0.add(259, 3, [65535])  # Pentax Huffman
         ifd0.add(262, 3, [32803])
         ifd0.add(273, 4, ("blob", 0))
         ifd0.add(279, 4, [16])
-        p = str(tmp_path / "c.arw")
+        p = str(tmp_path / "c.pef")
         with open(p, "wb") as f:
             f.write(_serialize([ifd0], [b"\0" * 16]))
-        with pytest.raises(NotImplementedError, match="Sony cRAW"):
+        with pytest.raises(NotImplementedError, match="Pentax"):
             read_raw(p)
 
     def test_nikon_compressed_without_makernote_clear_error(self, tmp_path):
@@ -224,6 +224,71 @@ class TestPanasonicRW2:
         )
         assert out.dtype == np.uint8 and out.shape[2] == 3
         assert out.std() > 1.0  # actual image content
+
+
+class TestSonyARW2:
+    """Sony cRAW (Compression 32767): 16-byte blocks of 16 same-phase
+    pixels (11-bit max/min + 7-bit shifted deltas), verified by spec-based
+    synthetic encoder round trips. The decompanding curve defaults to the
+    linear no-tone-tag expansion (the SR2 tone curve lives in Sony's
+    encrypted maker region — documented limitation in io/dng.py)."""
+
+    def test_round_trip_exact(self, tmp_path):
+        from raw_fixtures import arw2_walk_mosaic, write_arw2
+
+        m = arw2_walk_mosaic(20, 64)
+        p = str(tmp_path / "a.arw")
+        write_arw2(p, m)
+        raw = read_raw(p)
+        # Default curve: pix -> pix * 8 (14-bit linear).
+        want = (m.astype(np.int64) * 8).astype(np.uint16)
+        np.testing.assert_array_equal(raw.data.astype(np.uint16), want)
+        assert raw.cfa_pattern == "RGGB"
+        assert raw.black_level == 512.0  # Sony pedestal default
+        assert raw.white_level == 16383.0
+
+    def test_block_extremes_and_flat(self, tmp_path):
+        """imax/imin escape values are exact even when deltas quantize;
+        flat blocks hit the imax==imin tie path."""
+        from raw_fixtures import write_arw2
+
+        m = np.full((4, 64), 1000, np.uint16)
+        m[1, :] = 37  # flat rows at two levels
+        m[2, 0] = 0x7FF  # one extreme per block phase
+        m[2, 33] = 0
+        p = str(tmp_path / "b.arw")
+        write_arw2(p, m)
+        raw = read_raw(p)
+        got = raw.data.astype(np.uint16)
+        np.testing.assert_array_equal(got[0], 8000)
+        np.testing.assert_array_equal(got[1], 37 * 8)
+        assert got[2, 0] == 0x7FF * 8 and got[2, 33] == 0
+
+    def test_quantized_blocks_bounded_error(self):
+        """Blocks spanning > 127 codes quantize like the camera encoder:
+        reconstruction error bounded by the shift step."""
+        from raw_fixtures import arw2_compress
+
+        from raw2film_tpu.native import decode_arw2
+
+        rng = np.random.default_rng(4)
+        m = rng.integers(0, 0x800, (8, 64)).astype(np.uint16)  # wild spans
+        got = decode_arw2(arw2_compress(m), 64, 8)
+        err = np.abs(got.astype(np.int64) // 8 - m.astype(np.int64))
+        assert err.max() <= 15  # sh <= 4 -> step 16, floor error < 16
+
+    def test_full_pipeline_from_arw2(self, tmp_path):
+        from raw_fixtures import arw2_walk_mosaic, write_arw2
+
+        from raw2film_tpu.pipeline.processor import Processor
+
+        m = arw2_walk_mosaic(32, 64, seed=7)
+        p = str(tmp_path / "c.arw")
+        write_arw2(p, m)
+        out = Processor().process(
+            p, "Kodak Portra 400", grain=0, half_size=False, max_scale=None
+        )
+        assert out.dtype == np.uint8 and out.shape[2] == 3
 
 
 class TestFujiRAF:
