@@ -32,11 +32,12 @@ Containers handled by :func:`read_raw`:
   blocks via the native kernel; the decompanding tone curve falls back to
   the linear no-tag expansion (the real curve lives in Sony's encrypted
   SR2 maker region — a documented fidelity limitation).
+* **Pentax-Huffman PEF** (Compression 65535) — in-file Huffman table from
+  MakerNote 0x0220 + two-column predictors (:mod:`raw2film_tpu.io.pef`).
 
-Remaining vendor-compressed bitstreams (Pentax Huffman, Olympus
-compressed, Panasonic v5/v6, Fuji-compressed RAF, CR3/CRW containers) are
-rejected with a clear error — converting to DNG is the documented ingest
-path for those.
+Remaining vendor-compressed bitstreams (Olympus compressed, Panasonic
+v5/v6, Fuji-compressed RAF, CR3/CRW containers) are rejected with a clear
+error — converting to DNG is the documented ingest path for those.
 
 Also parsed: CFAPattern, BlackLevel/WhiteLevel, ColorMatrix1, AsShotNeutral,
 core EXIF (ISO, exposure time, f-number, focal length, make/model/lens).
@@ -263,16 +264,15 @@ def _read_tiff_raw(buf: bytes, path: str) -> RawImage:
     )
 
     comp = (ifd.get(_TAGS["Compression"]) or [1])[0]
-    if comp not in (1, 6, 7, 32767, 34713):
+    if comp not in (1, 6, 7, 32767, 34713, 65535):
         known = {
-            65535: "Pentax-Huffman PEF",
             65536: "Olympus-compressed ORF",
         }
         what = known.get(comp, f"compression {comp}")
         raise NotImplementedError(
             f"{path}: {what} is unsupported (uncompressed, lossless-JPEG, "
-            "Nikon-compressed and Sony-cRAW raws are handled; convert other "
-            "vendor-compressed files to DNG)"
+            "Nikon-compressed, Sony-cRAW and Pentax-Huffman raws are "
+            "handled; convert other vendor-compressed files to DNG)"
         )
     w = ifd[_TAGS["ImageWidth"]][0]
     h = ifd[_TAGS["ImageLength"]][0]
@@ -387,6 +387,21 @@ def _read_tiff_raw(buf: bytes, path: str) -> RawImage:
         data = nefmod.decode_nef_compressed(
             payload, bytes(blob), mn_endian, w, h, bits
         ).astype(np.float32)
+    elif comp == 65535:
+        # Pentax-Huffman PEF: in-file Huffman table (MakerNote 0x0220) +
+        # NEF-style two-column predictors.
+        from raw2film_tpu.io import pef as pefmod
+
+        if makernote is None:
+            raise NotImplementedError(
+                f"{path}: Pentax-compressed PEF without a readable MakerNote"
+            )
+        offsets = ifd[_TAGS["StripOffsets"]]
+        counts = ifd[_TAGS["StripByteCounts"]]
+        payload = b"".join(buf[o : o + c] for o, c in zip(offsets, counts))
+        data = pefmod.decode_pef_compressed(payload, makernote, w, h).astype(
+            np.float32
+        )
     elif comp == 32767:
         # Sony cRAW / ARW2: 16-byte blocks of 16 same-phase pixels (11-bit
         # max/min + 7-bit deltas) expanded through a decompanding curve.

@@ -45,7 +45,7 @@ def _build() -> bool:
         return False
 
 
-_ABI = 4
+_ABI = 5
 
 
 def get_lib():
@@ -127,6 +127,17 @@ def _bind(lib):
     lib.r2f_decode_rw2_v4.argtypes = [
         ctypes.c_char_p,
         ctypes.c_long,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint16),
+    ]
+    lib.r2f_decode_pef.restype = ctypes.c_int
+    lib.r2f_decode_pef.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_long,
+        ctypes.POINTER(ctypes.c_uint16),  # code starts
+        ctypes.c_char_p,  # code lengths
+        ctypes.c_int,
         ctypes.c_int,
         ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint16),
@@ -237,6 +248,40 @@ def decode_rw2_v4(bitstream: bytes, width: int, height: int) -> np.ndarray:
     )
     if rc != 0:
         raise ValueError(f"RW2 v4 decode failed (code {rc})")
+    return out.reshape(height, width)
+
+
+def decode_pef(
+    bitstream: bytes,
+    starts: np.ndarray,
+    lens: np.ndarray,
+    width: int,
+    height: int,
+) -> np.ndarray:
+    """Decode a Pentax-Huffman (Compression 65535) strip -> (h, w) uint16.
+    ``starts``/``lens``: per-symbol left-aligned 12-bit code starts and
+    lengths from MakerNote tag 0x0220 (symbol value = storage index)."""
+    lib = get_lib()
+    if lib is None:
+        raise NotImplementedError(
+            "Pentax-Huffman PEF needs the native decoder; g++ was "
+            "unavailable to build raw2film_tpu/native/libr2f_native.so"
+        )
+    st = np.ascontiguousarray(starts, np.uint16)
+    ln = bytes(np.asarray(lens, np.uint8))
+    out = np.empty(height * width, np.uint16)
+    rc = lib.r2f_decode_pef(
+        bitstream,
+        len(bitstream),
+        st.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        ln,
+        len(ln),
+        int(width),
+        int(height),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+    )
+    if rc != 0:
+        raise ValueError(f"PEF bitstream decode failed (code {rc})")
     return out.reshape(height, width)
 
 

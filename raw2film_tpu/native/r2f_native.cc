@@ -407,6 +407,74 @@ int r2f_decode_rw2_v4(const uint8_t* src, long len, int width, int height,
   return 0;
 }
 
+// Decode a Pentax-Huffman PEF stream (Compression 65535 — the scheme
+// LibRaw/dcraw call pentax_load_raw). The Huffman table comes from
+// MakerNote tag 0x0220 as per-symbol (left-aligned 12-bit code start,
+// code length) pairs; symbol value = storage index = the T.81 ssss
+// category of the following signed residual. Predictors are the NEF
+// two-column scheme with zero-initialized vpred. Plain MSB-first
+// bitstream, no byte stuffing.
+int r2f_decode_pef(const uint8_t* src, long len, const uint16_t* starts,
+                   const uint8_t* lens, int nsym, int width, int height,
+                   uint16_t* out) {
+  if (width <= 0 || height <= 0 || nsym <= 0 || nsym > 16) return -1;
+  // 12-bit peek lookup: table[peek] = (len << 8) | symbol.
+  std::vector<uint16_t> table(4096, 0xffff);
+  for (int c = 0; c < nsym; ++c) {
+    int L = lens[c];
+    if (L < 1 || L > 12) return -3;
+    int range = 4096 >> L;
+    int s = starts[c] & 4095;
+    for (int i = 0; i < range; ++i) table[(s + i) & 4095] = uint16_t((L << 8) | c);
+  }
+
+  const uint8_t* p = src;
+  const uint8_t* end = src + len;
+  uint32_t bits = 0;
+  int nbits = 0;
+  auto fill = [&]() {
+    while (nbits <= 24) {
+      uint8_t b = p < end ? *p++ : 0;
+      bits |= uint32_t(b) << (24 - nbits);
+      nbits += 8;
+    }
+  };
+  auto peek12 = [&]() -> int {
+    fill();
+    return int(bits >> 20);
+  };
+  auto consume = [&](int n) {
+    bits <<= n;
+    nbits -= n;
+  };
+  auto getbits = [&](int n) -> int {
+    if (n <= 0) return 0;
+    fill();
+    uint32_t v = bits >> (32 - n);
+    consume(n);
+    return int(v);
+  };
+
+  int32_t vpred[2][2] = {{0, 0}, {0, 0}};
+  int32_t hpred[2] = {0, 0};
+  for (int row = 0; row < height; ++row) {
+    for (int col = 0; col < width; ++col) {
+      uint16_t t = table[size_t(peek12())];
+      if (t == 0xffff) return -9;
+      consume(t >> 8);
+      int ssss = t & 0xff;
+      int diff = ssss == 16 ? 32768 : extend(getbits(ssss), ssss);
+      if (col < 2) {
+        hpred[col] = vpred[row & 1][col] += diff;
+      } else {
+        hpred[col & 1] += diff;
+      }
+      out[size_t(row) * width + col] = uint16_t(hpred[col & 1] & 0xffff);
+    }
+  }
+  return 0;
+}
+
 // Decode a Sony cRAW / ARW2 stream (Compression 32767 — the scheme
 // LibRaw/dcraw call sony_arw2_load_raw). Each row is `width` BYTES; every
 // 16-byte block codes 16 pixels of one Bayer phase (blocks alternate
@@ -483,6 +551,6 @@ void r2f_unpack_normalize(const uint8_t* src, long n_samples, int bits,
   }
 }
 
-int r2f_abi_version() { return 4; }
+int r2f_abi_version() { return 5; }
 
 }  // extern "C"

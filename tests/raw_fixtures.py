@@ -557,6 +557,101 @@ def arw2_walk_mosaic(h: int, w: int, seed: int = 0) -> np.ndarray:
     return np.clip(m, 0, 0x7FF).astype(np.uint16)
 
 
+# Fixture Huffman table for Pentax PEF: categories 0..12, canonical
+# left-aligned 12-bit code starts.
+_PEF_LENS = [2, 3, 3, 3, 4, 4, 5, 6, 7, 8, 9, 10, 10]
+
+
+def _pef_table():
+    starts = []
+    s = 0
+    for L in _PEF_LENS:
+        starts.append(s)
+        s += 4096 >> L
+    assert s <= 4096
+    return starts, _PEF_LENS
+
+
+def pef_compress(mosaic: np.ndarray, bits: int = 12) -> tuple[bytes, bytes]:
+    """Encode a mosaic as a Pentax-Huffman stream. Returns (bitstream,
+    MakerNote 0x0220 blob). Inverse of io/pef.py::decode_pef_compressed."""
+    starts, lens = _pef_table()
+    codes = {
+        c: (starts[c] >> (12 - lens[c]), lens[c]) for c in range(len(lens))
+    }
+    m = np.asarray(mosaic, np.int64)
+    h, w = m.shape
+    assert m.max() < (1 << bits)
+    bw = _MsbBitWriter()
+    vpred = np.zeros((2, 2), np.int64)
+    hpred = [0, 0]
+    for row in range(h):
+        for col in range(w):
+            t = int(m[row, col])
+            if col < 2:
+                diff = t - int(vpred[row & 1, col])
+                vpred[row & 1, col] = t
+                hpred[col] = t
+            else:
+                diff = t - hpred[col & 1]
+                hpred[col & 1] = t
+            cat = int(abs(diff)).bit_length()
+            code, L = codes[cat]
+            bw.put(code, L)
+            if cat:
+                bw.put(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+    blob = struct.pack("<H", (len(lens) - 12) & 0xFFFF) + b"\0" * 12
+    blob += struct.pack(f"<{len(starts)}H", *starts)
+    blob += bytes(lens)
+    return bw.done(), blob
+
+
+def _pentax_makernote(blob_0x220: bytes) -> bytes:
+    """Self-contained Pentax MakerNote: AOC header + one-entry IFD with
+    value offsets relative to the MakerNote start."""
+    base = 4 + 2  # prefix + order mark
+    ifd_size = 2 + 12 + 4
+    blob_off = base + ifd_size
+    mn = bytearray(b"AOC\x00II")
+    mn += struct.pack("<H", 1)
+    mn += struct.pack("<HHI", 0x0220, 7, len(blob_0x220)) + struct.pack(
+        "<I", blob_off
+    )
+    mn += struct.pack("<I", 0)
+    assert len(mn) == blob_off
+    mn += blob_0x220
+    return bytes(mn)
+
+
+def write_pef_compressed(path, mosaic, make="PENTAX", model="PENTAX K-3"):
+    """PEF with the real Pentax-compressed layout: Compression 65535 +
+    MakerNote 0x0220 Huffman table."""
+    h, w = mosaic.shape
+    payload, blob = pef_compress(mosaic)
+    ifd0 = _Ifd()
+    ifd0.add(256, 4, [w])
+    ifd0.add(257, 4, [h])
+    ifd0.add(258, 3, [12])
+    ifd0.add(259, 3, [65535])
+    ifd0.add(262, 3, [32803])
+    ifd0.add(271, 2, make)
+    ifd0.add(272, 2, model)
+    ifd0.add(273, 4, ("blob", 0))
+    ifd0.add(277, 3, [1])
+    ifd0.add(278, 4, [h])
+    ifd0.add(279, 4, [len(payload)])
+    ifd0.add(33421, 3, [2, 2])
+    ifd0.add(33422, 1, [0, 1, 1, 2])  # RGGB
+    ifd0.add(34665, 4, ("ifd", 1))
+    exif = _Ifd()
+    exif.add(33434, 5, [(1, 250)])
+    exif.add(34855, 3, [200])
+    exif.add(37500, 7, _pentax_makernote(blob))
+    blob_file = _serialize([ifd0, exif], [payload])
+    with open(path, "wb") as f:
+        f.write(blob_file)
+
+
 def write_arw(path, mosaic, make="SONY", model="ILCE-7M3"):
     """ARW skeleton: raw in IFD0, 16-bit stored samples, no BlackLevel tag
     (the parser must apply the Sony pedestal default)."""
