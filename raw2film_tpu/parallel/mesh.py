@@ -65,10 +65,49 @@ def batch_render_fn(cfg: RenderConfig):
     return fn
 
 
-def sharded_batch_render(mesh: Mesh, cfg: RenderConfig):
+def space_halo_rows(cfg: RenderConfig, h: int, w: int) -> int:
+    """Overlap margin (rows) for the halo space path: the largest spatial
+    support in the chain. Halation's exact kernel radius is
+    scale/4 * halation_size px (reference: effects.py:200-217); the MTF
+    kernel is ~0.1 mm wide; highlight burn dominates when on — its down-up
+    blur has support ~6 * ceil(min(h,w)/burn_scale) full-res px."""
+    halo = 8.0
+    if cfg.halation:
+        halo = max(halo, cfg.scale / 4.0 * cfg.halation_size)
+    if cfg.sharpness and cfg.has_mtf:
+        halo = max(halo, 0.08 * cfg.scale)
+    if cfg.chroma_nr:
+        halo = max(halo, 2.0 * cfg.chroma_nr + 1)
+    if cfg.highlight_burn:
+        import math
+
+        f = math.ceil(min(h, w) / cfg.burn_scale)
+        halo = max(halo, 6.0 * f)
+    return int(-(-halo // 8) * 8)
+
+
+def sharded_batch_render(mesh: Mesh, cfg: RenderConfig, space_mode: str = "halo"):
     """jit the batched render with the batch axis sharded over the mesh's
     'batch' axis (each device loops its local shard) and image rows over
-    'space'. Bundle arrays are replicated."""
+    'space'. Bundle arrays are replicated.
+
+    ``space_mode`` picks the space-axis strategy:
+
+    * ``"halo"`` (default) — overlap-and-discard: each device receives its
+      row shard plus a halo of neighbor rows (two ``ppermute``s), runs the
+      FULL chain locally — Pallas mega-kernels included — and crops the
+      halo. Measured on v5e: the alternative XLA formulations cost 7x at
+      6MP, 26x at 11MP and fail to compile (HBM OOM) at >=24MP, exactly the
+      frame sizes the space axis exists for. Boundary semantics: interior
+      shard seams are exact for the conv stages; frame edges replicate the
+      edge row into the pad (a cascaded-clamp approximation); grain fields
+      are per-shard (seeded by space index — statistically seamless);
+      highlight burn's low-res blur can misalign by one low-res cell at
+      seams. See tests/test_parallel.py for the measured gates.
+    * ``"spmd"`` — delegate to XLA's SPMD partitioner with the XLA conv
+      formulations (exact halos, but unusable at export sizes — kept for
+      small frames and cross-checking).
+    """
     try:
         from jax import shard_map as _sm
 
@@ -91,10 +130,44 @@ def sharded_batch_render(mesh: Mesh, cfg: RenderConfig):
         )
         return jax.jit(body)
 
-    # With a space axis the conv halos need cross-shard exchange — delegate
-    # to XLA's SPMD partitioner via shardings (vmap-free loop body). The
-    # trace must use the XLA conv formulations: SPMD inserts halo exchanges
-    # for lax ops but cannot partition a Pallas custom-call across devices.
+    space = mesh.shape["space"]
+
+    if space_mode == "halo":
+
+        def body(xyz, bundle, keys):
+            # xyz: local (B_loc, 3, h_loc, w) row shard.
+            h_loc, w = xyz.shape[-2:]
+            halo = space_halo_rows(cfg, h_loc * space, w)
+            halo = min(halo, h_loc)  # ppermute sends at most a full shard
+            idx = jax.lax.axis_index("space")
+            # Bottom rows of shard i -> top halo of shard i+1, and back.
+            fwd = [(i, i + 1) for i in range(space - 1)]
+            bwd = [(i + 1, i) for i in range(space - 1)]
+            top = jax.lax.ppermute(xyz[:, :, -halo:, :], "space", fwd)
+            bot = jax.lax.ppermute(xyz[:, :, :halo, :], "space", bwd)
+            # Edge shards got zeros: replicate the frame edge row instead
+            # (approximates the conv kernels' clamp-to-edge behavior).
+            top_rep = jnp.broadcast_to(xyz[:, :, :1, :], top.shape)
+            bot_rep = jnp.broadcast_to(xyz[:, :, -1:, :], bot.shape)
+            top = jnp.where(idx == 0, top_rep, top)
+            bot = jnp.where(idx == space - 1, bot_rep, bot)
+            padded = jnp.concatenate([top, xyz, bot], axis=2)
+            # Per-shard grain fields: fold the space index into the keys.
+            keys_s = jax.vmap(lambda k: jax.random.fold_in(k, idx))(keys)
+            out = fn(padded, bundle, keys_s)
+            return out[:, :, halo:-halo, :]
+
+        return jax.jit(
+            shard_map(
+                body,
+                mesh=mesh,
+                in_specs=(in_spec, P(), key_spec),
+                out_specs=in_spec,
+            )
+        )
+
+    # "spmd": XLA partitions the lax formulations (Pallas custom-calls
+    # cannot be partitioned, so the trace forces the XLA conv paths).
     from raw2film_tpu.ops import conv as convops
 
     def fn_spmd(*args):
