@@ -34,10 +34,13 @@ Containers handled by :func:`read_raw`:
   SR2 maker region — a documented fidelity limitation).
 * **Pentax-Huffman PEF** (Compression 65535) — in-file Huffman table from
   MakerNote 0x0220 + two-column predictors (:mod:`raw2film_tpu.io.pef`).
+* **Olympus-compressed ORF** — carry-filter + gradient-predictor bitstream
+  via the native kernel; detected by tag 65536 or (as real bodies write
+  it) an undersized Compression=1 strip.
 
-Remaining vendor-compressed bitstreams (Olympus compressed, Panasonic
-v5/v6, Fuji-compressed RAF, CR3/CRW containers) are rejected with a clear
-error — converting to DNG is the documented ingest path for those.
+Remaining vendor-compressed bitstreams (Panasonic v5/v6, Fuji-compressed
+RAF, CR3/CRW containers) are rejected with a clear error — converting to
+DNG is the documented ingest path for those.
 
 Also parsed: CFAPattern, BlackLevel/WhiteLevel, ColorMatrix1, AsShotNeutral,
 core EXIF (ISO, exposure time, f-number, focal length, make/model/lens).
@@ -264,15 +267,12 @@ def _read_tiff_raw(buf: bytes, path: str) -> RawImage:
     )
 
     comp = (ifd.get(_TAGS["Compression"]) or [1])[0]
-    if comp not in (1, 6, 7, 32767, 34713, 65535):
-        known = {
-            65536: "Olympus-compressed ORF",
-        }
-        what = known.get(comp, f"compression {comp}")
+    if comp not in (1, 6, 7, 32767, 34713, 65535, 65536):
         raise NotImplementedError(
-            f"{path}: {what} is unsupported (uncompressed, lossless-JPEG, "
-            "Nikon-compressed, Sony-cRAW and Pentax-Huffman raws are "
-            "handled; convert other vendor-compressed files to DNG)"
+            f"{path}: compression {comp} is unsupported (uncompressed, "
+            "lossless-JPEG, Nikon-compressed, Sony-cRAW, Pentax-Huffman "
+            "and Olympus-compressed raws are handled; convert other "
+            "vendor-compressed files to DNG)"
         )
     w = ifd[_TAGS["ImageWidth"]][0]
     h = ifd[_TAGS["ImageLength"]][0]
@@ -387,6 +387,14 @@ def _read_tiff_raw(buf: bytes, path: str) -> RawImage:
         data = nefmod.decode_nef_compressed(
             payload, bytes(blob), mn_endian, w, h, bits
         ).astype(np.float32)
+    elif comp == 65536:
+        # Olympus-compressed: carry-filter + gradient-predictor bitstream.
+        from raw2film_tpu.native import decode_orf
+
+        offsets = ifd[_TAGS["StripOffsets"]]
+        counts = ifd[_TAGS["StripByteCounts"]]
+        payload = b"".join(buf[o : o + c] for o, c in zip(offsets, counts))
+        data = decode_orf(payload, w, h).astype(np.float32)
     elif comp == 65535:
         # Pentax-Huffman PEF: in-file Huffman table (MakerNote 0x0220) +
         # NEF-style two-column predictors.
@@ -461,6 +469,13 @@ def _read_tiff_raw(buf: bytes, path: str) -> RawImage:
             data = _unpack_12bit(payload, n).astype(np.float32)
         elif bits == 14 and len(payload) * 4 >= 7 * n:
             data = _unpack_14bit(payload, n).astype(np.float32)
+        elif magic in (0x4F52, 0x5352) and spp == 1:
+            # Olympus bodies leave Compression=1 on compressed payloads;
+            # the undersized strip is the tell (LibRaw does the same
+            # size-based detection).
+            from raw2film_tpu.native import decode_orf
+
+            data = decode_orf(payload, w, h).astype(np.float32)
         else:
             raise NotImplementedError(
                 f"{path}: cannot infer sample packing "

@@ -45,7 +45,7 @@ def _build() -> bool:
         return False
 
 
-_ABI = 5
+_ABI = 6
 
 
 def get_lib():
@@ -125,6 +125,14 @@ def _bind(lib):
     ]
     lib.r2f_decode_rw2_v4.restype = ctypes.c_int
     lib.r2f_decode_rw2_v4.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_long,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint16),
+    ]
+    lib.r2f_decode_orf.restype = ctypes.c_int
+    lib.r2f_decode_orf.argtypes = [
         ctypes.c_char_p,
         ctypes.c_long,
         ctypes.c_int,
@@ -248,6 +256,27 @@ def decode_rw2_v4(bitstream: bytes, width: int, height: int) -> np.ndarray:
     )
     if rc != 0:
         raise ValueError(f"RW2 v4 decode failed (code {rc})")
+    return out.reshape(height, width)
+
+
+def decode_orf(bitstream: bytes, width: int, height: int) -> np.ndarray:
+    """Decode an Olympus-compressed ORF stream -> (h, w) uint16."""
+    lib = get_lib()
+    if lib is None:
+        raise NotImplementedError(
+            "Olympus-compressed ORF needs the native decoder; g++ was "
+            "unavailable to build raw2film_tpu/native/libr2f_native.so"
+        )
+    out = np.empty(height * width, np.uint16)
+    rc = lib.r2f_decode_orf(
+        bitstream,
+        len(bitstream),
+        int(width),
+        int(height),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+    )
+    if rc != 0:
+        raise ValueError(f"ORF bitstream decode failed (code {rc})")
     return out.reshape(height, width)
 
 

@@ -11,6 +11,7 @@
 // -shared -fPIC).
 
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <vector>
 
@@ -475,6 +476,111 @@ int r2f_decode_pef(const uint8_t* src, long len, const uint16_t* starts,
   return 0;
 }
 
+// Decode an Olympus-compressed ORF stream (the scheme LibRaw/dcraw call
+// olympus_load_raw). Per pixel: a 3-bit (sign, low2) group, a Huffman-coded
+// "high" magnitude with a FIXED canonical table (symbol s in 0..11 has
+// length s+1; the all-zeros 12-bit code is the escape: high then arrives
+// as getbits(16-nbits)>>1), and nbits low bits — with an adaptive nbits
+// driven by a per-column-parity carry filter. Prediction is a w/n/nw
+// gradient selector over the two-column lattice. Values are
+// pred + (diff << 2 | low). Plain MSB bitstream; the payload's first 7
+// bytes are skipped (format constant).
+int r2f_decode_orf(const uint8_t* src, long len, int width, int height,
+                   uint16_t* out) {
+  if (width <= 0 || height <= 0) return -1;
+  const uint8_t* p = src + 7 < src + len ? src + 7 : src + len;
+  const uint8_t* end = src + len;
+  uint32_t bits = 0;
+  int nb = 0;
+  auto fill = [&]() {
+    while (nb <= 24) {
+      uint8_t b = p < end ? *p++ : 0;
+      bits |= uint32_t(b) << (24 - nb);
+      nb += 8;
+    }
+  };
+  auto getbits = [&](int n) -> int {
+    if (n <= 0) return 0;
+    fill();
+    uint32_t v = bits >> (32 - n);
+    bits <<= n;
+    nb -= n;
+    return int(v);
+  };
+  auto peek12 = [&]() -> int {
+    fill();
+    return int(bits >> 20);
+  };
+  auto consume = [&](int n) {
+    bits <<= n;
+    nb -= n;
+  };
+
+  auto raw = [&](int r, int c) -> int32_t {
+    return int32_t(out[size_t(r) * width + c]);
+  };
+
+  int32_t acarry[2][3];
+  for (int row = 0; row < height; ++row) {
+    std::memset(acarry, 0, sizeof acarry);
+    for (int col = 0; col < width; ++col) {
+      int32_t* carry = acarry[col & 1];
+      int i = 2 * (carry[2] < 3);
+      int nbits;
+      for (nbits = 2 + i; (uint16_t(carry[0]) >> (nbits + i)) != 0; ++nbits) {
+      }
+      int sl = getbits(3);
+      int low = sl & 3;
+      int32_t sign = (sl & 4) ? -1 : 0;
+      // Fixed Huffman: symbol s (0..11) = s+1 leading... canonical table
+      // where the peek's leading-zero count selects the symbol; peek 0 is
+      // the 12-bit escape (symbol 12).
+      int pk = peek12();
+      int high;
+      if (pk == 0) {
+        consume(12);
+        high = getbits(16 - nbits) >> 1;
+      } else {
+        // Leading zeros in the 12-bit window: symbol s has code
+        // 0^s 1 (length s+1), s in 0..11.
+        int s = 0;
+        while (((pk >> (11 - s)) & 1) == 0) ++s;
+        consume(s + 1);
+        high = s;
+      }
+      carry[0] = (high << nbits) | getbits(nbits);
+      int diff = (carry[0] ^ sign) + carry[1];
+      carry[1] = (diff * 3 + carry[1]) >> 5;
+      carry[2] = carry[0] > 16 ? 0 : carry[2] + 1;
+
+      int32_t pred;
+      if (row < 2 && col < 2) {
+        pred = 0;
+      } else if (row < 2) {
+        pred = raw(row, col - 2);
+      } else if (col < 2) {
+        pred = raw(row - 2, col);
+      } else {
+        int32_t w = raw(row, col - 2);
+        int32_t n = raw(row - 2, col);
+        int32_t nw = raw(row - 2, col - 2);
+        if ((w < nw && nw < n) || (n < nw && nw < w)) {
+          if (std::abs(w - nw) > 32 || std::abs(n - nw) > 32) {
+            pred = w + n - nw;
+          } else {
+            pred = (w + n) >> 1;
+          }
+        } else {
+          pred = std::abs(w - nw) > std::abs(n - nw) ? w : n;
+        }
+      }
+      out[size_t(row) * width + col] =
+          uint16_t((pred + ((diff << 2) | low)) & 0xffff);
+    }
+  }
+  return 0;
+}
+
 // Decode a Sony cRAW / ARW2 stream (Compression 32767 — the scheme
 // LibRaw/dcraw call sony_arw2_load_raw). Each row is `width` BYTES; every
 // 16-byte block codes 16 pixels of one Bayer phase (blocks alternate
@@ -551,6 +657,6 @@ void r2f_unpack_normalize(const uint8_t* src, long n_samples, int bits,
   }
 }
 
-int r2f_abi_version() { return 5; }
+int r2f_abi_version() { return 6; }
 
 }  // extern "C"

@@ -722,6 +722,91 @@ def write_orf(path, mosaic, make="OLYMPUS CORPORATION", model="E-M1MarkIII"):
         f.write(blob)
 
 
+def orf_compress(mosaic: np.ndarray) -> bytes:
+    """Encode a 12-bit mosaic as an Olympus-compressed stream (inverse of
+    native r2f_decode_orf). Lossless for any input: the (diff << 2 | low)
+    split represents every delta exactly."""
+    m = np.asarray(mosaic, np.int64)
+    h, w = m.shape
+    bw = _MsbBitWriter()
+    bw.put(0, 8 * 7)  # 7 skipped prefix bytes
+
+    def pred_at(row, col):
+        if row < 2 and col < 2:
+            return 0
+        if row < 2:
+            return int(m[row, col - 2])
+        if col < 2:
+            return int(m[row - 2, col])
+        wv = int(m[row, col - 2])
+        n = int(m[row - 2, col])
+        nw = int(m[row - 2, col - 2])
+        if (wv < nw < n) or (n < nw < wv):
+            if abs(wv - nw) > 32 or abs(n - nw) > 32:
+                return wv + n - nw
+            return (wv + n) >> 1
+        return wv if abs(wv - nw) > abs(n - nw) else n
+
+    for row in range(h):
+        acarry = [[0, 0, 0], [0, 0, 0]]
+        for col in range(w):
+            carry = acarry[col & 1]
+            i = 2 * (carry[2] < 3)
+            nbits = 2 + i
+            while ((carry[0] & 0xFFFF) >> (nbits + i)) != 0:
+                nbits += 1
+            delta = int(m[row, col]) - pred_at(row, col)
+            low = delta & 3
+            diffq = delta >> 2  # arithmetic: matches the decoder's <<2|low
+            v = diffq - carry[1]
+            if v >= 0:
+                sign, c0 = 0, v
+            else:
+                sign, c0 = 1, ~v  # -v - 1
+            assert c0 < (1 << 15), "carry magnitude out of format range"
+            bw.put((sign << 2) | low, 3)
+            high = c0 >> nbits
+            if high >= 12:
+                assert high < (1 << (15 - nbits))
+                bw.put(0, 12)  # escape
+                bw.put(high << 1, 16 - nbits)
+            else:
+                bw.put(1, high + 1)  # 0^high then 1
+            bw.put(c0 & ((1 << nbits) - 1), nbits)
+            carry[0] = c0
+            carry[1] = (diffq * 3 + carry[1]) >> 5
+            carry[2] = 0 if c0 > 16 else carry[2] + 1
+    return bw.done()
+
+
+def write_orf_compressed(
+    path, mosaic, make="OLYMPUS CORPORATION", model="E-M1X"
+):
+    """ORF with the Olympus-compressed payload (Compression 65536 as a
+    LONG; real bodies often leave Compression=1 and are detected by size —
+    the reader handles both)."""
+    h, w = mosaic.shape
+    payload = orf_compress(mosaic)
+    ifd0 = _Ifd()
+    ifd0.add(256, 4, [w])
+    ifd0.add(257, 4, [h])
+    ifd0.add(258, 3, [12])
+    ifd0.add(259, 4, [65536])
+    ifd0.add(262, 3, [32803])
+    ifd0.add(271, 2, make)
+    ifd0.add(272, 2, model)
+    ifd0.add(273, 4, ("blob", 0))
+    ifd0.add(277, 3, [1])
+    ifd0.add(278, 4, [h])
+    ifd0.add(279, 4, [len(payload)])
+    ifd0.add(33421, 3, [2, 2])
+    ifd0.add(33422, 1, [0, 1, 1, 2])
+    blob = bytearray(_serialize([ifd0], [payload]))
+    struct.pack_into("<H", blob, 2, 0x4F52)  # 'RO'
+    with open(path, "wb") as f:
+        f.write(blob)
+
+
 def write_cr2(path, mosaic, borders=None, make="Canon", model="Canon EOS R5"):
     """CR2 skeleton: 'CR' signature, raw in the LAST IFD with Compression=6
     lossless JPEG, CR2 slice tag, Canon MakerNote SensorInfo with borders.
