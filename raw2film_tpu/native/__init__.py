@@ -45,7 +45,7 @@ def _build() -> bool:
         return False
 
 
-_ABI = 6
+_ABI = 7
 
 
 def get_lib():
@@ -158,6 +158,16 @@ def _bind(lib):
         ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint16),  # curve[4096]
         ctypes.POINTER(ctypes.c_uint16),  # out
+    ]
+    lib.r2f_remap_bilinear.restype = None
+    lib.r2f_remap_bilinear.argtypes = [
+        ctypes.POINTER(ctypes.c_float),  # src (C, H, W)
+        ctypes.c_int,  # channels
+        ctypes.c_int,  # h
+        ctypes.c_int,  # w
+        ctypes.POINTER(ctypes.c_float),  # coords_y
+        ctypes.POINTER(ctypes.c_float),  # coords_x
+        ctypes.POINTER(ctypes.c_float),  # dst
     ]
 
 
@@ -343,6 +353,38 @@ def decode_arw2(
     if rc != 0:
         raise ValueError(f"ARW2 decode failed (code {rc})")
     return out.reshape(height, width)
+
+
+def remap_bilinear(
+    src: np.ndarray, coords: np.ndarray
+) -> np.ndarray | None:
+    """Threaded bilinear remap of a planar (C, H, W) float32 image with
+    (2, H, W) source coordinates (clamp-to-edge). Returns None when the
+    native library is unavailable (caller falls back to scipy).
+
+    Placement rationale: measured at 24MP x3, scipy map_coordinates takes
+    ~3.1 s and a naive XLA:TPU gather ~4.2 s — scattered gathers do not
+    map onto the TPU's tiled memory; this threaded host kernel does the
+    stage in tens of milliseconds.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    s = np.ascontiguousarray(src, np.float32)
+    c = np.ascontiguousarray(coords, np.float32)
+    channels, h, w = s.shape
+    out = np.empty_like(s)
+    fp = ctypes.POINTER(ctypes.c_float)
+    lib.r2f_remap_bilinear(
+        s.ctypes.data_as(fp),
+        channels,
+        h,
+        w,
+        c[0].ctypes.data_as(fp),
+        c[1].ctypes.data_as(fp),
+        out.ctypes.data_as(fp),
+    )
+    return out
 
 
 def unpack_normalize(

@@ -13,6 +13,7 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -657,6 +658,58 @@ void r2f_unpack_normalize(const uint8_t* src, long n_samples, int bits,
   }
 }
 
-int r2f_abi_version() { return 6; }
+// Threaded bilinear remap (clamp-to-edge): the lens-distortion resample.
+// Measured at 24MP x3 channels: scipy map_coordinates needs ~3.1 s
+// (single-thread float64) and a naive XLA:TPU gather ~4.2 s — scattered
+// gathers don't map to the TPU's tiled memory at all — so this stage
+// belongs on host, done properly: float32, threads over row blocks.
+// coords are (2, H, W): source y then source x per output pixel, shared
+// across channels (the radial map is channel-independent).
+void r2f_remap_bilinear(const float* src, int channels, int h, int w,
+                        const float* coords_y, const float* coords_x,
+                        float* dst) {
+  int nthreads = int(std::thread::hardware_concurrency());
+  if (nthreads < 1) nthreads = 1;
+  if (nthreads > 32) nthreads = 32;
+  auto worker = [&](int y0, int y1) {
+    for (int y = y0; y < y1; ++y) {
+      for (int x = 0; x < w; ++x) {
+        float fy = coords_y[size_t(y) * w + x];
+        float fx = coords_x[size_t(y) * w + x];
+        if (fy < 0.f) fy = 0.f;
+        if (fy > float(h - 1)) fy = float(h - 1);
+        if (fx < 0.f) fx = 0.f;
+        if (fx > float(w - 1)) fx = float(w - 1);
+        int iy = int(fy);
+        int ix = int(fx);
+        int iy1 = iy + 1 < h ? iy + 1 : iy;
+        int ix1 = ix + 1 < w ? ix + 1 : ix;
+        float wy = fy - float(iy);
+        float wx = fx - float(ix);
+        for (int c = 0; c < channels; ++c) {
+          const float* plane = src + size_t(c) * h * w;
+          float v00 = plane[size_t(iy) * w + ix];
+          float v01 = plane[size_t(iy) * w + ix1];
+          float v10 = plane[size_t(iy1) * w + ix];
+          float v11 = plane[size_t(iy1) * w + ix1];
+          float top = v00 + (v01 - v00) * wx;
+          float bot = v10 + (v11 - v10) * wx;
+          dst[size_t(c) * h * w + size_t(y) * w + x] = top + (bot - top) * wy;
+        }
+      }
+    }
+  };
+  std::vector<std::thread> threads;
+  int rows_per = (h + nthreads - 1) / nthreads;
+  for (int t = 0; t < nthreads; ++t) {
+    int y0 = t * rows_per;
+    int y1 = y0 + rows_per < h ? y0 + rows_per : h;
+    if (y0 >= y1) break;
+    threads.emplace_back(worker, y0, y1);
+  }
+  for (auto& th : threads) th.join();
+}
+
+int r2f_abi_version() { return 7; }
 
 }  // extern "C"

@@ -1,6 +1,7 @@
 """Lens correction: profile math, matching, application."""
 
 import numpy as np
+import pytest
 
 from raw2film_tpu.io.lens import (
     LensProfile,
@@ -166,6 +167,30 @@ class TestCuratedDataAnchors:
             (kw,) = p.distortion_at(focals[0])
             (kt,) = p.distortion_at(focals[-1])
             assert kw < 0.0 < kt, (model, kw, kt)
+
+
+class TestNativeRemap:
+    def test_matches_scipy_bilinear(self):
+        """The threaded C++ remap must agree with scipy map_coordinates
+        (order=1, nearest/clamp edges) to float32 precision."""
+        from raw2film_tpu.native import remap_bilinear
+
+        scipy_ndimage = pytest.importorskip("scipy.ndimage")
+        rng = np.random.default_rng(0)
+        img = np.abs(rng.normal(0.3, 0.2, (3, 60, 90))).astype(np.float32)
+        coords = undistort_coords((60, 90), "ptlens", (0.0, -0.03, 0.005))
+        got = remap_bilinear(img, coords.astype(np.float32))
+        if got is None:
+            pytest.skip("native library unavailable")
+        want = np.stack(
+            [
+                scipy_ndimage.map_coordinates(
+                    img[c].astype(np.float64), coords, order=1, mode="nearest"
+                )
+                for c in range(3)
+            ]
+        )
+        np.testing.assert_allclose(got, want, rtol=0, atol=1e-4)
 
 
 class TestApplication:
