@@ -397,6 +397,7 @@ def render_chain_from_mosaic(
     noise_key: Array,
     pattern: str = "RGGB",
     exposure_gain: float | Array = 1.0,
+    crop: tuple | None = None,
 ) -> Array:
     """CFA mosaic -> rendered image in ONE program: fused demosaic + the
     full film chain, with the 3x3 camera matrix and scalar exposure gain
@@ -413,11 +414,35 @@ def render_chain_from_mosaic(
     from raw2film_tpu.ops import demosaic as dm
 
     rgb = jnp.clip(dm.demosaic_mhc(mosaic, pattern), 0.0, 1.0)
+    if crop is not None:
+        # Static post-demosaic window: lets callers keep an odd-origin
+        # aspect crop while feeding the demosaic an even-aligned (Bayer
+        # phase preserving) superset.
+        y0, x0, ch, cw = crop
+        rgb = rgb[:, y0 : y0 + ch, x0 : x0 + cw]
     b = dict(bundle)
     b["m_in"] = bundle["m_in"] @ (
         jnp.asarray(cam_to_xyz, jnp.float32) * exposure_gain
     )
     return render_chain(rgb, b, cfg, noise_key)
+
+
+def batch_mosaic_render_fn(cfg: RenderConfig, pattern: str, crop: tuple | None = None):
+    """Batched fused-mosaic render: (B, H, W) mosaics + per-image camera
+    matrices and exposure gains -> (B, 3, H, W) uint8, one device loop
+    (lax.map, like batch_render_fn — the Pallas kernels' block layouts
+    don't admit a vmapped batch dim)."""
+
+    def fn(mosaics, cams, gains, bundle, keys):
+        def one(args):
+            m, cam, g, k = args
+            return render_chain_from_mosaic(
+                m, cam, bundle, cfg, k, pattern, g, crop
+            )
+
+        return jax.lax.map(one, (mosaics, cams, gains, keys))
+
+    return fn
 
 
 # ---------------------------------------------------------- config builder

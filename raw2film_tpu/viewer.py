@@ -483,6 +483,7 @@ async function init(){
  $("negative_film").onchange=post;$("print_film").onchange=post;
  $("canvas_mode").onchange=post;$("film_format").onchange=post;$("full").onchange=post;
  document.addEventListener("keydown",e=>{
+  if(e.key==="Escape"){$("browser").style.display="none";return;}
   if(e.target.tagName==="INPUT"||e.target.tagName==="SELECT")return;
   if(e.key==="ArrowRight"&&cur<files.length-1)selectImage(cur+1);
   else if(e.key==="ArrowLeft"&&cur>0)selectImage(cur-1);

@@ -388,6 +388,44 @@ class TestProcessBatch:
         single = proc.process(a, "Kodak Portra 400", **kw)
         np.testing.assert_array_equal(single, split_buckets[0])
 
+    def test_fused_decode_matches_staged_path(self, tmp_path):
+        """File sources with no geometry/lens/NR work take the fused-mosaic
+        path (demosaic + camera matrix + exposure inside the render
+        program). The aspect crop is exact (even-aligned superset + static
+        post-demosaic window); the only differences left are the half-size
+        exposure-estimator sample (~0.01 stop) and f32 association."""
+        import os
+
+        from raw2film_tpu.io.dng import write_dng
+
+        rng = np.random.default_rng(11)
+        srcs = []
+        for i in range(2):
+            yy, xx = np.mgrid[0:60, 0:94]
+            m = (
+                6000
+                + 9000 * np.abs(np.sin(xx / 11.0 + i)) * np.abs(np.cos(yy / 7.0))
+                + rng.integers(0, 500, (60, 94))
+            ).astype(np.uint16)
+            p = str(tmp_path / f"{i}.dng")
+            write_dng(p, m, white_level=60000)
+            srcs.append(p)
+        proc = Processor()
+        kw = dict(
+            print_film=None, grain=0, halation=False, sharpness=False,
+            half_size=False,
+        )
+        fused = proc.process_batch(srcs, "Kodak Portra 400", **kw)
+        staged = proc.process_batch(
+            srcs, "Kodak Portra 400", fused_decode=False, **kw
+        )
+        assert os.path.exists(srcs[0])
+        for f, s in zip(fused, staged):
+            assert f.shape == s.shape
+            d = np.abs(f.astype(np.int32) - s.astype(np.int32))
+            assert d.max() <= 2, d.max()
+            assert np.mean(d) <= 1.0, np.mean(d)
+
     def test_mixed_shapes_bucketed(self):
         rng = np.random.default_rng(1)
         imgs = [
