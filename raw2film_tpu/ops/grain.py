@@ -36,30 +36,31 @@ def generate_grain_field(
     grain_size_mm: float = 0.006,
     grain_sigma: float = 0.4,
     bw: bool = False,
+    row_offset=0,
 ) -> jnp.ndarray:
-    """Unit-variance correlated grain field, planar (3, H, W)."""
+    """Unit-variance correlated grain field, planar (3, H, W).
+
+    One construction on every backend: the positionally-stateless PCG-3D
+    hash + popcount-binomial + separable correlation (the pallas kernels
+    are the TPU fast path for the identical function, the jnp mirror
+    serves elsewhere) — so grain is deterministic per (seed, position)
+    regardless of platform, tiling, or row sharding. ``row_offset`` shifts
+    the hash rows to GLOBAL image coordinates for space-sharded renders.
+    """
     sigma_px = correlation_sigma_px(scale, grain_size_mm, grain_sigma)
     from raw2film_tpu.ops.conv import _use_pallas
+    from raw2film_tpu.ops.pallas_grain import seed2
 
+    sd = seed2((key[0] ^ key[1]).astype(jnp.uint32), row_offset)
     if _use_pallas():
         # Stateless-hash pallas kernel: noise + correlation fused in one
         # write; halos regenerated from the hash (no neighbor reads).
         from raw2film_tpu.ops.pallas_grain import grain_field_pallas
 
-        seed = (key[0] ^ key[1]).astype(jnp.uint32).reshape(1)
-        return grain_field_pallas(seed, hw, sigma_px, bw=bw)
-    channels = 1 if bw else 3
-    noise = jax.random.normal(key, (channels, *hw), jnp.float32)
-    if sigma_px >= 0.3:
-        k = convops.gaussian_kernel1d(sigma_px, truncate=2.5)
-        # L2-normalize the 1D kernel: the separable pass applies it twice, so
-        # the effective 2D kernel outer(k, k) then has unit Frobenius norm and
-        # filtered white noise keeps unit variance.
-        k = k / np.float32(np.linalg.norm(k))
-        noise = convops.separable_conv(noise, k, k)
-    if bw:
-        noise = jnp.broadcast_to(noise, (3, *hw))
-    return noise
+        return grain_field_pallas(sd, hw, sigma_px, bw=bw)
+    from raw2film_tpu.ops.pallas_grain import grain_field_hash
+
+    return grain_field_hash(sd, hw, sigma_px, bw=bw)
 
 
 def grain_amplitude_device(

@@ -671,16 +671,17 @@ def fused_sep_rank_mxu(
     band_args += col_args
     grain_taps = None
     if grain is not None:
-        from raw2film_tpu.ops.pallas_grain import grain_corr_taps
+        from raw2film_tpu.ops.pallas_grain import grain_corr_taps, seed2
 
         seed_arr, prm_arr, sigma_px = grain
+        seed_arr = seed2(seed_arr)  # [seed, global_row_offset] uint32 pair
         grain_taps = grain_corr_taps(float(sigma_px))
         band_specs += [
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ]
         band_args += [
-            seed_arr.astype(jnp.uint32).reshape(1),
+            seed_arr,
             jnp.asarray(prm_arr, jnp.float32).reshape(6),
         ]
     out = pl.pallas_call(

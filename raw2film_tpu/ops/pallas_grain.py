@@ -91,6 +91,57 @@ def _gauss_pair(u_bits, v_bits):
     return (i32.astype(jnp.float32) - np.float32(32.0)) * np.float32(0.25)
 
 
+def seed2(seed, row_off=0) -> jnp.ndarray:
+    """Normalize to the SMEM uint32 pair [seed, global_row_offset] every
+    grain kernel consumes. Accepts python ints, 0-d/1-d arrays; a (2,)
+    array passes through. row_off may be a traced int (space sharding)."""
+    if isinstance(seed, jnp.ndarray) and seed.shape == (2,):
+        return seed.astype(jnp.uint32)
+    s = jnp.asarray(seed, jnp.uint32).reshape(-1)[0]
+    r = jnp.asarray(row_off, jnp.int32).astype(jnp.uint32).reshape(())
+    return jnp.stack([s, r])
+
+
+def grain_field_hash(seed, hw: tuple, sigma_px: float, bw: bool = False):
+    """jnp mirror of the pallas hash-grain field — identical VALUES on any
+    backend (the positionally-stateless PCG-3D + popcount-binomial +
+    separable-correlation construction). Used by the XLA fallback path so
+    grain is platform- AND tiling-invariant; the pallas kernels are the
+    fast path for the same function."""
+    from jax.lax import bitcast_convert_type as bc
+
+    h, w = hw
+    taps = grain_corr_taps(sigma_px)
+    r = len(taps) // 2
+    c = 1 if bw else 3
+    sd = seed2(seed)
+    eh, ew = h + 2 * r, w + 2 * r
+    yy_i = jax.lax.broadcasted_iota(jnp.int32, (c, eh, ew), 1)
+    xx_i = jax.lax.broadcasted_iota(jnp.int32, (c, eh, ew), 2)
+    ch = jax.lax.broadcasted_iota(jnp.int32, (c, eh, ew), 0)
+    z_i = ch * np.int32(-1640531527) if not bw else jnp.zeros_like(ch)
+    a, b, _ = _pcg3d(
+        bc(xx_i, jnp.uint32),
+        bc(yy_i, jnp.uint32) + sd[1],
+        bc(z_i, jnp.uint32) + sd[0],
+    )
+    s = _popcount(a) + _popcount(b)
+    noise = (bc(s, jnp.int32).astype(jnp.float32) - np.float32(32.0)) * np.float32(
+        0.25
+    )
+    col = None
+    for q in range(len(taps)):
+        term = taps[q] * noise[:, q : q + h, :]
+        col = term if col is None else col + term
+    field = None
+    for q in range(len(taps)):
+        term = taps[q] * col[:, :, q : q + w]
+        field = term if field is None else field + term
+    if bw:
+        field = jnp.broadcast_to(field, (3, h, w))
+    return field
+
+
 def grain_corr_taps(sigma_px: float) -> tuple:
     """Host: L2-normalized correlation taps (separable pass applied twice
     keeps the field at unit variance). sigma_px < 0.3 -> white noise."""
@@ -109,7 +160,10 @@ def grain_field_block(seed_ref, taps, th, cw, row0, col0, z_mul):
     is (row0, col0). Positionally stateless: the noise sample feeding output
     (y, x) at tap (qy, qx) has hash coordinates (y + qy, x + qx), so ANY
     tiling reproduces the identical field (this is what lets the grain
-    epilogue fuse into other kernels bit-exactly)."""
+    epilogue fuse into other kernels bit-exactly). seed_ref is the SMEM
+    uint32 pair [seed, global_row_offset] — the offset makes a row-sharded
+    image reproduce the single-device field (mod-2^32 coordinate add, so a
+    negative offset wraps harmlessly)."""
     r = len(taps) // 2
     eh = th + 2 * r
     ew = cw + 2 * r
@@ -118,7 +172,7 @@ def grain_field_block(seed_ref, taps, th, cw, row0, col0, z_mul):
     z_i = jnp.full((eh, ew), 1, jnp.int32) * z_mul
     a, b, _ = _pcg3d(
         pltpu.bitcast(xx_i, jnp.uint32),
-        pltpu.bitcast(yy_i, jnp.uint32),
+        pltpu.bitcast(yy_i, jnp.uint32) + seed_ref[1],
         pltpu.bitcast(z_i, jnp.uint32) + seed_ref[0],
     )
     noise = _gauss_pair(a, b)
@@ -170,7 +224,7 @@ def _grain_kernel(seed_ref, o_ref, *, taps, th, w, chunk, row0_offset):
         )
         # 0x9E3779B9 as a signed 32-bit literal: -1640531527.
         z_i = jnp.full((eh, ew), 1, jnp.int32) * (ch * np.int32(-1640531527))
-        yy = pltpu.bitcast(yy_i, jnp.uint32)
+        yy = pltpu.bitcast(yy_i, jnp.uint32) + seed_ref[1]
         xx = pltpu.bitcast(xx_i, jnp.uint32)
         zz = pltpu.bitcast(z_i, jnp.uint32) + seed_ref[0]
         a, b, _ = _pcg3d(xx, yy, zz)
@@ -204,7 +258,7 @@ def grain_field_pallas(
     th = min(tile_h, _round_up(h, SUBLANE))
     hp = _round_up(h, th)
     c = 1 if bw else 3
-    seed_arr = jnp.asarray([seed], jnp.uint32) if np.isscalar(seed) else seed.astype(jnp.uint32).reshape(1)
+    seed_arr = seed2(seed)
     out = pl.pallas_call(
         lambda s_ref, o_ref: _grain_kernel(
             s_ref, o_ref, taps=taps, th=th, w=w, chunk=chunk, row0_offset=0
@@ -266,11 +320,7 @@ def grain_apply_pallas(
     d = density
     if hp != h:
         d = jnp.pad(density, [(0, 0), (0, hp - h), (0, 0)], mode="edge")
-    seed_arr = (
-        jnp.asarray([seed], jnp.uint32)
-        if np.isscalar(seed)
-        else seed.astype(jnp.uint32).reshape(1)
-    )
+    seed_arr = seed2(seed)
     prm = jnp.stack(
         [
             jnp.asarray(v, jnp.float32).reshape(())
@@ -317,7 +367,7 @@ def _grain_apply_bw_kernel(seed_ref, prm_ref, d_ref, o_ref, *, taps, th, w, chun
         z_i = jnp.zeros((eh, ew), jnp.int32)
         a, b, _ = _pcg3d(
             pltpu.bitcast(xx_i, jnp.uint32),
-            pltpu.bitcast(yy_i, jnp.uint32),
+            pltpu.bitcast(yy_i, jnp.uint32) + seed_ref[1],
             pltpu.bitcast(z_i, jnp.uint32) + seed_ref[0],
         )
         noise = _gauss_pair(a, b)
@@ -369,11 +419,7 @@ def grain_apply_bw_pallas(
     d = density
     if hp != h:
         d = jnp.pad(density, [(0, 0), (0, hp - h), (0, 0)], mode="edge")
-    seed_arr = (
-        jnp.asarray([seed], jnp.uint32)
-        if np.isscalar(seed)
-        else seed.astype(jnp.uint32).reshape(1)
-    )
+    seed_arr = seed2(seed)
     prm = jnp.stack(
         [
             jnp.asarray(v, jnp.float32).reshape(())

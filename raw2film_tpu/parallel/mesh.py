@@ -56,9 +56,11 @@ def batch_render_fn(cfg: RenderConfig):
     and a loop has identical throughput for full-frame work.
     """
 
-    def fn(xyz_batch, bundle, keys):
+    def fn(xyz_batch, bundle, keys, grain_row_offset=0):
         return jax.lax.map(
-            lambda xk: render_chain(xk[0], bundle, cfg, xk[1]),
+            lambda xk: render_chain(
+                xk[0], bundle, cfg, xk[1], grain_row_offset
+            ),
             (xyz_batch, keys),
         )
 
@@ -99,11 +101,13 @@ def sharded_batch_render(mesh: Mesh, cfg: RenderConfig, space_mode: str = "halo"
       halo. Measured on v5e: the alternative XLA formulations cost 7x at
       6MP, 26x at 11MP and fail to compile (HBM OOM) at >=24MP, exactly the
       frame sizes the space axis exists for. Boundary semantics: interior
-      shard seams are exact for the conv stages; frame edges replicate the
-      edge row into the pad (a cascaded-clamp approximation); grain fields
-      are per-shard (seeded by space index — statistically seamless);
-      highlight burn's low-res blur can misalign by one low-res cell at
-      seams. See tests/test_parallel.py for the measured gates.
+      shard seams are exact for the conv stages AND for grain (the hash
+      rows shift to global coordinates via render_chain's
+      grain_row_offset, so every shard evaluates the same stateless
+      field); frame edges replicate the edge row into the pad (a
+      cascaded-clamp approximation); highlight burn's low-res blur can
+      misalign by one low-res cell at seams. See tests/test_parallel.py
+      for the measured gates.
     * ``"spmd"`` — delegate to XLA's SPMD partitioner with the XLA conv
       formulations (exact halos, but unusable at export sizes — kept for
       small frames and cross-checking).
@@ -152,9 +156,10 @@ def sharded_batch_render(mesh: Mesh, cfg: RenderConfig, space_mode: str = "halo"
             top = jnp.where(idx == 0, top_rep, top)
             bot = jnp.where(idx == space - 1, bot_rep, bot)
             padded = jnp.concatenate([top, xyz, bot], axis=2)
-            # Per-shard grain fields: fold the space index into the keys.
-            keys_s = jax.vmap(lambda k: jax.random.fold_in(k, idx))(keys)
-            out = fn(padded, bundle, keys_s)
+            # Grain hash rows in GLOBAL image coordinates: padded row 0 is
+            # global row idx*h_loc - halo, so every shard evaluates the
+            # same stateless field and seams are grain-exact.
+            out = fn(padded, bundle, keys, idx * h_loc - halo)
             return out[:, :, halo:-halo, :]
 
         return jax.jit(

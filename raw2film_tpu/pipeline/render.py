@@ -181,9 +181,17 @@ def _planes(img):
 
 
 def render_chain(
-    xyz: Array, bundle: dict, cfg: RenderConfig, noise_key: Array
+    xyz: Array,
+    bundle: dict,
+    cfg: RenderConfig,
+    noise_key: Array,
+    grain_row_offset=0,
 ) -> Array:
-    """(3, H, W) float32 camera XYZ -> (3, H, W) uint8 encoded output."""
+    """(3, H, W) float32 camera XYZ -> (3, H, W) uint8 encoded output.
+
+    ``grain_row_offset`` (traced int ok) shifts the grain hash rows to
+    global image coordinates — a row-sharded render reproduces the
+    single-device grain field exactly (parallel/mesh.py halo path)."""
     img = xyz
     if cfg.chroma_nr:
         img = nr_ops.chroma_nr(img, cfg.chroma_nr)
@@ -272,10 +280,14 @@ def render_chain(
 
     from raw2film_tpu.ops.conv import _use_pallas
 
+    from raw2film_tpu.ops.pallas_grain import seed2 as _seed2
+
     if mtf_on and grain_on and cfg.grain == 2 and cfg.fusion and _use_pallas():
         # Mega-fusion: MTF conv + grain epilogue in ONE pallas kernel — the
         # density-domain image makes one HBM round trip for both stages.
-        seed = (noise_key[0] ^ noise_key[1]).astype(jnp.uint32).reshape(1)
+        seed = _seed2(
+            (noise_key[0] ^ noise_key[1]).astype(jnp.uint32), grain_row_offset
+        )
         fused = mtf_ops.film_sharpness_grain_from_key(
             d, cfg.mtf_key, cfg.scale,
             cfg.sharpening_strength, cfg.sharpening_sigma,
@@ -302,7 +314,10 @@ def render_chain(
                 grain_apply_pallas,
             )
 
-            seed = (noise_key[0] ^ noise_key[1]).astype(jnp.uint32).reshape(1)
+            seed = _seed2(
+                (noise_key[0] ^ noise_key[1]).astype(jnp.uint32),
+                grain_row_offset,
+            )
             apply_fn = grain_apply_pallas if cfg.grain == 2 else grain_apply_bw_pallas
             d = apply_fn(
                 d,
@@ -318,6 +333,7 @@ def render_chain(
                 cfg.grain_size_mm,
                 cfg.grain_sigma,
                 bw=cfg.grain == 1,
+                row_offset=grain_row_offset,
             )
             t = (d - d_lo) / rng
             shape = floor + (1 - floor) * jnp.exp(

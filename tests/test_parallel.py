@@ -105,6 +105,31 @@ class TestSharding:
         # tone effect is subtle, so the seam stays within a couple codes.
         assert mid.max() <= 3, mid.max()
 
+    def test_halo_path_grain_exact_across_seams(self):
+        """Grain hash rows run in GLOBAL coordinates under the halo path:
+        the space-sharded render reproduces the single-device grain field
+        exactly — interior rows (away from frame edges) are bit-identical
+        with grain ON."""
+        bundle, cfg = _setup(halation=True, sharpness=True, grain=2)
+        b, h, w = 4, 96, 96
+        xyz = jnp.asarray(
+            np.abs(np.random.default_rng(5).normal(0.25, 0.1, (b, 3, h, w))).astype(
+                np.float32
+            )
+        )
+        keys = jax.random.split(jax.random.PRNGKey(5), b)
+        single = jax.jit(batch_render_fn(cfg))(xyz, bundle, keys)
+        mesh = make_mesh(8, batch=4, space=2)
+        with mesh:
+            halo = sharded_batch_render(mesh, cfg, space_mode="halo")(
+                xyz, bundle, keys
+            )
+        dh = np.abs(np.asarray(single).astype(int) - np.asarray(halo).astype(int))
+        margin = 12
+        assert dh[:, :, margin:-margin, :].max() <= 1, dh[:, :, margin:-margin].max()
+        # And specifically the seam band at h/2.
+        assert dh[:, :, h // 2 - 6 : h // 2 + 6, :].max() <= 1
+
     def test_mesh_shapes(self):
         mesh = make_mesh(8)
         assert mesh.shape == {"batch": 8, "space": 1}
