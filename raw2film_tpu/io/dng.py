@@ -39,8 +39,9 @@ Containers handled by :func:`read_raw`:
   it) an undersized Compression=1 strip.
 
 Remaining vendor-compressed bitstreams (Panasonic v5/v6, Fuji-compressed
-RAF, CR3/CRW containers) are rejected with a clear error — converting to
-DNG is the documented ingest path for those.
+RAF, CR3-CRX/CRW payloads) are rejected with a clear error — converting
+to DNG is the documented ingest path for those. CR3 containers still get
+browsing support (PRVW/THMB previews + CMT1 EXIF, :mod:`raw2film_tpu.io.cr3`).
 
 Also parsed: CFAPattern, BlackLevel/WhiteLevel, ColorMatrix1, AsShotNeutral,
 core EXIF (ISO, exposure time, f-number, focal length, make/model/lens).
@@ -199,7 +200,9 @@ def read_raw(path: str) -> RawImage:
         return read_raf(buf, path)
     if len(buf) >= 8 and buf[4:8] == b"ftyp":
         raise NotImplementedError(
-            f"{path}: CR3 (ISO-BMFF) containers are not supported; convert to DNG"
+            f"{path}: CR3 raw payloads (Canon CRX codec) are not supported; "
+            "convert to DNG. Embedded previews + EXIF still serve browsing "
+            "(io/cr3.py feeds the viewer's thumbnails)"
         )
     return _read_tiff_raw(buf, path)
 

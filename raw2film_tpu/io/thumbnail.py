@@ -20,6 +20,25 @@ def extract_thumb(src: str, max_edge: int = 256) -> np.ndarray:
     """-> uint8 (h, w, 3) thumbnail."""
     from PIL import Image
 
+    # 0) CR3: the CRX payload is undecodable here, but the ISO-BMFF
+    # container carries PRVW/THMB JPEGs (io/cr3.py) — browsing works.
+    if str(src).lower().endswith(".cr3"):
+        try:
+            from raw2film_tpu.io import cr3
+
+            with open(src, "rb") as f:
+                buf = f.read()
+            jpg = cr3.extract_preview(buf) if cr3.is_cr3(buf) else None
+            if jpg:
+                with Image.open(_io.BytesIO(jpg)) as im:
+                    orient = cr3.extract_metadata(buf).get("EXIF:Orientation", 1)
+                    if orient in (3, 6, 8):
+                        im = im.rotate({3: 180, 6: -90, 8: 90}[orient], expand=True)
+                    im.thumbnail((max_edge, max_edge))
+                    return np.asarray(im.convert("RGB"))
+        except Exception:
+            pass
+
     # 1) embedded JPEG preview (PIL reads TIFF-wrapped JPEG thumbnails for
     # many DNGs; our own synthetic DNGs have none).
     try:

@@ -807,6 +807,48 @@ def write_orf_compressed(
         f.write(blob)
 
 
+def _bmff_box(btype: bytes, payload: bytes, usertype: bytes | None = None) -> bytes:
+    body = (usertype or b"") + payload
+    return struct.pack(">I", 8 + len(body)) + btype + body
+
+
+def write_cr3(path, preview_jpeg: bytes, make="Canon", model="Canon EOS R6"):
+    """CR3 skeleton: ISO-BMFF with Canon's moov uuid (CMT1 EXIF TIFF +
+    THMB) and the top-level PRVW uuid — the browsing surfaces io/cr3.py
+    reads. No CRX payload (decode stays unsupported)."""
+    canon_uuid = bytes.fromhex("85c0b687820f11e08111f4ce462b6a48")
+    prvw_uuid = bytes.fromhex("eaf42b5e1c984b88b9fbb7dc406e4d16")
+
+    exif = _Ifd()
+    exif.add(33434, 5, [(1, 500)])
+    exif.add(33437, 5, [(40, 10)])
+    exif.add(34855, 3, [800])
+    ifd0 = _Ifd()
+    ifd0.add(271, 2, make)
+    ifd0.add(272, 2, model)
+    ifd0.add(274, 3, [1])
+    ifd0.add(34665, 4, ("ifd", 1))
+    cmt1 = _serialize([ifd0, exif], [])
+
+    thmb = _bmff_box(
+        b"THMB",
+        struct.pack(">IHHII", 0, 160, 120, len(preview_jpeg), 0) + preview_jpeg,
+    )
+    cmt1_box = _bmff_box(b"CMT1", cmt1)
+    canon = _bmff_box(b"uuid", cmt1_box + thmb, usertype=canon_uuid)
+    moov = _bmff_box(b"moov", canon)
+    prvw = _bmff_box(
+        b"PRVW",
+        struct.pack(">IHHHH", 0, 0, 320, 240, 0)
+        + struct.pack(">I", len(preview_jpeg))
+        + preview_jpeg,
+    )
+    prvw_u = _bmff_box(b"uuid", prvw, usertype=prvw_uuid)
+    ftyp = _bmff_box(b"ftyp", b"crx " + struct.pack(">I", 1) + b"crx isom")
+    with open(path, "wb") as f:
+        f.write(ftyp + moov + prvw_u)
+
+
 def write_cr2(path, mosaic, borders=None, make="Canon", model="Canon EOS R5"):
     """CR2 skeleton: 'CR' signature, raw in the LAST IFD with Compression=6
     lossless JPEG, CR2 slice tag, Canon MakerNote SensorInfo with borders.

@@ -226,6 +226,55 @@ class TestPanasonicRW2:
         assert out.std() > 1.0  # actual image content
 
 
+class TestCR3Container:
+    """CR3 raw payloads (CRX) stay unsupported, but the ISO-BMFF container
+    serves browsing: PRVW/THMB preview JPEGs + CMT1 EXIF metadata."""
+
+    def _jpeg(self):
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("RGB", (32, 24), (200, 120, 40)).save(buf, format="JPEG")
+        return buf.getvalue()
+
+    def test_preview_and_metadata(self, tmp_path):
+        from raw_fixtures import write_cr3
+
+        from raw2film_tpu.io import cr3
+
+        p = str(tmp_path / "a.cr3")
+        write_cr3(p, self._jpeg(), model="Canon EOS R6")
+        buf = open(p, "rb").read()
+        assert cr3.is_cr3(buf)
+        jpg = cr3.extract_preview(buf)
+        assert jpg is not None and jpg[:2] == b"\xff\xd8"
+        meta = cr3.extract_metadata(buf)
+        assert meta["EXIF:Model"] == "Canon EOS R6"
+        assert meta["EXIF:ISO"] == 800
+
+    def test_thumbnail_from_cr3(self, tmp_path):
+        from raw_fixtures import write_cr3
+
+        from raw2film_tpu.io.thumbnail import extract_thumb
+
+        p = str(tmp_path / "b.cr3")
+        write_cr3(p, self._jpeg())
+        thumb = extract_thumb(p)
+        assert thumb.ndim == 3 and thumb.shape[2] == 3
+        # The preview's dominant color comes through.
+        assert thumb[..., 0].mean() > thumb[..., 2].mean()
+
+    def test_decode_clear_error_mentions_preview(self, tmp_path):
+        from raw_fixtures import write_cr3
+
+        p = str(tmp_path / "c.cr3")
+        write_cr3(p, self._jpeg())
+        with pytest.raises(NotImplementedError, match="CRX"):
+            read_raw(p)
+
+
 class TestOlympusCompressed:
     """Olympus-compressed ORF: carry-filter + w/n/nw gradient-predictor
     bitstream (fixed canonical Huffman for the magnitude), verified by
