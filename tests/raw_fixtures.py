@@ -61,6 +61,7 @@ def _serialize(
     next_links=None,
     header: int = 8,
     magic: int = 42,
+    endian: str = "<",
 ) -> bytes:
     """Layout: header, IFDs in order, heap, data blobs. Placeholder tag
     values of the form ("blob", i) / ("ifd", i) resolve to offsets."""
@@ -78,18 +79,18 @@ def _serialize(
             n = len(raw)
         elif typ in (5, 10):
             fmt = "II" if typ == 5 else "ii"
-            raw = b"".join(struct.pack("<" + fmt, *v) for v in values)
+            raw = b"".join(struct.pack(endian + fmt, *v) for v in values)
             n = len(values)
         elif typ == 7:
             raw = bytes(values)
             n = len(raw)
         else:
             fmt = {1: "B", 3: "H", 4: "I"}[typ]
-            raw = struct.pack("<" + fmt * len(values), *values)
+            raw = struct.pack(endian + fmt * len(values), *values)
             n = len(values)
         if len(raw) <= 4:
-            return struct.pack("<HHI", tag, typ, n) + raw + b"\0" * (4 - len(raw)), None
-        return struct.pack("<HHI", tag, typ, n) + struct.pack("<I", heap_pos), raw
+            return struct.pack(endian + "HHI", tag, typ, n) + raw + b"\0" * (4 - len(raw)), None
+        return struct.pack(endian + "HHI", tag, typ, n) + struct.pack(endian + "I", heap_pos), raw
 
     # Two passes: first compute heap size with placeholders resolved late.
     # Simpler: resolve placeholders now (blob offsets depend on heap size,
@@ -124,17 +125,18 @@ def _serialize(
     for i, j, bi, ptyp in blob_refs:
         tag, _, _ = ifds[i].entries[j]
         count = len(data_blobs[bi]) if ptyp == 7 else 1
-        serialized[i][j] = struct.pack("<HHI", tag, ptyp, count) + struct.pack(
-            "<I", blob_offsets[bi]
+        serialized[i][j] = struct.pack(endian + "HHI", tag, ptyp, count) + struct.pack(
+            endian + "I", blob_offsets[bi]
         )
 
-    out = bytearray(b"II" + struct.pack("<HI", magic, header))
+    bom = b"II" if endian == "<" else b"MM"
+    out = bytearray(bom + struct.pack(endian + "HI", magic, header))
     out += b"\0" * (header - len(out))
     next_links = next_links or {}
     for i, (ifd, ents) in enumerate(zip(ifds, serialized)):
         nxt = next_links.get(i)
         nxt_off = offsets[nxt] if nxt is not None else 0
-        out += struct.pack("<H", len(ents)) + b"".join(ents) + struct.pack("<I", nxt_off)
+        out += struct.pack(endian + "H", len(ents)) + b"".join(ents) + struct.pack(endian + "I", nxt_off)
     out += heap
     for blob in data_blobs:
         out += blob
@@ -267,10 +269,13 @@ def _nikon_makernote(blob_0x96: bytes) -> bytes:
 
 
 def write_nef_compressed(
-    path, mosaic, bits=14, make="NIKON CORPORATION", model="NIKON Z 7"
+    path, mosaic, bits=14, make="NIKON CORPORATION", model="NIKON Z 7",
+    endian="<",
 ):
     """NEF with the real Nikon-compressed layout: Compression 34713 raw
-    strip + MakerNote 0x0096 linearization blob (lossless version 0x46)."""
+    strip + MakerNote 0x0096 linearization blob (lossless version 0x46).
+    ``endian=">"`` writes a big-endian (MM) container — what real Nikon
+    bodies produce; the embedded MakerNote TIFF keeps its own BOM."""
     h, w = mosaic.shape
     payload, blob96 = nef_compress_lossless(np.asarray(mosaic), bits)
     raw = _Ifd()
@@ -298,7 +303,7 @@ def write_nef_compressed(
     ifd0.add(272, 2, model)
     ifd0.add(330, 4, ("ifd", 1))
     ifd0.add(34665, 4, ("ifd", 2))
-    blob = _serialize([ifd0, raw, exif], [payload])
+    blob = _serialize([ifd0, raw, exif], [payload], endian=endian)
     with open(path, "wb") as f:
         f.write(blob)
 

@@ -573,6 +573,20 @@ class TestNikonCompressed:
         assert raw.cfa_pattern == "RGGB"
         assert raw.white_level == float((1 << bits) - 1)
 
+    def test_big_endian_container_round_trip(self, tmp_path):
+        """Real Nikon bodies write MM (big-endian) TIFFs — the whole IFD
+        walk, tag decode, and MakerNote discovery must work there too."""
+        from raw_fixtures import write_nef_compressed
+
+        m = _mosaic(32, 48, bits=14)
+        p = str(tmp_path / "mm.nef")
+        write_nef_compressed(p, m, bits=14, endian=">")
+        assert open(p, "rb").read(2) == b"MM"
+        raw = read_raw(p)
+        np.testing.assert_array_equal(raw.data.astype(np.uint16), m)
+        assert raw.metadata["EXIF:Make"] == "NIKON CORPORATION"
+        assert raw.metadata["EXIF:ISO"] == 400
+
     def test_gradient_and_flat_regions(self, tmp_path):
         """Exercise long zero-diff runs (flat) and large diffs (edges)."""
         from raw_fixtures import write_nef_compressed
