@@ -29,9 +29,10 @@ Containers handled by :func:`read_raw`:
   Fuji TIFF), Bayer and X-Trans mosaics; X-Trans demosaics through the
   generic masked-interpolation kernel (:mod:`raw2film_tpu.io.raf`).
 * **Sony cRAW / ARW2** (Compression 32767) — 16-byte max/min + 7-bit-delta
-  blocks via the native kernel; the decompanding tone curve falls back to
-  the linear no-tag expansion (the real curve lives in Sony's encrypted
-  SR2 maker region — a documented fidelity limitation).
+  blocks via the native kernel, with the tone curve read from Sony's
+  ENCRYPTED SR2 region (:mod:`raw2film_tpu.io.sr2` implements
+  sony_decrypt + the 0x7010 knot expansion; structural mismatch falls
+  back to the linear expansion).
 * **Pentax-Huffman PEF** (Compression 65535) — in-file Huffman table from
   MakerNote 0x0220 + two-column predictors (:mod:`raw2film_tpu.io.pef`).
 * **Olympus-compressed ORF** — carry-filter + gradient-predictor bitstream
@@ -416,16 +417,24 @@ def _read_tiff_raw(buf: bytes, path: str) -> RawImage:
     elif comp == 32767:
         # Sony cRAW / ARW2: 16-byte blocks of 16 same-phase pixels (11-bit
         # max/min + 7-bit deltas) expanded through a decompanding curve.
-        # The SR2 tone-curve tag lives in Sony's encrypted maker region;
-        # without it the dcraw default (linear, curve[j] = 16 j) applies —
-        # tones from bodies that wrote a nonlinear curve come out linear.
+        # The real tone curve lives in Sony's ENCRYPTED SR2 region — io.sr2
+        # decrypts and reads it (tag 0x7010 knots); any structural mismatch
+        # falls back to the linear no-curve expansion.
+        from raw2film_tpu.io import sr2 as sr2mod
         from raw2film_tpu.native import decode_arw2
 
         offsets = ifd[_TAGS["StripOffsets"]]
         counts = ifd[_TAGS["StripByteCounts"]]
         payload = b"".join(buf[o : o + c] for o, c in zip(offsets, counts))
-        data = decode_arw2(payload, w, h).astype(np.float32)
+        found = sr2mod.try_read_arw2_curve(buf, makernote)
+        curve = None
+        if found is not None:
+            curve, white_override = found
+            meta["EXIF:SonyToneCurve"] = "sr2"
+        data = decode_arw2(payload, w, h, curve).astype(np.float32)
         bits = 14  # decoded values are linear 14-bit regardless of storage
+        if found is not None:
+            ifd.setdefault(_TAGS["WhiteLevel"], [int(white_override)])
     elif comp == 6:
         # CR2: one lossless-JPEG blob; columns stored as vertical slices
         # (tag 0xC640: [n, slice_w, last_slice_w]).

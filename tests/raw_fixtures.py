@@ -527,9 +527,25 @@ def arw2_compress(mosaic11: np.ndarray) -> bytes:
     return bytes(out)
 
 
-def write_arw2(path, mosaic11, make="SONY", model="ILCE-7M3"):
+def _sony_makernote(sr2_offset: int, sr2_length: int, key: int) -> bytes:
+    """Sony MakerNote: "SONY DSC " header + IFD with the inline-u32
+    SR2SubIFD tags (0x7200 offset, 0x7201 length, 0x7221 key)."""
+    mn = bytearray(b"SONY DSC \x00\x00\x00")
+    mn += struct.pack("<H", 3)
+    for tag, val in ((0x7200, sr2_offset), (0x7201, sr2_length), (0x7221, key)):
+        mn += struct.pack("<HHII", tag, 4, 1, val)
+    mn += struct.pack("<I", 0)
+    return bytes(mn)
+
+
+def write_arw2(
+    path, mosaic11, make="SONY", model="ILCE-7M3", sr2_curve_knots=None,
+    sr2_key=0x1234ABCD,
+):
     """ARW with the real cRAW layout: Compression 32767, one byte per
-    pixel, 8-bit declared storage."""
+    pixel, 8-bit declared storage. ``sr2_curve_knots`` (4 ints) appends an
+    ENCRYPTED SR2 region carrying tone-curve tag 0x7010 plus the Sony
+    MakerNote pointing at it (io/sr2.py reads it back)."""
     h, w = mosaic11.shape
     payload = arw2_compress(mosaic11)
     ifd0 = _Ifd()
@@ -546,9 +562,33 @@ def write_arw2(path, mosaic11, make="SONY", model="ILCE-7M3"):
     ifd0.add(279, 4, [len(payload)])
     ifd0.add(33421, 3, [2, 2])
     ifd0.add(33422, 1, [0, 1, 1, 2])  # RGGB
-    blob = _serialize([ifd0], [payload])
+    if sr2_curve_knots is not None:
+        exif = _Ifd()
+        exif.add(34855, 3, [100])
+        exif.add(37500, 7, _sony_makernote(0, 0, 0))  # patched below
+        ifd0.add(34665, 4, ("ifd", 1))
+        blob = bytearray(_serialize([ifd0, exif], [payload]))
+        # SR2 region at the file end: one-entry IFD (0x7010, SHORT x4,
+        # file-absolute value offset) + the knot values (<< 2, the reader
+        # shifts back).
+        sr2_off = len(blob)
+        vals_off = sr2_off + 2 + 12 + 4
+        sr2 = struct.pack("<H", 1)
+        sr2 += struct.pack("<HHII", 0x7010, 3, 4, vals_off)
+        sr2 += struct.pack("<I", 0)
+        sr2 += struct.pack("<4H", *[int(k) << 2 for k in sr2_curve_knots])
+        sr2 += b"\0" * ((-len(sr2)) % 4)
+        from raw2film_tpu.io.sr2 import sony_decrypt
+
+        blob += sony_decrypt(sr2, sr2_key)  # XOR stream: involution
+        mn_pos = blob.find(b"SONY DSC")
+        assert mn_pos > 0
+        patched = _sony_makernote(sr2_off, len(sr2), sr2_key)
+        blob[mn_pos : mn_pos + len(patched)] = patched
+    else:
+        blob = bytearray(_serialize([ifd0], [payload]))
     with open(path, "wb") as f:
-        f.write(blob)
+        f.write(bytes(blob))
 
 
 def arw2_walk_mosaic(h: int, w: int, seed: int = 0) -> np.ndarray:

@@ -457,6 +457,55 @@ class TestSonyARW2:
         err = np.abs(got.astype(np.int64) // 8 - m.astype(np.int64))
         assert err.max() <= 15  # sh <= 4 -> step 16, floor error < 16
 
+    def test_sr2_tone_curve_decrypt(self, tmp_path):
+        """The encrypted SR2 region round-trips: sony_decrypt pad stream,
+        MakerNote 0x7200/01/21 discovery, SR2SubIFD 0x7010 knots, and the
+        slope-doubling curve expansion all verified end to end."""
+        from raw_fixtures import arw2_walk_mosaic, write_arw2
+
+        from raw2film_tpu.io.sr2 import build_sony_curve
+
+        m = arw2_walk_mosaic(16, 64, seed=2)
+        knots = [800, 1600, 2400, 3200]
+        p = str(tmp_path / "sr2.arw")
+        write_arw2(p, m, sr2_curve_knots=knots)
+        raw = read_raw(p)
+        curve = build_sony_curve(knots)
+        want = (curve[(m.astype(np.int64) << 1) & 0xFFF] >> 2).astype(np.uint16)
+        np.testing.assert_array_equal(raw.data.astype(np.uint16), want)
+        assert raw.metadata.get("EXIF:SonyToneCurve") == "sr2"
+        assert raw.white_level == float(int(curve[4094]) >> 2)
+
+    def test_sr2_garbage_falls_back_linear(self, tmp_path):
+        """A corrupted SR2 region (wrong key -> garbage IFD) must fall back
+        to the linear expansion, never fail the decode."""
+        from raw_fixtures import arw2_walk_mosaic, write_arw2
+
+        m = arw2_walk_mosaic(12, 64, seed=3)
+        p = str(tmp_path / "bad.arw")
+        write_arw2(p, m, sr2_curve_knots=[800, 1600, 2400, 3200])
+        import struct
+
+        blob = bytearray(open(p, "rb").read())
+        pos = blob.find(b"SONY DSC")
+        # Corrupt the stored key (tag 0x7221 entry value).
+        kpos = blob.find(struct.pack("<HHI", 0x7221, 4, 1), pos)
+        assert kpos > 0
+        blob[kpos + 8 : kpos + 12] = b"\xde\xad\xbe\xef"
+        with open(p, "wb") as f:
+            f.write(blob)
+        raw = read_raw(p)
+        want = (m.astype(np.int64) * 8).astype(np.uint16)
+        np.testing.assert_array_equal(raw.data.astype(np.uint16), want)
+        assert "EXIF:SonyToneCurve" not in raw.metadata
+
+    def test_sony_decrypt_involution(self):
+        from raw2film_tpu.io.sr2 import sony_decrypt
+
+        data = bytes(range(256)) * 3
+        assert sony_decrypt(sony_decrypt(data, 0x5EED), 0x5EED) == data
+        assert sony_decrypt(data, 1) != sony_decrypt(data, 2)
+
     def test_full_pipeline_from_arw2(self, tmp_path):
         from raw_fixtures import arw2_walk_mosaic, write_arw2
 
