@@ -22,9 +22,10 @@ magic 85 ("IIU\\0") and Panasonic-private tags in IFD0:
 ====== ======================================
 
 Payloads: RawFormat 4 decodes through the native v4 kernel
-(``native/r2f_native.cc::r2f_decode_rw2_v4``); plain 16-bit and Panasonic
-12-bit-packed payloads are size-inferred like the NEF/ORF strips. The v5/v6
-(newer S/GH bodies) bitstreams are rejected with a clear error.
+(``native/r2f_native.cc::r2f_decode_rw2_v4``); RawFormat 5 is plain
+LSB-first bit packing in 16-byte packets (vectorized numpy); 16-bit and
+Panasonic 12-bit-packed payloads are size-inferred like the NEF/ORF
+strips. v6/v7 (newest bodies) are rejected with a clear error.
 """
 
 from __future__ import annotations
@@ -46,6 +47,56 @@ def _unpack12_le(payload: bytes, n: int) -> np.ndarray:
     p0 = b[:, 0] | ((b[:, 1] & 0x0F) << 8)
     p1 = (b[:, 1] >> 4) | (b[:, 2] << 4)
     return np.stack([p0, p1], axis=1).ravel()[:n]
+
+
+_SECTION, _SPLIT = 0x4000, 0x1FF8
+
+
+def _unrotate_sections(payload: bytes, need: int) -> np.ndarray:
+    """Undo the per-0x4000-section rotation (first 0x1ff8 file bytes of a
+    section are stored last — same layout v4 and v5 share)."""
+    n_sec = -(-need // _SECTION)
+    raw = np.zeros(n_sec * _SECTION, np.uint8)
+    avail = min(len(payload), n_sec * _SECTION)
+    raw[:avail] = np.frombuffer(payload, np.uint8, count=avail)
+    raw = raw.reshape(n_sec, _SECTION)
+    return np.concatenate(
+        [raw[:, _SPLIT:], raw[:, :_SPLIT]], axis=1
+    ).reshape(-1)
+
+
+def decode_rw2_v5(payload: bytes, width: int, height: int, bits: int) -> np.ndarray:
+    """Panasonic v5 (RawFormat 5): plain LSB-first bit packing in 16-byte
+    packets — 10 pixels/packet at 12 bits, 9 at 14 — inside the same
+    rotated 0x4000-byte sections as v4 (the layout rawspeed's
+    PanasonicDecompressorV5 describes). Vectorized numpy unpack."""
+    if bits not in (12, 14):
+        raise NotImplementedError(f"RW2 v5 with {bits}-bit samples")
+    per = 10 if bits == 12 else 9
+    npix = width * height
+    n_packets = -(-npix // per)
+    sec = _unrotate_sections(payload, n_packets * 16)
+    packets = sec[: n_packets * 16].reshape(n_packets, 16)
+    # Each 16-byte packet as two little-endian u64 halves; pixel i occupies
+    # bits [i*bits, (i+1)*bits) of the 128-bit packet.
+    lo = packets[:, :8].copy().view("<u8")[:, 0]
+    hi = packets[:, 8:].copy().view("<u8")[:, 0]
+    out = np.empty((n_packets, per), np.uint16)
+    mask = np.uint64((1 << bits) - 1)
+    for i in range(per):
+        start = i * bits
+        if start + bits <= 64:
+            v = (lo >> np.uint64(start)) & mask
+        elif start >= 64:
+            v = (hi >> np.uint64(start - 64)) & mask
+        else:
+            low_bits = 64 - start
+            v = (
+                (lo >> np.uint64(start))
+                | ((hi & np.uint64((1 << (bits - low_bits)) - 1)) << np.uint64(low_bits))
+            ) & mask
+        out[:, i] = v.astype(np.uint16)
+    return out.reshape(-1)[:npix].reshape(height, width)
 
 
 def read_rw2(buf: bytes, path: str) -> RawImage:
@@ -78,6 +129,10 @@ def read_rw2(buf: bytes, path: str) -> RawImage:
                 f"{path}: RW2 v4 with width {full_w} not a multiple of 14"
             )
         data = decode_rw2_v4(bytes(payload), full_w, full_h).astype(np.float32)
+    elif raw_format == 5:
+        data = decode_rw2_v5(bytes(payload), full_w, full_h, bits).astype(
+            np.float32
+        )
     elif len(payload) >= 2 * n:
         data = np.frombuffer(payload, "<u2", count=n).astype(np.float32)
         data = data.reshape(full_h, full_w)
@@ -87,8 +142,8 @@ def read_rw2(buf: bytes, path: str) -> RawImage:
         raise NotImplementedError(
             f"{path}: RW2 RawFormat {raw_format} payload "
             f"({len(payload)} bytes for {n} samples) is not supported "
-            "(v4, 16-bit and 12-bit-packed are; convert newer-body files "
-            "to DNG)"
+            "(v4, v5, 16-bit and 12-bit-packed are; convert v6/v7-body "
+            "files to DNG)"
         )
 
     # Active-area crop (even Bayer phase, like the Canon SensorInfo path).

@@ -372,6 +372,40 @@ def rw2_v4_compress(mosaic: np.ndarray) -> bytes:
     return bytes(stream)
 
 
+def rw2_v5_pack(mosaic: np.ndarray, bits: int = 14) -> bytes:
+    """Inverse of io/rw2.py::decode_rw2_v5: LSB-first bit packing into
+    16-byte packets (10 px at 12-bit, 9 at 14), rotated 0x4000 sections."""
+    per = 10 if bits == 12 else 9
+    v = np.asarray(mosaic, np.uint64).ravel()
+    pad = (-len(v)) % per
+    if pad:
+        v = np.append(v, np.zeros(pad, np.uint64))
+    v = v.reshape(-1, per)
+    lo = np.zeros(len(v), np.uint64)
+    hi = np.zeros(len(v), np.uint64)
+    for i in range(per):
+        start = i * bits
+        if start + bits <= 64:
+            lo |= v[:, i] << np.uint64(start)
+        elif start >= 64:
+            hi |= v[:, i] << np.uint64(start - 64)
+        else:
+            low_bits = 64 - start
+            lo |= (v[:, i] & np.uint64((1 << low_bits) - 1)) << np.uint64(start)
+            hi |= v[:, i] >> np.uint64(low_bits)
+    packets = np.empty((len(v), 16), np.uint8)
+    packets[:, :8] = lo.astype("<u8").view(np.uint8).reshape(-1, 8)
+    packets[:, 8:] = hi.astype("<u8").view(np.uint8).reshape(-1, 8)
+    stream = packets.reshape(-1)
+    SECTION, SPLIT = 0x4000, 0x1FF8
+    n_sec = -(-len(stream) // SECTION)
+    full = np.zeros(n_sec * SECTION, np.uint8)
+    full[: len(stream)] = stream
+    full = full.reshape(n_sec, SECTION)
+    rotated = np.concatenate([full[:, SECTION - SPLIT :], full[:, : SECTION - SPLIT]], axis=1)
+    return rotated.reshape(-1).tobytes()
+
+
 def write_rw2(
     path,
     mosaic,
@@ -380,6 +414,7 @@ def write_rw2(
     make="Panasonic",
     model="DC-GH5",
     cfa=1,
+    bits=12,
 ):
     """RW2 skeleton: magic-85 TIFF, Panasonic tag dialect (sensor dims +
     active-area borders + per-channel blacks + RawDataOffset), v4-compressed
@@ -387,6 +422,8 @@ def write_rw2(
     h, w = mosaic.shape
     if raw_format == 4:
         payload = rw2_v4_compress(mosaic)
+    elif raw_format == 5:
+        payload = rw2_v5_pack(mosaic, bits=bits)
     else:
         payload = np.asarray(mosaic).astype("<u2").tobytes()
     top, left, bottom, right = borders or (0, 0, h, w)
@@ -399,7 +436,7 @@ def write_rw2(
     ifd0.add(0x0006, 3, [bottom])
     ifd0.add(0x0007, 3, [right])
     ifd0.add(0x0009, 3, [cfa])
-    ifd0.add(0x000A, 3, [12])
+    ifd0.add(0x000A, 3, [bits])
     ifd0.add(0x0017, 3, [200])
     ifd0.add(0x001C, 3, [128])  # blacks minus the +15 pedestal
     ifd0.add(0x001D, 3, [128])

@@ -191,6 +191,29 @@ class TestPanasonicRW2:
             raw.data.astype(np.uint16), m[2:22, 4:164]
         )
 
+    @pytest.mark.parametrize("bits", [12, 14])
+    def test_v5_round_trip(self, tmp_path, bits):
+        """v5 (RawFormat 5): LSB-first 16-byte bit packets in the rotated
+        sections — bit-exact round trip at both depths."""
+        from raw_fixtures import write_rw2
+
+        rng = np.random.default_rng(8)
+        m = rng.integers(0, 1 << bits, (20, 56)).astype(np.uint16)
+        p = str(tmp_path / f"v5_{bits}.rw2")
+        write_rw2(p, m, raw_format=5, bits=bits)
+        raw = read_raw(p)
+        np.testing.assert_array_equal(raw.data.astype(np.uint16), m)
+        assert raw.white_level == float((1 << bits) - 1)
+
+    def test_v5_multi_section(self, tmp_path):
+        from raw_fixtures import write_rw2
+
+        rng = np.random.default_rng(9)
+        m = rng.integers(0, 1 << 14, (60, 560)).astype(np.uint16)  # >1 section
+        p = str(tmp_path / "v5big.rw2")
+        write_rw2(p, m, raw_format=5, bits=14)
+        np.testing.assert_array_equal(read_raw(p).data.astype(np.uint16), m)
+
     def test_uncompressed_16bit(self, tmp_path):
         from raw_fixtures import write_rw2
 
