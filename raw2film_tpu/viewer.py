@@ -86,6 +86,7 @@ class ViewerState:
         self.icc_paths: dict = {"softproof": None, "display": None, "intent": 0}
         self._icc_transform = None
         self._export_thread: threading.Thread | None = None
+        self._export_cancel = threading.Event()
         self.engine = PreviewEngine(
             self.proc, self._on_frame, on_error=self._on_error
         )
@@ -227,6 +228,60 @@ class ViewerState:
             self._export_thread = threading.Thread(target=run, daemon=True)
             self._export_thread.start()
         return dst
+
+    def export_all(self, quality: int = 95) -> int:
+        """Queue a full-resolution export of EVERY image (the reference's
+        save_all_images batch, src/raw2film/gui.py:2596-2605), sequential in
+        one background thread with progress notes. Returns the queue size."""
+        srcs = list(self.files)
+
+        def run():
+            from raw2film_tpu.io.export import save_image
+
+            done = 0
+            for src in srcs:
+                if self._export_cancel.is_set():
+                    break
+                name = os.path.basename(src)
+                try:
+                    with self._state_lock:
+                        kwargs = self._render_kwargs(name)
+                    kwargs.pop("icc_transform", None)
+                    dst = os.path.join(
+                        self.folder, "export", os.path.splitext(name)[0] + ".jpg"
+                    )
+                    with self.engine.proc_lock:
+                        image = self.proc.process(src, **kwargs)
+                        meta = dict(getattr(self.proc, "last_metadata", {}) or {})
+                    save_image(
+                        image, dst, quality=quality, metadata=meta,
+                        exp_comp=kwargs.get("exp_comp"),
+                    )
+                    done += 1
+                    with self._cond:
+                        self.seq += 1
+                        self.note = f"exported {done}/{len(srcs)}: {name}"
+                        self._cond.notify_all()
+                except Exception as e:
+                    with self._cond:
+                        self.seq += 1
+                        self.note = f"export failed for {name}: {e}"
+                        self._cond.notify_all()
+            with self._cond:
+                self.seq += 1
+                self.note = f"batch export finished ({done}/{len(srcs)})"
+                self._cond.notify_all()
+
+        with self._state_lock:
+            if self._export_thread is not None and self._export_thread.is_alive():
+                raise RuntimeError("an export is already running")
+            self._export_cancel.clear()
+            self._export_thread = threading.Thread(target=run, daemon=True)
+            self._export_thread.start()
+        return len(srcs)
+
+    def cancel_export(self) -> None:
+        self._export_cancel.set()
 
     def set_icc(
         self,
@@ -388,6 +443,7 @@ input[type=text],input:not([type]){width:100%;background:#2a2e36;color:#ddd;bord
  <div id="canvas_sliders"></div>
  <label><input type="checkbox" id="full"> full preview (grain/halation/MTF)</label>
  <button id="export">export full-res JPEG</button>
+ <div class="row"><button id="exportall">export ALL</button><button id="exportcancel">cancel</button></div>
  <button id="copyall">copy settings to all</button>
  <div id="note"></div>
  <div id="err"></div>
@@ -534,6 +590,11 @@ async function init(){
   $("note").textContent="exporting...";
   fetch("/api/export",{method:"POST",body:JSON.stringify({i:cur})});
  };
+ $("exportall").onclick=async()=>{
+  const r=await (await fetch("/api/export_all",{method:"POST",body:"{}"})).json();
+  $("note").textContent=r.error||("batch export queued: "+r.queued+" images");
+ };
+ $("exportcancel").onclick=()=>fetch("/api/export_cancel",{method:"POST",body:"{}"});
  $("copyall").onclick=async()=>{
   await fetch("/api/copy_settings",{method:"POST",body:JSON.stringify({i:cur})});
   $("note").textContent="settings copied to all "+files.length+" images";
@@ -701,6 +762,12 @@ def make_handler(state: ViewerState):
                 elif u.path == "/api/export":
                     dst = state.export(int(doc.get("i", 0)))
                     self._json({"ok": True, "dst": dst})
+                elif u.path == "/api/export_all":
+                    n = state.export_all(int(doc.get("quality", 95)))
+                    self._json({"ok": True, "queued": n})
+                elif u.path == "/api/export_cancel":
+                    state.cancel_export()
+                    self._json({"ok": True})
                 elif u.path == "/api/copy_settings":
                     state.copy_settings_to_all(int(doc.get("i", 0)))
                     self._json({"ok": True})

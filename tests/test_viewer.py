@@ -211,6 +211,27 @@ class TestViewer:
         code, _, _ = _get(base + "/api/images")
         assert code == 200
 
+    def test_export_all(self, server):
+        """Batch export queues every image, writes JPEGs, reports progress
+        notes, and finishes."""
+        import time
+
+        base, state, folder = server
+        doc = _post(base + "/api/export_all", {"quality": 90})
+        assert doc["ok"] and doc["queued"] == 2
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            _, _, body = _get(base + "/api/wait?since=0")
+            note = json.loads(body).get("note") or ""
+            if "batch export finished" in note:
+                break
+            time.sleep(0.2)
+        else:
+            raise AssertionError("batch export did not finish")
+        assert "(2/2)" in note
+        out = sorted(os.listdir(os.path.join(folder, "export")))
+        assert out == ["a.jpg", "b.jpg"]
+
     def test_bad_settings_reported_not_fatal(self, server):
         base, state, _ = server
         _post(
