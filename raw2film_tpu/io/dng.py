@@ -122,6 +122,9 @@ def _read_ifd(buf: bytes, offset: int, endian: str) -> tuple[dict, int]:
         else:
             (ptr,) = struct.unpack_from(endian + "I", buf, pos + 8)
             raw = buf[ptr : ptr + size]
+        # A corrupted count must not drive a gigabyte unpack: clamp to what
+        # the value block actually holds (fuzz suite finding).
+        n = min(n, len(raw) // max(_TYPE_SIZES.get(typ, 1), 1))
         entries[tag] = _decode_values(raw, typ, n, endian)
         pos += 12
     (next_ifd,) = struct.unpack_from(endian + "I", buf, pos)
@@ -191,8 +194,32 @@ def _unpack_14bit(payload: bytes, n: int) -> np.ndarray:
     return np.stack([p0, p1, p2, p3], axis=1).ravel()[:n]
 
 
+def _check_dims(w: int, h: int, path: str) -> None:
+    """Plausibility cap on raw dimensions: a corrupted dimension field must
+    raise, not drive a multi-GB allocation or a minutes-long decode loop
+    (found by the fuzz suite, tests/test_raw_robustness.py)."""
+    if not (0 < w <= 65535 and 0 < h <= 65535 and w * h <= (1 << 28)):
+        raise ValueError(f"{path}: implausible raw dimensions {w}x{h}")
+
+
 def read_raw(path: str) -> RawImage:
-    """Decode any supported RAW container (see module docstring)."""
+    """Decode any supported RAW container (see module docstring).
+
+    Error contract: unsupported formats raise NotImplementedError with the
+    remedy; malformed/truncated files raise ValueError — never an internal
+    IndexError/struct.error (production batch runs isolate per-file
+    failures on these types, pipeline/batch.py)."""
+    try:
+        return _read_raw(path)
+    except (NotImplementedError, ValueError):
+        raise
+    except (struct.error, IndexError, KeyError, OverflowError) as e:
+        raise ValueError(
+            f"{path}: malformed or truncated RAW container ({type(e).__name__}: {e})"
+        ) from e
+
+
+def _read_raw(path: str) -> RawImage:
     with open(path, "rb") as f:
         buf = f.read()
     if buf[:8].startswith(b"FUJIFILM"):
@@ -228,13 +255,19 @@ def _read_tiff_raw(buf: bytes, path: str) -> RawImage:
         return read_rw2(buf, path)
     is_cr2 = buf[8:10] == b"CR"
 
-    # Collect IFDs: walk the chain plus SubIFDs.
+    # Collect IFDs: walk the chain plus SubIFDs. Visited-set + cap: a
+    # corrupted next-IFD pointer must not loop forever (fuzz finding).
     ifds = []
     offset = first_ifd
-    while offset:
+    seen: set = set()
+    while offset and offset not in seen and len(ifds) < 64:
+        seen.add(offset)
         ifd, offset = _read_ifd(buf, offset, endian)
         ifds.append(ifd)
-        for sub in ifd.get(_TAGS["SubIFDs"], []) or []:
+        for sub in (ifd.get(_TAGS["SubIFDs"], []) or [])[:16]:
+            if sub in seen:
+                continue
+            seen.add(sub)
             sub_ifd, _ = _read_ifd(buf, sub, endian)
             ifds.append(sub_ifd)
 
@@ -280,8 +313,11 @@ def _read_tiff_raw(buf: bytes, path: str) -> RawImage:
         )
     w = ifd[_TAGS["ImageWidth"]][0]
     h = ifd[_TAGS["ImageLength"]][0]
+    _check_dims(w, h, path)
     bits = (ifd.get(_TAGS["BitsPerSample"]) or [16])[0]
     spp = (ifd.get(_TAGS["SamplesPerPixel"]) or [1])[0]
+    if not 1 <= spp <= 4 or not 1 <= bits <= 16:
+        raise ValueError(f"{path}: implausible bits/spp {bits}/{spp}")
 
     # Metadata first: the Nikon-compressed decode below needs the
     # MakerNote's linearization blob.

@@ -133,6 +133,9 @@ def read_raf(buf: bytes, path: str) -> RawImage:
         black = 0.0
     if not w or not h:
         raise ValueError(f"{path}: RAF missing raw dimensions")
+    from raw2film_tpu.io.dng import _check_dims
+
+    _check_dims(int(w), int(h), path)
 
     n = h * w
     if len(payload) >= 2 * n:

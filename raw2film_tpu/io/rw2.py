@@ -112,6 +112,9 @@ def read_rw2(buf: bytes, path: str) -> RawImage:
     full_h = int(tag(0x0003, [0])[0])
     if not full_w or not full_h:
         raise ValueError(f"{path}: RW2 missing sensor dimensions")
+    from raw2film_tpu.io.dng import _check_dims
+
+    _check_dims(full_w, full_h, path)
     bits = int(tag(0x000A, [12])[0])
     raw_format = int(tag(0x002D, [0])[0])
     off_entry = tag(0x0118)

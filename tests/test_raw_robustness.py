@@ -1,0 +1,97 @@
+"""Malformed-input robustness: every supported container, truncated at
+arbitrary points or with corrupted bytes, must fail with the documented
+clean error types (ValueError / NotImplementedError) or decode — never an
+internal IndexError/KeyError/struct.error, and never crash the process
+(the batch runner isolates per-file failures on exactly these types)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from raw2film_tpu.io.dng import read_raw, write_dng
+from raw_fixtures import (
+    arw2_walk_mosaic,
+    rw2_walk_mosaic,
+    write_arw2,
+    write_cr2,
+    write_nef_compressed,
+    write_orf_compressed,
+    write_pef_compressed,
+    write_raf,
+    write_rw2,
+)
+
+
+def _writers(tmp_path):
+    m12 = np.random.default_rng(0).integers(0, 4096, (24, 32)).astype(np.uint16)
+    out = []
+    p = str(tmp_path / "a.dng")
+    write_dng(p, m12, white_level=4095)
+    out.append(p)
+    p = str(tmp_path / "b.dng")
+    write_dng(p, m12, white_level=4095, compression=7)
+    out.append(p)
+    p = str(tmp_path / "c.nef")
+    write_nef_compressed(p, m12, bits=12)
+    out.append(p)
+    p = str(tmp_path / "d.rw2")
+    write_rw2(p, rw2_walk_mosaic(20, 28))
+    out.append(p)
+    p = str(tmp_path / "e.raf")
+    write_raf(p, m12)
+    out.append(p)
+    p = str(tmp_path / "f.arw")
+    write_arw2(p, arw2_walk_mosaic(16, 32))
+    out.append(p)
+    p = str(tmp_path / "g.pef")
+    write_pef_compressed(p, m12)
+    out.append(p)
+    p = str(tmp_path / "h.orf")
+    write_orf_compressed(p, m12)
+    out.append(p)
+    p = str(tmp_path / "i.cr2")
+    write_cr2(p, m12)
+    out.append(p)
+    return out
+
+
+def test_truncations_fail_cleanly(tmp_path):
+    for src in _writers(tmp_path):
+        data = open(src, "rb").read()
+        for frac in (0.02, 0.1, 0.3, 0.6, 0.9):
+            cut = max(4, int(len(data) * frac))
+            p = str(tmp_path / "t.bin")
+            with open(p, "wb") as f:
+                f.write(data[:cut])
+            try:
+                read_raw(p)
+            except (ValueError, NotImplementedError):
+                pass  # the documented contract
+
+
+def test_byte_corruption_fails_cleanly(tmp_path):
+    rng = np.random.default_rng(1)
+    for src in _writers(tmp_path):
+        data = bytearray(open(src, "rb").read())
+        for _ in range(6):
+            corrupted = bytearray(data)
+            for _ in range(8):
+                pos = int(rng.integers(0, len(corrupted)))
+                corrupted[pos] = int(rng.integers(0, 256))
+            p = str(tmp_path / "c.bin")
+            with open(p, "wb") as f:
+                f.write(corrupted)
+            try:
+                read_raw(p)
+            except (ValueError, NotImplementedError):
+                pass
+
+
+def test_empty_and_garbage(tmp_path):
+    p = str(tmp_path / "x.raw")
+    for blob in (b"", b"\0" * 64, b"garbage not a tiff at all padding"):
+        with open(p, "wb") as f:
+            f.write(blob)
+        with pytest.raises((ValueError, NotImplementedError)):
+            read_raw(p)
