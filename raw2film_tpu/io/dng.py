@@ -372,7 +372,9 @@ def _read_tiff_raw(buf: bytes, path: str) -> RawImage:
             offsets = ifd[_TAGS["TileOffsets"]]
             counts = ifd[_TAGS["TileByteCounts"]]
             tiles_across = (w + tw - 1) // tw
-            for idx, (o, cnt) in enumerate(zip(offsets, counts)):
+
+            def _one_tile(args):
+                idx, o, cnt = args
                 flat, dw, dh, dc = decode_ljpeg(
                     bytes(buf[o : o + cnt]), tw * tl * spp * 2
                 )
@@ -384,6 +386,21 @@ def _read_tiff_raw(buf: bytes, path: str) -> RawImage:
                 eh = min(tl, h - ty)
                 ew = min(tw, w - tx)
                 data[ty : ty + eh, tx : tx + ew, 0] = tile[:eh, :ew]
+
+            jobs = [(i, o, c) for i, (o, c) in enumerate(zip(offsets, counts))]
+            if len(jobs) > 1:
+                # Tiles are independent and the native decoder runs outside
+                # the GIL (ctypes): a thread pool parallelizes the host
+                # decode — the wall-clock bottleneck of batch export.
+                import concurrent.futures as _cf
+                import os as _os
+
+                workers = min(len(jobs), _os.cpu_count() or 1, 16)
+                with _cf.ThreadPoolExecutor(max_workers=workers) as ex:
+                    list(ex.map(_one_tile, jobs))
+            else:
+                for job in jobs:
+                    _one_tile(job)
         else:
             offsets = ifd[_TAGS["StripOffsets"]]
             counts = ifd[_TAGS["StripByteCounts"]]

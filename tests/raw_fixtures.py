@@ -97,15 +97,30 @@ def _serialize(
     # so compute heap first with dummy zeros, then patch).
     serialized = []
     blob_refs = []  # (ifd_idx, entry_idx) needing blob offset patch
+    multi_refs = []  # (heap_pos, [blob indices]) for offset ARRAYS
     heap_cursor = heap_base
     for i, ifd in enumerate(ifds):
         ents = []
         for j, (tag, typ, values) in enumerate(ifd.entries):
             vals = values
+            if isinstance(values, tuple) and values and values[0] == "blobs" and len(values[1]) == 1:
+                values = ("blob", values[1][0])  # count-1 arrays are inline
             if isinstance(values, tuple) and values and values[0] in ("blob", "blob7"):
                 blob_refs.append((i, j, values[1], 7 if values[0] == "blob7" else 4))
                 vals = [0]
                 typ = 4
+            elif isinstance(values, tuple) and values and values[0] == "blobs":
+                # Offset ARRAY (e.g. TileOffsets): reserve heap space now,
+                # patch the offsets once the data base is known.
+                idxs = list(values[1])
+                multi_refs.append((heap_cursor, idxs))
+                eb = struct.pack(endian + "HHI", tag, 4, len(idxs)) + struct.pack(
+                    endian + "I", heap_cursor
+                )
+                heap += b"\0" * (4 * len(idxs))
+                heap_cursor = heap_base + len(heap)
+                ents.append(eb)
+                continue
             elif isinstance(values, tuple) and values and values[0] == "ifd":
                 vals = [offsets[values[1]]]
                 typ = 4
@@ -128,6 +143,10 @@ def _serialize(
         serialized[i][j] = struct.pack(endian + "HHI", tag, ptyp, count) + struct.pack(
             endian + "I", blob_offsets[bi]
         )
+    for heap_pos, idxs in multi_refs:
+        packed = struct.pack(endian + "I" * len(idxs), *[blob_offsets[k] for k in idxs])
+        at = heap_pos - heap_base
+        heap[at : at + len(packed)] = packed
 
     bom = b"II" if endian == "<" else b"MM"
     out = bytearray(bom + struct.pack(endian + "HI", magic, header))
@@ -143,6 +162,52 @@ def _serialize(
         if len(blob) % 2:
             out += b"\0"
     return bytes(out)
+
+
+def write_dng_tiled(
+    path, mosaic, tile_w=64, tile_h=32, make="raw2film-tpu", model="tiled"
+):
+    """Lossless-JPEG TILED DNG (the layout camera DNGs and Adobe DNG
+    Converter output use): the raw IFD carries TileWidth/Length/Offsets/
+    ByteCounts with one LJPEG blob per tile (edge tiles padded)."""
+    from raw2film_tpu.io.ljpeg import encode_ljpeg
+
+    h, w = mosaic.shape
+    m = np.asarray(mosaic, np.uint16)
+    tiles = []
+    for ty in range(0, h, tile_h):
+        for tx in range(0, w, tile_w):
+            t = np.zeros((tile_h, tile_w), np.uint16)
+            blk = m[ty : ty + tile_h, tx : tx + tile_w]
+            t[: blk.shape[0], : blk.shape[1]] = blk
+            tiles.append(encode_ljpeg(t))
+
+    from raw2film_tpu.data import XYZ_TO_REC709
+
+    ifd0 = _Ifd()
+    ifd0.add(254, 4, [0])
+    ifd0.add(256, 4, [w])
+    ifd0.add(257, 4, [h])
+    ifd0.add(258, 3, [16])
+    ifd0.add(259, 3, [7])
+    ifd0.add(262, 3, [32803])
+    ifd0.add(271, 2, make)
+    ifd0.add(272, 2, model)
+    ifd0.add(277, 3, [1])
+    ifd0.add(322, 4, [tile_w])
+    ifd0.add(323, 4, [tile_h])
+    ifd0.add(324, 4, ("blobs", list(range(len(tiles)))))
+    ifd0.add(325, 4, [len(t) for t in tiles])
+    ifd0.add(33421, 3, [2, 2])
+    ifd0.add(33422, 1, [0, 1, 1, 2])  # RGGB
+    ifd0.add(50706, 1, [1, 4, 0, 0])
+    ifd0.add(50714, 3, [0])
+    ifd0.add(50717, 3, [65535])
+    cm = np.asarray(XYZ_TO_REC709, np.float64).ravel()
+    ifd0.add(50721, 10, [(int(round(x * 10000)), 10000) for x in cm])
+    blob = _serialize([ifd0], tiles)
+    with open(path, "wb") as f:
+        f.write(blob)
 
 
 def write_nef(path, mosaic, bits=14, make="NIKON CORPORATION", model="NIKON Z 6"):

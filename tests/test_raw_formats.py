@@ -249,6 +249,31 @@ class TestPanasonicRW2:
         assert out.std() > 1.0  # actual image content
 
 
+class TestTiledDNG:
+    """Tiled lossless-JPEG DNGs (the camera/Adobe layout): tiles decode in
+    PARALLEL through the GIL-releasing native decoder and reassemble
+    exactly, including ragged edge tiles."""
+
+    def test_round_trip_exact(self, tmp_path):
+        from raw_fixtures import write_dng_tiled
+
+        rng = np.random.default_rng(12)
+        m = rng.integers(0, 65535, (80, 150)).astype(np.uint16)  # ragged edges
+        p = str(tmp_path / "t.dng")
+        write_dng_tiled(p, m, tile_w=64, tile_h=32)
+        raw = read_raw(p)
+        np.testing.assert_array_equal(raw.data.astype(np.uint16), m)
+        assert raw.cfa_pattern == "RGGB"
+
+    def test_single_tile(self, tmp_path):
+        from raw_fixtures import write_dng_tiled
+
+        m = _mosaic(32, 64, bits=14)
+        p = str(tmp_path / "s.dng")
+        write_dng_tiled(p, m, tile_w=64, tile_h=32)
+        np.testing.assert_array_equal(read_raw(p).data.astype(np.uint16), m)
+
+
 class TestCR3Container:
     """CR3 raw payloads (CRX) stay unsupported, but the ISO-BMFF container
     serves browsing: PRVW/THMB preview JPEGs + CMT1 EXIF metadata."""
