@@ -362,10 +362,15 @@ int r2f_decode_rw2_v4(const uint8_t* src, long len, int width, int height,
   const long SPLIT = 0x1ff8;  // bytes of each section stored at the end
   const long PPS = (SECTION / 16) * 14;  // pixels per section
   long npix = long(width) * height;
+  long n_sections = (npix + PPS - 1) / PPS;
 
+  // Sections are self-contained (per-packet predictor state): decode them
+  // in parallel.
+  auto section_worker = [&](long s0, long s1) {
   std::vector<uint8_t> sec(SECTION + 2, 0);
-  long pix = 0;
-  for (long sec_base = 0; pix < npix; sec_base += SECTION) {
+  for (long s = s0; s < s1; ++s) {
+    long sec_base = s * SECTION;
+    long pix = s * PPS;
     // Un-rotate: buffer = file[split:SECTION] + file[0:split].
     for (long i = 0; i < SECTION; ++i) {
       long fo = sec_base + ((i < SECTION - SPLIT) ? (SPLIT + i)
@@ -404,7 +409,23 @@ int r2f_decode_rw2_v4(const uint8_t* src, long len, int width, int height,
         if (idx < npix) out[idx] = uint16_t(pred[i & 1] & 0xffff);
       }
     }
-    pix += sec_pixels;
+  }
+  };
+  int nthreads = int(std::thread::hardware_concurrency());
+  if (nthreads < 1) nthreads = 1;
+  if (nthreads > 16) nthreads = 16;
+  if (nthreads == 1 || n_sections < 2) {
+    section_worker(0, n_sections);
+  } else {
+    std::vector<std::thread> threads;
+    long per = (n_sections + nthreads - 1) / nthreads;
+    for (int t = 0; t < nthreads; ++t) {
+      long s0 = t * per;
+      long s1 = s0 + per < n_sections ? s0 + per : n_sections;
+      if (s0 >= s1) break;
+      threads.emplace_back(section_worker, s0, s1);
+    }
+    for (auto& th : threads) th.join();
   }
   return 0;
 }
@@ -596,11 +617,17 @@ int r2f_decode_arw2(const uint8_t* src, long len, int width, int height,
                     const uint16_t* curve, uint16_t* out) {
   if (width <= 0 || height <= 0) return -1;
   if (long(width) * height > len) return -2;  // one byte per pixel
+  // Rows carry no cross-row state: decode them in parallel (the whole
+  // call already runs outside the GIL via ctypes).
+  int nthreads = int(std::thread::hardware_concurrency());
+  if (nthreads < 1) nthreads = 1;
+  if (nthreads > 16) nthreads = 16;
+  auto rows_worker = [&](int r0, int r1) {
   // Row copy with a guard byte: the final 7-bit delta read of a block
   // touches dp[16] (masked out), which for the last block of the last row
   // is one past the payload.
   std::vector<uint8_t> rowbuf(size_t(width) + 2, 0);
-  for (int row = 0; row < height; ++row) {
+  for (int row = r0; row < r1; ++row) {
     std::memcpy(rowbuf.data(), src + long(row) * width, size_t(width));
     const uint8_t* data = rowbuf.data();
     int col = 0;
@@ -633,6 +660,20 @@ int r2f_decode_arw2(const uint8_t* src, long len, int width, int height,
       }
       col -= (col & 1) ? 1 : 31;
     }
+  }
+  };
+  if (nthreads == 1 || height < 2 * nthreads) {
+    rows_worker(0, height);
+  } else {
+    std::vector<std::thread> threads;
+    int rows_per = (height + nthreads - 1) / nthreads;
+    for (int t = 0; t < nthreads; ++t) {
+      int r0 = t * rows_per;
+      int r1 = r0 + rows_per < height ? r0 + rows_per : height;
+      if (r0 >= r1) break;
+      threads.emplace_back(rows_worker, r0, r1);
+    }
+    for (auto& th : threads) th.join();
   }
   return 0;
 }
