@@ -58,6 +58,20 @@ def build_parser() -> argparse.ArgumentParser:
         help="ICC profile to soft-proof through (with --display-profile as target)",
     )
     p.add_argument("--full-res", action="store_true", help="disable half-size decode")
+    p.add_argument(
+        "--num-processes", type=int, default=1,
+        help="export-fleet size: this invocation handles files"
+        " [process-id::num-processes] (run one per host)",
+    )
+    p.add_argument(
+        "--process-id", type=int, default=0, help="this process's fleet index"
+    )
+    p.add_argument(
+        "--coordinator", default=None,
+        help="host:port of the jax.distributed coordinator — required when"
+        " the fleet shares one TPU pod (each host must join before using its"
+        " chips); omit for independent hosts",
+    )
     p.add_argument("--trace", action="store_true", help="print per-stage timings")
     p.add_argument(
         "--export-lut",
@@ -177,6 +191,22 @@ def main(argv: list[str] | None = None) -> int:
     if not files:
         print("no RAW inputs found", file=sys.stderr)
         return 2
+
+    if args.num_processes > 1 or args.coordinator:
+        # Fleet export (docs/scaling.md Tier 2): slice the file list per
+        # process — RAW bytes never cross hosts; join the pod coordinator
+        # when the hosts share TPU chips.
+        from raw2film_tpu.parallel.distributed import init_process, my_file_slice
+
+        if args.coordinator:
+            init_process(args.coordinator, args.num_processes, args.process_id)
+        files = my_file_slice(files, args.process_id, args.num_processes)
+        print(
+            f"fleet process {args.process_id}/{args.num_processes}: "
+            f"{len(files)} files"
+        )
+        if not files:
+            return 0
 
     if args.negative_film not in stocks:
         print(f"unknown negative stock {args.negative_film!r}; see --list-stocks", file=sys.stderr)

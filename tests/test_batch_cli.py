@@ -205,6 +205,34 @@ class TestCLI:
 
 
 class TestExportLut:
+    def test_fleet_slicing(self, tmp_path):
+        """--num-processes/--process-id slice the file list round-robin:
+        two invocations cover disjoint halves (one per host in a fleet)."""
+        import numpy as np
+
+        from raw2film_tpu.cli import main
+        from raw2film_tpu.io.dng import write_dng
+
+        rng = np.random.default_rng(0)
+        for i in range(4):
+            write_dng(
+                str(tmp_path / f"{i}.dng"),
+                rng.integers(3000, 50000, (40, 64)).astype(np.uint16),
+                white_level=60000,
+            )
+        out = str(tmp_path / "out")
+        for pid in (0, 1):
+            rc = main(
+                [
+                    str(tmp_path), "-o", out, "--grain", "0",
+                    "--num-processes", "2", "--process-id", str(pid),
+                ]
+            )
+            assert rc == 0
+        import os
+
+        assert sorted(os.listdir(out)) == ["0.jpg", "1.jpg", "2.jpg", "3.jpg"]
+
     def test_cli_exports_cube(self, tmp_path):
         from raw2film_tpu.cli import main
         from raw2film_tpu.io.cube import read_cube
