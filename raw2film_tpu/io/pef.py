@@ -58,6 +58,8 @@ def read_huff_table(
                 return None
             (ptr,) = struct.unpack_from(endian + "I", mn, pos - 4)
             for blob_off in (ptr, ptr - 10):  # relative bases seen in the wild
+                if blob_off < 0:  # would wrap into the buffer tail
+                    continue
                 blob = mn[blob_off : blob_off + n]
                 parsed = parse_huff_blob(blob, endian)
                 if parsed is not None:

@@ -116,14 +116,20 @@ def _load_cached(src: str, half_size: bool):
 
 
 def raw_to_linear(
-    src: str, half_size: bool = True, cache: bool = True
+    src, half_size: bool = True, cache: bool = True
 ) -> tuple[jnp.ndarray, dict]:
-    """File path -> (device (3, H, W) XYZ auto-exposed to mid-grey, metadata).
+    """File path (or a pre-parsed RawImage) -> (device (3, H, W) XYZ
+    auto-exposed to mid-grey, metadata).
 
     Reference contract: normalized to [0,1], then scaled by
     2**calc_exposure(...) (src/raw2film/raw_conversion.py:49-52).
+    Accepting a RawImage lets callers that already parsed the container
+    (e.g. the batch fast-path eligibility check) avoid decoding twice.
     """
-    if cache:
+    if isinstance(src, RawImage):
+        xyz = decode_raw(src, half_size=half_size)
+        metadata = src.metadata
+    elif cache:
         xyz, metadata = _load_cached(src, half_size)
     else:
         raw = read_raw(src)

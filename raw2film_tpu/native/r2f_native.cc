@@ -345,16 +345,17 @@ int r2f_decode_nef(const uint8_t* src, long len, const uint8_t* counts1,
 // PanasonicDecompressorV4). Layout: the stream is split into 0x4000-byte
 // sections whose first 0x1ff8 bytes are stored LAST (section rotation,
 // dcraw load_flags 0x2008); each section holds 1024 fixed-size 16-byte
-// packets of 14 pixels, the buffer consumed from its END backwards (packet
-// k occupies bytes [0x4000-16(k+1), 0x4000-16k)). Within a packet, dcraw's
-// pana_bits addressing: with v = 128 - p bits remaining after a read of n
-// ends at bit-position p, the value is ((pk[v>>3] | pk[(v>>3)+1]<<8) >>
-// (v&7)) & mask — each byte consumed from its high bits down, spanning
-// reads borrow the NEXT byte's low bits; this packs the per-packet read
-// sequence (two 12-bit lane seeds, 2-bit shift tokens before every third
-// pixel, 8-bit deltas) bijectively into exactly 128 bits. Per 14-pixel
-// packet: two interleaved predictor lanes; deltas are signed in units of
-// 1<<sh with a reseed quirk at sh==4.
+// packets of 14 pixels, packet k at bytes [16k, 16(k+1)) in FORWARD order
+// (dcraw's pana_bits byte index is `vbits >> 3 ^ 0x3ff0`: the XOR flips
+// only the within-packet byte order, not the packet sequence). Within a
+// packet, with v = 128 - p bits remaining after a read of n ends at
+// bit-position p, the value is ((pk[v>>3] | pk[(v>>3)+1]<<8) >> (v&7)) &
+// mask — each byte consumed from its high bits down, spanning reads borrow
+// the NEXT byte's low bits; this packs the per-packet read sequence (two
+// 12-bit lane seeds, 2-bit shift tokens before every third pixel, 8-bit
+// deltas) bijectively into exactly 128 bits. Per 14-pixel packet: two
+// interleaved predictor lanes; deltas are signed in units of 1<<sh with a
+// reseed quirk at sh==4.
 int r2f_decode_rw2_v4(const uint8_t* src, long len, int width, int height,
                       uint16_t* out) {
   if (width <= 0 || height <= 0 || width % 14 != 0) return -1;
@@ -381,7 +382,7 @@ int r2f_decode_rw2_v4(const uint8_t* src, long len, int width, int height,
 
     long sec_pixels = npix - pix < PPS ? npix - pix : PPS;
     for (long pk = 0; pk * 14 < sec_pixels; ++pk) {
-      const uint8_t* buf = sec.data() + (SECTION - 16 * (pk + 1));
+      const uint8_t* buf = sec.data() + 16 * pk;
       int p = 0;  // bits consumed within this packet
       auto bits = [&](int n) -> int {
         p += n;

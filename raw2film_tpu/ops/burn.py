@@ -16,7 +16,7 @@ from raw2film_tpu.ops import conv as convops
 
 
 def down_up_blur(
-    mask: jnp.ndarray, burn_scale: float = 50.0
+    mask: jnp.ndarray, burn_scale: float = 50.0, factor: int | None = None
 ) -> jnp.ndarray:
     """(1, H, W) -> (1, H, W): area-downsample, sigma=3 trunc=2 blur, upsample.
 
@@ -26,7 +26,8 @@ def down_up_blur(
     bandwidth bound is ~0.5 ms.
     """
     h, w = mask.shape[-2:]
-    factor = max(1, math.ceil(min(h, w) / burn_scale))
+    if factor is None:
+        factor = max(1, math.ceil(min(h, w) / burn_scale))
     if convops._use_pallas() and factor > 8:
         small = convops.box_downsample_mxu(mask, factor)
         blurred = convops.gaussian_blur(small, 3.0, truncate=2.0)
@@ -45,13 +46,19 @@ def burn(
     d_ref_green: float,
     highlight_burn: float,
     burn_scale: float = 50.0,
+    ref_hw: tuple | None = None,
 ) -> jnp.ndarray:
     """Apply highlight burn to a density-domain planar image (3, H, W).
 
     Uses the green channel (or the single channel for BW) as the luminance
     proxy, like the reference (src/raw2film/effects.py:411-414).
+    ``ref_hw`` overrides the dimensions the blur factor derives from —
+    space-sharded renders pass the GLOBAL frame size so every shard uses
+    the single-device factor (parallel/mesh.py halo path).
     """
     g = density[1:2]
     mask = jnp.maximum(g - d_ref_green, 0.0)
-    blur = down_up_blur(mask, burn_scale)
+    rh, rw = ref_hw if ref_hw is not None else density.shape[-2:]
+    factor = max(1, math.ceil(min(int(rh), int(rw)) / burn_scale))
+    blur = down_up_blur(mask, burn_scale, factor=factor)
     return jnp.maximum(density - highlight_burn * blur, 0.0)

@@ -67,9 +67,15 @@ def distributed_batch_render(mesh, cfg, local_xyz, bundle, local_keys):
         jax.tree.map(jnp.asarray, bundle), NamedSharding(mesh, P())
     )
     out = sharded_batch_render(mesh, cfg)(xyz_g, bundle_dev, keys_g)
-    # Gather this process's rows from its addressable shards.
-    shards = sorted(
-        out.addressable_shards, key=lambda s: s.index[0].start or 0
-    )
-    local = np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+    # Reassemble this process's rows from its addressable shards, honoring
+    # BOTH sharded axes (batch and, when the mesh has one, space).
+    shards = list(out.addressable_shards)
+    b_starts = sorted({s.index[0].start or 0 for s in shards})
+    assert b_starts, "process owns no shards"
+    local = np.empty((b_local, *out.shape[1:]), out.dtype)
+    for s in shards:
+        b0 = (s.index[0].start or 0) - b_starts[0]
+        r0 = s.index[2].start or 0
+        data = np.asarray(s.data)
+        local[b0 : b0 + data.shape[0], :, r0 : r0 + data.shape[2], :] = data
     return local

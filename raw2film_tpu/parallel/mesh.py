@@ -56,10 +56,10 @@ def batch_render_fn(cfg: RenderConfig):
     and a loop has identical throughput for full-frame work.
     """
 
-    def fn(xyz_batch, bundle, keys, grain_row_offset=0):
+    def fn(xyz_batch, bundle, keys, grain_row_offset=0, burn_ref_hw=None):
         return jax.lax.map(
             lambda xk: render_chain(
-                xk[0], bundle, cfg, xk[1], grain_row_offset
+                xk[0], bundle, cfg, xk[1], grain_row_offset, burn_ref_hw
             ),
             (xyz_batch, keys),
         )
@@ -156,10 +156,14 @@ def sharded_batch_render(mesh: Mesh, cfg: RenderConfig, space_mode: str = "halo"
             top = jnp.where(idx == 0, top_rep, top)
             bot = jnp.where(idx == space - 1, bot_rep, bot)
             padded = jnp.concatenate([top, xyz, bot], axis=2)
-            # Grain hash rows in GLOBAL image coordinates: padded row 0 is
-            # global row idx*h_loc - halo, so every shard evaluates the
-            # same stateless field and seams are grain-exact.
-            out = fn(padded, bundle, keys, idx * h_loc - halo)
+            # Grain hash rows in GLOBAL image coordinates (padded row 0 is
+            # global row idx*h_loc - halo) so seams are grain-exact; burn's
+            # blur factor pinned to the GLOBAL frame size so every shard
+            # matches the single-device tone mapping.
+            out = fn(
+                padded, bundle, keys, idx * h_loc - halo,
+                (h_loc * space, w),
+            )
             return out[:, :, halo:-halo, :]
 
         return jax.jit(

@@ -42,36 +42,52 @@ def _resolve_stock(stock) -> FilmStock | None:
 
 def _aspect_crop_window(h: int, w: int, aspect: float) -> tuple[slice, slice]:
     """The (rows, cols) window geometry.crop_to_aspect would keep on the
-    demosaiced (C, h, w) image — same ceil-center formulas."""
+    demosaiced (C, h, w) image — a literal transcription of its branch
+    structure (x = rows, y = cols), verified branch-for-branch by
+    tests/test_pipeline.py::test_aspect_window_matches_crop_to_aspect."""
     import math
 
-    if w > h:
-        if w > aspect * h:
-            lo = math.ceil(w / 2 - h * aspect / 2)
-            hi = math.ceil(w / 2 + h * aspect / 2)
-            return slice(0, h), slice(lo, hi)
-        lo = math.ceil(h / 2 - w / aspect / 2)
-        hi = math.ceil(h / 2 + w / aspect / 2)
-        return slice(lo, hi), slice(0, w)
-    if h > aspect * w:
-        lo = math.ceil(h / 2 - w * aspect / 2)
-        hi = math.ceil(h / 2 + w * aspect / 2)
-        return slice(lo, hi), slice(0, w)
-    lo = math.ceil(w / 2 - h / aspect / 2)
-    hi = math.ceil(w / 2 + h / aspect / 2)
-    return slice(0, h), slice(lo, hi)
+    x, y = h, w
+    if x > y:
+        if x > aspect * y:
+            lo = math.ceil(x / 2 - y * aspect / 2)
+            hi = math.ceil(x / 2 + y * aspect / 2)
+            return slice(lo, hi), slice(0, y)
+        lo = math.ceil(y / 2 - x / aspect / 2)
+        hi = math.ceil(y / 2 + x / aspect / 2)
+        return slice(0, x), slice(lo, hi)
+    if y > aspect * x:
+        lo = math.ceil(y / 2 - x * aspect / 2)
+        hi = math.ceil(y / 2 + x * aspect / 2)
+        return slice(0, x), slice(lo, hi)
+    lo = math.ceil(x / 2 - y / aspect / 2)
+    hi = math.ceil(x / 2 + y / aspect / 2)
+    return slice(lo, hi), slice(0, y)
+
+
+def _staged_crop_window(h: int, w: int, aspect: float) -> tuple[slice, slice]:
+    """The COMPOSED window of geometry.crop_rotate_zoom's two
+    crop_to_aspect applications (rotation=0 path: crop, no-op rotate, crop
+    again — the ceil-center crop is not idempotent, e.g. a square input
+    loses one extra row on the second pass)."""
+    r1, c1 = _aspect_crop_window(h, w, aspect)
+    r2, c2 = _aspect_crop_window(r1.stop - r1.start, c1.stop - c1.start, aspect)
+    return (
+        slice(r1.start + r2.start, r1.start + r2.stop),
+        slice(c1.start + c2.start, c1.start + c2.stop),
+    )
 
 
 def _mosaic_aspect_crop(
     mosaic: np.ndarray, aspect: float
 ) -> tuple[np.ndarray, tuple[int, int, int, int] | None]:
     """Pre-crop an (H, W) mosaic for the fused path so the post-demosaic
-    window matches geometry.crop_to_aspect EXACTLY: crop an even-aligned
+    window matches geometry.crop_rotate_zoom EXACTLY: crop an even-aligned
     superset (Bayer phase preserved, +4 px context so the demosaic kernels
     see the same neighbors as a full-frame demosaic) and return the inner
     (y0, x0, h, w) to slice after demosaic (None = no slice needed)."""
     h, w = mosaic.shape
-    rows, cols = _aspect_crop_window(h, w, aspect)
+    rows, cols = _staged_crop_window(h, w, aspect)
     ext = 4
     y_lo = max(rows.start - ext, 0)
     y_lo -= y_lo % 2
@@ -158,8 +174,10 @@ class Processor:
         lens=None,
     ):
         """Decode + geometry; returns (device planar XYZ, orig_resolution)."""
+        from raw2film_tpu.io.dng import RawImage as _RawImage
+
         key = (
-            str(src),
+            f"<RawImage {id(src):#x}>" if isinstance(src, _RawImage) else str(src),
             frame_width,
             frame_height,
             rotation,
@@ -181,9 +199,11 @@ class Processor:
                 xyz = xyz.transpose(2, 0, 1)  # accept HWC input
             metadata = {}
         else:
+            from raw2film_tpu.io.dng import RawImage
             from raw2film_tpu.io.raw import raw_to_linear
 
-            dev_xyz, metadata = raw_to_linear(str(src), half_size=half_size, cache=cache)
+            arg = src if isinstance(src, RawImage) else str(src)
+            dev_xyz, metadata = raw_to_linear(arg, half_size=half_size, cache=cache)
             xyz = np.asarray(dev_xyz)
 
         if lens_correction and metadata:
@@ -530,31 +550,29 @@ class Processor:
 
     def _try_load_mosaic(self, src, load_kw: dict):
         """Fused-decode eligibility + host prep for one source. Returns
-        (normalized mosaic, pattern, cam_to_xyz, exposure_gain) or None
-        when the image needs the standard path (geometry, lens, NR,
-        non-Bayer CFA, camera orientation, scaling, or half-size preview).
-        """
+        (fast_tuple | None, parsed RawImage | None): the fast tuple =
+        (normalized mosaic, pattern, cam_to_xyz, exposure_gain, crop) when
+        eligible; otherwise the already-parsed RawImage is handed back so
+        the standard path never decodes the file twice (host decode is the
+        batch wall-clock bottleneck)."""
         if isinstance(src, np.ndarray):
-            return None
+            return None, None
         if load_kw.get("half_size", True):
-            return None
+            return None, None
         for k in ("rotation", "rotate_times", "flip", "lens_correction", "chroma_nr"):
             if load_kw.get(k):
-                return None
+                return None, None
         if float(load_kw.get("zoom", 1.0)) != 1.0:
-            return None
+            return None, None
         if load_kw.get("resolution") is not None or load_kw.get("max_scale") is not None:
-            return None
+            return None, None
         from raw2film_tpu.io.dng import read_raw
 
-        try:
-            raw = read_raw(str(src))
-        except Exception:
-            return None
+        raw = read_raw(str(src))
         if raw.cfa_pattern is None or len(raw.cfa_pattern) != 4:
-            return None
+            return None, raw
         if int(raw.metadata.get("EXIF:Orientation", 1) or 1) != 1:
-            return None
+            return None, raw
         inv_range = 1.0 / max(raw.white_level - raw.black_level, 1.0)
         mosaic = np.clip(
             (np.asarray(raw.data, np.float32) - raw.black_level) * inv_range,
@@ -580,7 +598,7 @@ class Processor:
         fw = float(load_kw.get("frame_width", 36.0))
         fh = float(load_kw.get("frame_height", 24.0))
         mosaic, crop = _mosaic_aspect_crop(mosaic, fw / fh)
-        return mosaic, raw.cfa_pattern, cam, gain, crop
+        return (mosaic, raw.cfa_pattern, cam, gain, crop), None
 
     def process_batch(
         self,
@@ -649,8 +667,10 @@ class Processor:
         buckets: dict[tuple, list[tuple[int, np.ndarray, tuple]]] = {}
         mosaic_buckets: dict[tuple, list[tuple]] = {}
         for idx, src in enumerate(srcs):
-            fast = (
-                self._try_load_mosaic(src, load_kw) if fused_ok else None
+            fast, parsed = (
+                self._try_load_mosaic(src, load_kw)
+                if fused_ok
+                else (None, None)
             )
             if fast is not None:
                 mosaic, pattern, cam, gain, crop = fast
@@ -658,7 +678,9 @@ class Processor:
                     (mosaic.shape, pattern, crop), []
                 ).append((idx, mosaic, cam, gain))
                 continue
-            xyz, orig_res, _m = self.load_image(src, cache=False, **load_kw)
+            xyz, orig_res, _m = self.load_image(
+                parsed if parsed is not None else src, cache=False, **load_kw
+            )
             arr = np.asarray(xyz)
             buckets.setdefault(arr.shape, []).append((idx, arr, orig_res))
 
@@ -723,6 +745,8 @@ class Processor:
         # inside the render program.
         from raw2film_tpu.pipeline.render import batch_mosaic_render_fn
 
+        import dataclasses as _dc
+
         for (shape, pattern, crop), items in mosaic_buckets.items():
             out_shape = (crop[2], crop[3]) if crop is not None else shape
             scale = max(out_shape) / max(fw, fh)
@@ -730,9 +754,10 @@ class Processor:
                 negative_film, print_film, prt_mode, scale, merged
             )
             if icc_transform is not None:
-                import dataclasses as _dc
-
                 cfg = _dc.replace(cfg, icc=True)
+            fusion_key = (cfg, ("mosaic", shape, pattern, crop))
+            if cfg.fusion and fusion_key in self._fusion_bad:
+                cfg = _dc.replace(cfg, fusion=False)
             img_bytes = int(np.prod(shape)) * 4 * 3
             group = max(1, int(2e9 // max(img_bytes, 1)))
             fn = _jax.jit(batch_mosaic_render_fn(cfg, pattern, crop))
@@ -744,7 +769,23 @@ class Processor:
                 keys = jnp.stack(
                     [_jax.random.fold_in(base_key, idx) for idx, *_ in part]
                 )
-                out = np.asarray(fn(mosaics, cams, gains, bundle, keys))
+                try:
+                    out = np.asarray(fn(mosaics, cams, gains, bundle, keys))
+                except Exception as e:
+                    # Same Mosaic scoped-VMEM retry + latch as process().
+                    if not cfg.fusion or "vmem" not in str(e).lower():
+                        raise
+                    import warnings
+
+                    warnings.warn(
+                        f"fused batch render failed to compile "
+                        f"({type(e).__name__}); retrying with fusion disabled",
+                        stacklevel=2,
+                    )
+                    self._fusion_bad.add(fusion_key)
+                    cfg = _dc.replace(cfg, fusion=False)
+                    fn = _jax.jit(batch_mosaic_render_fn(cfg, pattern, crop))
+                    out = np.asarray(fn(mosaics, cams, gains, bundle, keys))
                 for (idx, *_), img in zip(part, out):
                     results[idx] = self._finish(
                         img, orig_resolution=None, **finish_kw

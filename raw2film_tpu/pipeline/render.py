@@ -186,12 +186,15 @@ def render_chain(
     cfg: RenderConfig,
     noise_key: Array,
     grain_row_offset=0,
+    burn_ref_hw: tuple | None = None,
 ) -> Array:
     """(3, H, W) float32 camera XYZ -> (3, H, W) uint8 encoded output.
 
     ``grain_row_offset`` (traced int ok) shifts the grain hash rows to
     global image coordinates — a row-sharded render reproduces the
-    single-device grain field exactly (parallel/mesh.py halo path)."""
+    single-device grain field exactly; ``burn_ref_hw`` (static) pins the
+    highlight-burn blur factor to the GLOBAL frame size so shards match
+    the single-device factor (parallel/mesh.py halo path)."""
     img = xyz
     if cfg.chroma_nr:
         img = nr_ops.chroma_nr(img, cfg.chroma_nr)
@@ -346,7 +349,8 @@ def render_chain(
 
     if cfg.highlight_burn:
         d = burn_ops.burn(
-            d, bundle["d_ref_green"], bundle["highlight_burn"], cfg.burn_scale
+            d, bundle["d_ref_green"], bundle["highlight_burn"], cfg.burn_scale,
+            ref_hw=burn_ref_hw,
         )
 
     # Print / inversion / direct view (planes: fully fused elementwise).

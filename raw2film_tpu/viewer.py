@@ -728,7 +728,12 @@ def make_handler(state: ViewerState):
                     self._json({"stocks": state.stock_info()})
                 elif u.path == "/api/swatch":
                     name = q.get("name", [""])[0]
-                    self._send(200, state.swatch_png(name), "image/png")
+                    try:
+                        png = state.swatch_png(name)
+                    except KeyError:
+                        self._json({"error": f"unknown stock {name!r}"}, 404)
+                    else:
+                        self._send(200, png, "image/png")
                 elif u.path == "/api/icc":
                     self._json(dict(state.icc_paths, active=state._icc_transform is not None))
                 else:

@@ -427,11 +427,12 @@ def rw2_v4_compress(mosaic: np.ndarray) -> bytes:
     stream = bytearray()
     per_sec = SECTION // 16
     for s0 in range(0, len(packets), per_sec):
-        # Packets fill each section from its END backwards (pana_bits
-        # consumes the 16KB buffer high-address-first).
+        # Packets fill each section FORWARD (dcraw's ^0x3ff0 flips only the
+        # within-packet byte order); bytes within a packet are written
+        # high-to-low by the put() addressing above.
         sec = bytearray(SECTION)
         for k, pkt in enumerate(packets[s0 : s0 + per_sec]):
-            base = SECTION - 16 * (k + 1)
+            base = 16 * k
             sec[base : base + 16] = pkt
         stream += bytes(sec[SECTION - SPLIT :]) + bytes(sec[: SECTION - SPLIT])
     return bytes(stream)

@@ -388,6 +388,54 @@ class TestProcessBatch:
         single = proc.process(a, "Kodak Portra 400", **kw)
         np.testing.assert_array_equal(single, split_buckets[0])
 
+    def test_aspect_window_matches_crop_to_aspect(self):
+        """The fused path's precomputed crop window must equal
+        geometry.crop_to_aspect for EVERY branch: portrait/landscape/square,
+        narrower and wider than the target aspect."""
+        from raw2film_tpu.pipeline.geometry import crop_to_aspect
+        from raw2film_tpu.pipeline.processor import _aspect_crop_window
+
+        from raw2film_tpu.pipeline.processor import _staged_crop_window
+
+        shapes = [
+            (40, 60), (60, 40), (50, 50), (40, 41), (41, 40),
+            (30, 90), (90, 30), (36, 54), (54, 36), (24, 65), (64, 64),
+        ]
+        for h, w in shapes:
+            for aspect in (1.5, 1.0, 2.7, 65 / 24):
+                img = np.arange(h * w, dtype=np.float32).reshape(1, h, w)
+                want = crop_to_aspect(img, aspect)
+                rows, cols = _aspect_crop_window(h, w, aspect)
+                got = img[:, rows, cols]
+                assert got.shape == want.shape, (h, w, aspect, got.shape, want.shape)
+                np.testing.assert_array_equal(got, want)
+                # The staged pipeline applies the crop TWICE (around the
+                # rotate step); the composed window must match that too.
+                want2 = crop_to_aspect(want, aspect)
+                rows2, cols2 = _staged_crop_window(h, w, aspect)
+                got2 = img[:, rows2, cols2]
+                assert got2.shape == want2.shape, (h, w, aspect)
+                np.testing.assert_array_equal(got2, want2)
+
+    def test_fused_decode_square_mosaic_matches_staged(self, tmp_path):
+        """Square inputs exercise both the transcription's final branch and
+        the non-idempotent double crop."""
+        from raw2film_tpu.io.dng import write_dng
+
+        sq = (
+            8000 + np.random.default_rng(1).integers(0, 30000, (64, 64))
+        ).astype(np.uint16)
+        p = str(tmp_path / "sq.dng")
+        write_dng(p, sq, white_level=60000)
+        proc = Processor()
+        kw = dict(print_film=None, grain=0, halation=False, sharpness=False,
+                  half_size=False)
+        f = proc.process_batch([p], "Kodak Portra 400", **kw)
+        s = proc.process_batch([p], "Kodak Portra 400", fused_decode=False, **kw)
+        assert f[0].shape == s[0].shape
+        d = np.abs(f[0].astype(np.int32) - s[0].astype(np.int32))
+        assert d.max() <= 2, d.max()
+
     def test_fused_decode_matches_staged_path(self, tmp_path):
         """File sources with no geometry/lens/NR work take the fused-mosaic
         path (demosaic + camera matrix + exposure inside the render
