@@ -88,6 +88,52 @@ def test_byte_corruption_fails_cleanly(tmp_path):
                 pass
 
 
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_codec_stress_round_trips(tmp_path, seed):
+    """Property-style stress: every lossless codec round-trips bit-exactly
+    across random data, seeds, and shape classes (odd dims, tall/wide)."""
+    rng = np.random.default_rng(seed)
+    from raw_fixtures import (
+        write_dng_tiled,
+        write_orf_compressed,
+        write_pef_compressed,
+    )
+
+    shapes = [(17, 23), (8, 128), (128, 8), (31, 47)]
+    for h, w in shapes:
+        m12 = rng.integers(0, 4096, (h, w)).astype(np.uint16)
+        p = str(tmp_path / "s.pef")
+        write_pef_compressed(p, m12)
+        np.testing.assert_array_equal(read_raw(p).data.astype(np.uint16), m12)
+        p = str(tmp_path / "s.orf")
+        write_orf_compressed(p, m12)
+        np.testing.assert_array_equal(read_raw(p).data.astype(np.uint16), m12)
+
+    m16 = rng.integers(0, 65536, (44, 76)).astype(np.uint16)
+    p = str(tmp_path / "s.dng")
+    write_dng_tiled(p, m16, tile_w=32, tile_h=16)
+    np.testing.assert_array_equal(read_raw(p).data.astype(np.uint16), m16)
+
+    m14 = rng.integers(0, 16384, (26, 38)).astype(np.uint16)
+    write_nef_compressed(str(tmp_path / "s.nef"), m14, bits=14)
+    np.testing.assert_array_equal(
+        read_raw(str(tmp_path / "s.nef")).data.astype(np.uint16), m14
+    )
+
+    m = rw2_walk_mosaic(22, 14 * 5, seed=seed)
+    write_rw2(str(tmp_path / "s.rw2"), m)
+    np.testing.assert_array_equal(
+        read_raw(str(tmp_path / "s.rw2")).data.astype(np.uint16), m
+    )
+
+    a = arw2_walk_mosaic(18, 32, seed=seed)
+    write_arw2(str(tmp_path / "s.arw"), a)
+    np.testing.assert_array_equal(
+        read_raw(str(tmp_path / "s.arw")).data.astype(np.uint16),
+        (a.astype(np.int64) * 8).astype(np.uint16),
+    )
+
+
 def test_empty_and_garbage(tmp_path):
     p = str(tmp_path / "x.raw")
     for blob in (b"", b"\0" * 64, b"garbage not a tiff at all padding"):
