@@ -35,6 +35,10 @@ def __getattr__(name):  # lazy: these pull in threading/io machinery
         from raw2film_tpu.pipeline.batch import BatchRunner
 
         return BatchRunner
+    if name == "render_chain_from_mosaic":
+        from raw2film_tpu.pipeline.render import render_chain_from_mosaic
+
+        return render_chain_from_mosaic
     raise AttributeError(name)
 
 
@@ -50,5 +54,6 @@ __all__ = [
     "merge_params",
     "PreviewEngine",
     "BatchRunner",
+    "render_chain_from_mosaic",
     "R2F_BASE_DIR",
 ]
