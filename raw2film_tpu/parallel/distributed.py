@@ -73,9 +73,23 @@ def distributed_batch_render(mesh, cfg, local_xyz, bundle, local_keys):
     b_starts = sorted({s.index[0].start or 0 for s in shards})
     assert b_starts, "process owns no shards"
     local = np.empty((b_local, *out.shape[1:]), out.dtype)
+    covered = 0
     for s in shards:
         b0 = (s.index[0].start or 0) - b_starts[0]
         r0 = s.index[2].start or 0
         data = np.asarray(s.data)
+        if not 0 <= b0 <= b_local - data.shape[0]:
+            raise RuntimeError(
+                "non-contiguous batch ownership: this process's shards span "
+                f"batch rows {b_starts} for a local batch of {b_local} — "
+                "order the mesh's batch axis process-major"
+            )
         local[b0 : b0 + data.shape[0], :, r0 : r0 + data.shape[2], :] = data
+        covered += data.size
+    if covered != local.size:
+        raise RuntimeError(
+            f"addressable shards cover {covered} of {local.size} local "
+            "elements — every process needs at least `space` local devices "
+            "so its batch rows' full row extent is addressable"
+        )
     return local

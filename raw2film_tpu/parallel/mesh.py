@@ -68,23 +68,25 @@ def batch_render_fn(cfg: RenderConfig):
 
 
 def space_halo_rows(cfg: RenderConfig, h: int, w: int) -> int:
-    """Overlap margin (rows) for the halo space path: the largest spatial
-    support in the chain. Halation's exact kernel radius is
+    """Overlap margin (rows) for the halo space path: the SUMMED spatial
+    support of the cascaded stages (a seam row's MTF inputs are halation
+    outputs whose own inputs reach further into the pad — max() of the
+    supports under-halos). Halation's exact kernel radius is
     scale/4 * halation_size px (reference: effects.py:200-217); the MTF
-    kernel is ~0.1 mm wide; highlight burn dominates when on — its down-up
-    blur has support ~6 * ceil(min(h,w)/burn_scale) full-res px."""
+    kernel is ~0.1 mm wide plus the unsharp sigma; highlight burn's
+    down-up blur spans ~6 * ceil(min(h,w)/burn_scale) full-res px."""
     halo = 8.0
     if cfg.halation:
-        halo = max(halo, cfg.scale / 4.0 * cfg.halation_size)
+        halo += cfg.scale / 4.0 * cfg.halation_size
     if cfg.sharpness and cfg.has_mtf:
-        halo = max(halo, 0.08 * cfg.scale)
+        halo += 0.08 * cfg.scale + 4.0 * max(cfg.sharpening_sigma, 0.0)
     if cfg.chroma_nr:
-        halo = max(halo, 2.0 * cfg.chroma_nr + 1)
+        halo += 2.0 * cfg.chroma_nr + 1
     if cfg.highlight_burn:
         import math
 
         f = math.ceil(min(h, w) / cfg.burn_scale)
-        halo = max(halo, 6.0 * f)
+        halo += 6.0 * f
     return int(-(-halo // 8) * 8)
 
 

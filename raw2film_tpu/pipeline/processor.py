@@ -173,11 +173,21 @@ class Processor:
         cam=None,
         lens=None,
     ):
-        """Decode + geometry; returns (device planar XYZ, orig_resolution)."""
+        """Decode + geometry; returns (device planar XYZ, orig_resolution).
+
+        ``chroma_nr`` is accepted for kwarg-surface symmetry with
+        ``process()`` but unused here: NR runs inside the jitted chain
+        (cfg.chroma_nr), never at decode time."""
+        del chroma_nr
         from raw2film_tpu.io.dng import RawImage as _RawImage
 
+        if isinstance(src, _RawImage):
+            # Never cache by a RawImage: a freed instance's id can be
+            # reused by the next allocation, which would serve the previous
+            # file's pixels.
+            cache = False
         key = (
-            f"<RawImage {id(src):#x}>" if isinstance(src, _RawImage) else str(src),
+            str(src) if not isinstance(src, _RawImage) else None,
             frame_width,
             frame_height,
             rotation,
@@ -559,7 +569,7 @@ class Processor:
             return None, None
         if load_kw.get("half_size", True):
             return None, None
-        for k in ("rotation", "rotate_times", "flip", "lens_correction", "chroma_nr"):
+        for k in ("rotation", "rotate_times", "flip", "chroma_nr"):
             if load_kw.get(k):
                 return None, None
         if float(load_kw.get("zoom", 1.0)) != 1.0:
@@ -573,6 +583,20 @@ class Processor:
             return None, raw
         if int(raw.metadata.get("EXIF:Orientation", 1) or 1) != 1:
             return None, raw
+        if load_kw.get("lens_correction"):
+            # Eligible only when lens correction is a provable no-op (no
+            # matching profile — the staged path would warn and pass the
+            # image through unchanged).
+            from raw2film_tpu.io import lens as lens_mod
+
+            lens_name = load_kw.get("lens")
+            prof = (
+                self.lenses.get(lens_name)
+                if lens_name
+                else lens_mod.find_profile(raw.metadata)
+            )
+            if prof is not None:
+                return None, raw
         inv_range = 1.0 / max(raw.white_level - raw.black_level, 1.0)
         mosaic = np.clip(
             (np.asarray(raw.data, np.float32) - raw.black_level) * inv_range,
@@ -626,10 +650,15 @@ class Processor:
 
         load_keys = (
             "frame_width", "frame_height", "rotation", "zoom", "rotate_times",
-            "flip", "resolution", "half_size", "cache", "chroma_nr",
+            "flip", "resolution", "half_size", "chroma_nr",
             "max_scale", "lens_correction", "cam", "lens",
         )
         load_kw = {k: params[k] for k in load_keys if k in params}
+        # Mirror process()'s decode/geometry defaults exactly — a batch of
+        # the same params must render like per-image process() calls.
+        load_kw.setdefault("half_size", True)
+        load_kw.setdefault("lens_correction", True)
+        load_kw.setdefault("max_scale", MAX_SCALE_DEFAULT)
         icc_transform = params.get("icc_transform")
         finish_kw = dict(
             icc_transform=None,  # baked into the device chain below
@@ -638,21 +667,18 @@ class Processor:
             canvas_ratio=params.get("canvas_ratio", 1.0),
         )
 
-        merged = {
-            k: v
-            for k, v in dict(
-                exp_kelvin=6500.0, tint=0.0, exp_comp=0.0, push_pull=0.0,
-                color_masking=1.0, red_light=0.0, green_light=0.0,
-                blue_light=0.0, projector_kelvin=6500.0, shadow_comp=0.0,
-                sat_adjust=1.0, inversion_gamma=4.0, idealized_curve=False,
-                inversion=False, white_balance=False, white_clip=False,
-                gamma_func="sRGB", halation_intensity=1.0,
-                halation_green_factor=0.4, highlight_burn=0.0, halation=True,
-                halation_size=1.0, sharpness=True, sharpening_strength=0.0,
-                sharpening_sigma=1.0, grain=2, grain_size=6.0, grain_sigma=0.4,
-                burn_scale=50.0, chroma_nr=0,
-            ).items()
-        }
+        merged = dict(
+            exp_kelvin=6500.0, tint=0.0, exp_comp=0.0, push_pull=0.0,
+            color_masking=1.0, red_light=0.0, green_light=0.0,
+            blue_light=0.0, projector_kelvin=6500.0, shadow_comp=0.0,
+            sat_adjust=1.0, inversion_gamma=4.0, idealized_curve=False,
+            inversion=False, white_balance=False, white_clip=False,
+            gamma_func="sRGB", halation_intensity=1.0,
+            halation_green_factor=0.4, highlight_burn=0.0, halation=True,
+            halation_size=1.0, sharpness=True, sharpening_strength=0.0,
+            sharpening_sigma=1.0, grain=2, grain_size=6.0, grain_sigma=0.4,
+            burn_scale=50.0, chroma_nr=0,
+        )
         merged.update({k: v for k, v in params.items() if k in merged})
         bundle, prt_mode = self.load_film_bundle(negative_film, print_film, merged)
 
@@ -697,14 +723,24 @@ class Processor:
                 icc_transform
             )
         base_key = _jax.random.PRNGKey(seed)
+        import dataclasses as _dc
+
         results: list = [None] * len(srcs)
         for shape, items in buckets.items():
             scale = max(shape[-2:]) / max(fw, fh)
             cfg = build_render_config(negative_film, print_film, prt_mode, scale, merged)
             if icc_transform is not None:
-                import dataclasses as _dc
-
                 cfg = _dc.replace(cfg, icc=True)
+            fusion_key = (cfg, ("xyz-batch", shape))
+            if cfg.fusion and fusion_key in self._fusion_bad:
+                cfg = _dc.replace(cfg, fusion=False)
+            # One jit wrapper per bucket (not per group): every group of the
+            # same shape reuses the compiled program.
+            fn = (
+                sharded_batch_render(mesh, cfg)
+                if mesh is not None
+                else _jax.jit(batch_render_fn(cfg))
+            )
             # Sub-batch so a bucket of 100x45MP frames never tries to stack
             # into one HBM array (~2GB of f32 inputs per group).
             img_bytes = int(np.prod(shape)) * 4
@@ -717,8 +753,8 @@ class Processor:
                 keys = jnp.stack(
                     [_jax.random.fold_in(base_key, idx) for idx, _, _ in part]
                 )
+                b = batch.shape[0]
                 if mesh is not None:
-                    b = batch.shape[0]
                     per = mesh.shape["batch"]
                     pad = (-b) % per
                     if pad:
@@ -729,13 +765,34 @@ class Processor:
                         kfiller = jnp.concatenate([keys] * reps, axis=0)[:pad]
                         batch = jnp.concatenate([batch, filler], axis=0)
                         keys = jnp.concatenate([keys, kfiller], axis=0)
-                    with mesh:
-                        out = sharded_batch_render(mesh, cfg)(batch, bundle, keys)
-                    out = np.asarray(out)[:b]
-                else:
-                    out = np.asarray(
-                        _jax.jit(batch_render_fn(cfg))(batch, bundle, keys)
+
+                def _run(fn, batch, keys):
+                    if mesh is not None:
+                        with mesh:
+                            return np.asarray(fn(batch, bundle, keys))[:b]
+                    return np.asarray(fn(batch, bundle, keys))
+
+                try:
+                    out = _run(fn, batch, keys)
+                except Exception as e:
+                    # Same Mosaic scoped-VMEM retry + latch as process().
+                    if not cfg.fusion or "vmem" not in str(e).lower():
+                        raise
+                    import warnings
+
+                    warnings.warn(
+                        f"fused batch render failed to compile "
+                        f"({type(e).__name__}); retrying with fusion disabled",
+                        stacklevel=2,
                     )
+                    self._fusion_bad.add(fusion_key)
+                    cfg = _dc.replace(cfg, fusion=False)
+                    fn = (
+                        sharded_batch_render(mesh, cfg)
+                        if mesh is not None
+                        else _jax.jit(batch_render_fn(cfg))
+                    )
+                    out = _run(fn, batch, keys)
                 for (idx, _, orig_res), img in zip(part, out):
                     results[idx] = self._finish(
                         img, orig_resolution=orig_res, **finish_kw
@@ -744,8 +801,6 @@ class Processor:
         # Fused-mosaic buckets: demosaic + camera matrix + exposure gain
         # inside the render program.
         from raw2film_tpu.pipeline.render import batch_mosaic_render_fn
-
-        import dataclasses as _dc
 
         for (shape, pattern, crop), items in mosaic_buckets.items():
             out_shape = (crop[2], crop[3]) if crop is not None else shape

@@ -441,8 +441,13 @@ def render_chain_from_mosaic(
         y0, x0, ch, cw = crop
         rgb = rgb[:, y0 : y0 + ch, x0 : x0 + cw]
     b = dict(bundle)
-    b["m_in"] = bundle["m_in"] @ (
-        jnp.asarray(cam_to_xyz, jnp.float32) * exposure_gain
+    # HIGHEST precision on the 3x3 fold: the MXU default rounds matmul
+    # inputs through bf16 (the round-2 fidelity trap — up to 5 8-bit codes
+    # through the chain); a 3x3 at full precision is free.
+    b["m_in"] = jnp.matmul(
+        bundle["m_in"],
+        jnp.asarray(cam_to_xyz, jnp.float32) * exposure_gain,
+        precision=jax.lax.Precision.HIGHEST,
     )
     return render_chain(rgb, b, cfg, noise_key)
 

@@ -429,7 +429,9 @@ class TestProcessBatch:
         write_dng(p, sq, white_level=60000)
         proc = Processor()
         kw = dict(print_film=None, grain=0, halation=False, sharpness=False,
-                  half_size=False)
+                  half_size=False, max_scale=None)
+        fast, _ = proc._try_load_mosaic(p, dict(half_size=False, max_scale=None))
+        assert fast is not None
         f = proc.process_batch([p], "Kodak Portra 400", **kw)
         s = proc.process_batch([p], "Kodak Portra 400", fused_decode=False, **kw)
         assert f[0].shape == s[0].shape
@@ -461,8 +463,12 @@ class TestProcessBatch:
         proc = Processor()
         kw = dict(
             print_film=None, grain=0, halation=False, sharpness=False,
-            half_size=False,
+            half_size=False, max_scale=None,
         )
+        # Guard against vacuity: the sources must actually be fused-eligible.
+        load_kw = dict(half_size=False, max_scale=None)
+        fast, _ = proc._try_load_mosaic(srcs[0], load_kw)
+        assert fast is not None
         fused = proc.process_batch(srcs, "Kodak Portra 400", **kw)
         staged = proc.process_batch(
             srcs, "Kodak Portra 400", fused_decode=False, **kw
