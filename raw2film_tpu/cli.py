@@ -59,6 +59,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--full-res", action="store_true", help="disable half-size decode")
     p.add_argument(
+        "--jobs", type=int, default=0,
+        help="parallel host-decode workers feeding the device (0 = auto: "
+        "min(4, cpu count))",
+    )
+    p.add_argument(
         "--num-processes", type=int, default=1,
         help="export-fleet size: this invocation handles files"
         " [process-id::num-processes] (run one per host)",
@@ -244,14 +249,22 @@ def main(argv: list[str] | None = None) -> int:
     proc = Processor()
     meta_by_src: dict[str, dict] = {}
 
-    def process(src, **params):
+    def decode(src, **params):
+        # Container parse + bitstream decode — the expensive host half —
+        # runs in BatchRunner's worker pool ahead of the device.
+        from raw2film_tpu.io.dng import read_raw
+
+        return (str(src), read_raw(str(src)))
+
+    def process(payload, **params):
+        src, raw = payload if isinstance(payload, tuple) else (payload, None)
         merged = merge_params(None, sidecar_images.get(os.path.basename(src)), **params)
         merged.pop("profile", None)
         from raw2film_tpu.pipeline.params import apply_film_format
 
         apply_film_format(merged)
         out = proc.process(
-            src,
+            raw if raw is not None else src,
             merged.pop("negative_film"),
             print_film=merged.pop("print_film"),
             half_size=not args.full_res,
@@ -281,7 +294,8 @@ def main(argv: list[str] | None = None) -> int:
             archive_raw(str(src), args.output, args.archive_raw)
         return dst
 
-    runner = BatchRunner(process, export)
+    jobs = args.jobs or min(4, os.cpu_count() or 1)
+    runner = BatchRunner(process, export, decode_fn=decode, workers=jobs)
     t0 = time.perf_counter()
     results = runner.run(
         [(f, dict(cli_over)) for f in files],

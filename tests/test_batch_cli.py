@@ -56,6 +56,45 @@ class TestBatchRunner:
         assert len(results) == 5 and all(r.ok for r in results)
         assert progress[-1] == (5, 5)
 
+    def test_parallel_decode_workers_preserve_order(self, tmp_path):
+        """workers > 1: decode runs concurrently but results stay in
+        submission order, and a decode failure only skips its item."""
+        import threading
+        import time as _time
+
+        from raw2film_tpu.pipeline.batch import BatchRunner
+
+        seen_concurrent = []
+        active = [0]
+        lock = threading.Lock()
+
+        def decode(src, **params):
+            with lock:
+                active[0] += 1
+                seen_concurrent.append(active[0])
+            _time.sleep(0.05 if src != "c" else 0.0)
+            if src == "b":
+                with lock:
+                    active[0] -= 1
+                raise ValueError("bad file")
+            with lock:
+                active[0] -= 1
+            return f"payload-{src}"
+
+        order = []
+
+        def process(payload, **params):
+            order.append(payload)
+            return payload
+
+        runner = BatchRunner(
+            process, lambda img, src: src, decode_fn=decode, workers=3
+        )
+        results = runner.run([(s, {}) for s in "abcd"])
+        assert order == ["payload-a", "payload-c", "payload-d"]
+        assert [r.ok for r in results] == [True, False, True, True]
+        assert max(seen_concurrent) > 1  # decode actually overlapped
+
     def test_failure_isolated(self, tmp_path):
         def process(src, **params):
             if "bad" in src:
