@@ -140,13 +140,21 @@ def demosaic_bilinear(bayer: jnp.ndarray, pattern: str = "RGGB") -> jnp.ndarray:
 def demosaic_masked(
     mosaic: jnp.ndarray, pattern: str, tile_h: int, tile_w: int
 ) -> jnp.ndarray:
-    """Generic masked-interpolation demosaic for arbitrary CFA tilings —
-    the X-Trans (6x6) path: out_c = conv(mosaic * mask_c) / conv(mask_c),
-    keeping the measured value at each channel's own sites. Separable
-    triangle kernels (3x3 for the dense green plane, 5x5 for R/B — the
-    X-Trans layout guarantees an R/B site within every 5x5 window). All
-    compute is three depthwise convs: XLA fuses the mask multiplies and the
-    divide into the conv epilogues on TPU.
+    """Generic masked demosaic for arbitrary CFA tilings — the X-Trans
+    (6x6) path, in two classic stages:
+
+    1. **Green plane** by masked interpolation (3x3 triangle over the dense
+       G sites): g = conv(mosaic * mask_g) / conv(mask_g), measured values
+       kept at G sites.
+    2. **R/B by color-difference interpolation**: interpolate (R - G) /
+       (B - G) from their sparse sites (5x5 triangle — the X-Trans layout
+       guarantees an R/B site in every 5x5 window) and add G back. Chroma
+       varies far more slowly than luminance, so this removes most of the
+       zipper/desaturation error of direct channel interpolation while
+       staying three depthwise convs + elementwise (XLA fuses the rest).
+
+    Measured values are exact at every channel's own sites (the difference
+    interpolation returns (C - G) + G = C there).
     """
     h, w = mosaic.shape
     code = {"R": 0, "G": 1, "B": 2}
@@ -155,24 +163,30 @@ def demosaic_masked(
     )
     reps = (-(-h // tile_h), -(-w // tile_w))
     full = np.tile(grid, reps)[:h, :w]
+    masks = jnp.asarray(
+        np.stack([(full == c) for c in range(3)]).astype(np.float32)
+    )
 
     t3 = np.array([1.0, 2.0, 1.0], np.float32)
     t5 = np.array([1.0, 2.0, 3.0, 2.0, 1.0], np.float32)
     k3 = np.outer(t3, t3)
     k5 = np.outer(t5, t5)
-    # (3, kh, kw) per-channel kernels, zero-padded to the common 5x5 so one
-    # depthwise conv serves all three planes.
-    kg = np.zeros((5, 5), np.float32)
-    kg[1:4, 1:4] = k3
-    kernels = np.stack([k5, kg, k5])
 
-    masks = jnp.asarray(
-        np.stack([(full == c) for c in range(3)]).astype(np.float32)
+    gm = masks[1:2]
+    g_num = convops.depthwise_conv2d(mosaic[None] * gm, k3)
+    g_den = convops.depthwise_conv2d(gm, k3)
+    g = jnp.where(
+        gm[0] > 0.5, mosaic, (g_num / jnp.maximum(g_den, 1e-8))[0]
     )
-    num = convops.depthwise_conv2d(mosaic[None] * masks, kernels)
-    den = convops.depthwise_conv2d(masks, kernels)
-    interp = num / jnp.maximum(den, 1e-8)
-    return jnp.where(masks > 0.5, mosaic[None], interp)
+
+    rb_masks = jnp.stack([masks[0], masks[2]])
+    diff = (mosaic - g)[None] * rb_masks
+    d_num = convops.depthwise_conv2d(diff, np.stack([k5, k5]))
+    d_den = convops.depthwise_conv2d(rb_masks, np.stack([k5, k5]))
+    d = d_num / jnp.maximum(d_den, 1e-8)
+    r = jnp.where(rb_masks[0] > 0.5, mosaic, g + d[0])
+    b = jnp.where(rb_masks[1] > 0.5, mosaic, g + d[1])
+    return jnp.stack([r, g, b])
 
 
 def half_size_decode(bayer: jnp.ndarray, pattern: str = "RGGB") -> jnp.ndarray:

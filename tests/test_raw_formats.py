@@ -628,7 +628,9 @@ class TestFujiRAF:
         assert np.isfinite(rgb).all()
         interior = np.s_[:, 4:-4, 4:-4]
         err = np.abs(rgb - planes)[interior]
-        assert err.max() < 0.02, err.max()
+        # Color-difference interpolation reconstructs smooth gradients to
+        # ~2e-3 (direct channel interpolation managed ~2e-2).
+        assert err.max() < 0.005, err.max()
         # Native sites are exact.
         for c in range(3):
             sel = full == c
