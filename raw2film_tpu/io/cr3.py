@@ -49,13 +49,23 @@ def _walk_boxes(buf: bytes, start: int, end: int):
 
 
 def _find_box(buf: bytes, start: int, end: int, path: list):
-    """Descend a path of (type, usertype|None) pairs."""
+    """Descend a path of (type, usertype|None) pairs. Tries EVERY matching
+    sibling (a failed descent into the first match must not mask data in a
+    later one), and tolerates small prefix padding before child boxes
+    (Canon's preview uuid carries a few bytes before its PRVW child)."""
     if not path:
         return start, end
     want_type, want_uuid = path[0]
-    for btype, usertype, p0, p1 in _walk_boxes(buf, start, end):
-        if btype == want_type and (want_uuid is None or usertype == want_uuid):
-            return _find_box(buf, p0, p1, path[1:])
+    for off in (0, 8):
+        if start + off >= end:
+            break
+        for btype, usertype, p0, p1 in _walk_boxes(buf, start + off, end):
+            if btype == want_type and (
+                want_uuid is None or usertype == want_uuid
+            ):
+                found = _find_box(buf, p0, p1, path[1:])
+                if found is not None:
+                    return found
     return None
 
 
@@ -93,6 +103,15 @@ def extract_preview(buf: bytes) -> bytes | None:
             if j0 + jlen <= p1 and buf[j0 : j0 + 2] == b"\xff\xd8":
                 return buf[j0 : j0 + jlen]
         # Fallback: scan the box for a JPEG SOI..EOI span.
+        s = buf.find(b"\xff\xd8\xff", p0, p1)
+        e = buf.rfind(b"\xff\xd9", p0, p1)
+        if 0 <= s < e:
+            return buf[s : e + 2]
+    # Last resort for layout-variant preview uuids: SOI..EOI scan inside
+    # the preview uuid region.
+    found = _find_box(buf, 0, len(buf), [(b"uuid", _PRVW_UUID)])
+    if found is not None:
+        p0, p1 = found
         s = buf.find(b"\xff\xd8\xff", p0, p1)
         e = buf.rfind(b"\xff\xd9", p0, p1)
         if 0 <= s < e:

@@ -89,27 +89,22 @@ def find_nikon_makernote(
 def read_makernote_tag(
     buf: bytes, base: int, endian: str, want_tag: int
 ) -> bytes | None:
-    """Read one tag's value bytes from the embedded MakerNote TIFF."""
+    """Read one tag's value bytes from the embedded MakerNote TIFF (the
+    shared hardened IFD walker does the parsing; offsets are relative to
+    the embedded TIFF start, so the rebased slice resolves them)."""
+    from raw2film_tpu.io.dng import _read_ifd
+
     try:
         (magic, first_ifd) = struct.unpack_from(endian + "HI", buf, base + 2)
         if magic != 42:
             return None
-        off = base + first_ifd
-        (count,) = struct.unpack_from(endian + "H", buf, off)
-        pos = off + 2
-        sizes = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1, 9: 4, 10: 8}
-        for _ in range(count):
-            tag, typ, n = struct.unpack_from(endian + "HHI", buf, pos)
-            if tag == want_tag:
-                size = sizes.get(typ, 1) * n
-                if size <= 4:
-                    return buf[pos + 8 : pos + 8 + size]
-                (ptr,) = struct.unpack_from(endian + "I", buf, pos + 8)
-                return buf[base + ptr : base + ptr + size]
-            pos += 12
+        ifd, _ = _read_ifd(buf[base:], first_ifd, endian)
+        val = ifd.get(want_tag)
+        if isinstance(val, (bytes, bytearray)):
+            return bytes(val)
+        return None
     except struct.error:
         return None
-    return None
 
 
 def parse_linearization(
@@ -144,8 +139,13 @@ def parse_linearization(
     split = 0
     if ver0 == 0x44 and ver1 in (0x20, 0x40):
         kind = "lossy_split"
-        step = vmax // (csize - 1) if csize > 1 else 0
-        if ver1 == 0x20 and len(blob) >= 564:
+        # 0x40 streams sample a quarter-range table (LibRaw scales the
+        # step and range by 4); both variants carry the split row at
+        # offset 562. Lossy handling remains best-effort (no in-repo
+        # camera fixtures) — see module docstring.
+        srange = vmax // 4 if ver1 == 0x40 else vmax
+        step = srange // (csize - 1) if csize > 1 else 0
+        if len(blob) >= 564:
             (split,) = struct.unpack_from(endian + "H", blob, 562)
         if step > 0 and pos + 2 * csize <= len(blob):
             samples = np.frombuffer(
@@ -153,7 +153,7 @@ def parse_linearization(
             ).astype(np.float64)
             xs = np.arange(csize) * step
             curve = np.interp(
-                np.arange(vmax), xs, samples
+                np.arange(vmax), np.clip(xs, 0, vmax - 1), samples
             ).astype(np.uint16)
     elif ver0 != 0x46 and 1 < csize <= 0x4001 and pos + 2 * csize <= len(blob):
         kind = "lossy"

@@ -85,7 +85,7 @@ def _parse_fuji_tiff(buf: bytes, base: int) -> dict | None:
         fuji_ptr = ifd.get(0xF000)
         if fuji_ptr:
             ifd, _ = _read_ifd(sub, int(fuji_ptr[0]), endian)
-        out = {}
+        out = {"endian": endian}
         if 0xF001 in ifd:
             out["width"] = int(ifd[0xF001][0])
         if 0xF002 in ifd:
@@ -116,12 +116,14 @@ def read_raf(buf: bytes, path: str) -> RawImage:
     hdr = _parse_cfa_header(buf, cfa_hdr_off) if cfa_hdr_off else {}
     tiff = _parse_fuji_tiff(buf, cfa_off) if cfa_off else None
 
+    sample_endian = "<"
     if tiff and "strips" in tiff:
         w = tiff.get("width", hdr.get("full_size", (0, 0))[1])
         h = tiff.get("height", hdr.get("full_size", (0, 0))[0])
         bits = tiff.get("bits", 14)
         payload = b"".join(buf[o : o + c] for o, c in tiff["strips"])
         black = tiff.get("black", 0.0)
+        sample_endian = tiff.get("endian", "<")
     else:
         if "full_size" not in hdr:
             raise NotImplementedError(
@@ -139,7 +141,10 @@ def read_raf(buf: bytes, path: str) -> RawImage:
 
     n = h * w
     if len(payload) >= 2 * n:
-        data = np.frombuffer(payload, "<u2", count=n).astype(np.float32)
+        # Sample byte order follows the embedded Fuji TIFF's BOM.
+        data = np.frombuffer(payload, sample_endian + "u2", count=n).astype(
+            np.float32
+        )
     elif bits == 12 and len(payload) * 2 >= 3 * n:
         data = _unpack_12bit(payload, n).astype(np.float32)
     elif bits == 14 and len(payload) * 4 >= 7 * n:

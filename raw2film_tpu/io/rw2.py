@@ -124,7 +124,13 @@ def read_rw2(buf: bytes, path: str) -> RawImage:
     payload = buf[offset:]
     n = full_w * full_h
 
-    if raw_format == 4 or (raw_format == 0 and len(payload) < 2 * n):
+    # Tag-less (raw_format 0) files distinguish by payload size: plain
+    # 12-bit packing is exactly 1.5 bytes/px; the v4 bitstream compresses
+    # well below that (dcraw uses the same size discrimination).
+    is_packed12 = bits == 12 and 3 * n <= 2 * len(payload) < 4 * n
+    if raw_format == 4 or (
+        raw_format == 0 and len(payload) < 2 * n and not is_packed12
+    ):
         from raw2film_tpu.native import decode_rw2_v4
 
         if full_w % 14 != 0:
@@ -139,7 +145,7 @@ def read_rw2(buf: bytes, path: str) -> RawImage:
     elif len(payload) >= 2 * n:
         data = np.frombuffer(payload, "<u2", count=n).astype(np.float32)
         data = data.reshape(full_h, full_w)
-    elif len(payload) * 2 >= 3 * n and bits == 12:
+    elif is_packed12:
         data = _unpack12_le(payload, n).astype(np.float32).reshape(full_h, full_w)
     else:
         raise NotImplementedError(

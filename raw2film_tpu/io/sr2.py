@@ -112,7 +112,10 @@ def try_read_arw2_curve(buf: bytes, makernote: bytes | None):
         return None
     try:
         dec = sony_decrypt(buf[off : off + length], key)
-        patched = buf[:off] + dec + buf[off + length :]
+        # SR2SubIFD value offsets are file-absolute but point inside the
+        # decrypted region: a zero prefix up to `off` suffices (no need to
+        # rebuild the whole file buffer).
+        patched = bytes(off) + dec
         from raw2film_tpu.io.dng import _read_ifd
 
         ifd, _ = _read_ifd(patched, off, "<")

@@ -179,6 +179,14 @@ int r2f_decode_ljpeg(const uint8_t* src, long len, uint16_t* out,
         tables[th].build(counts, q, nvals);
         q += nvals;
       }
+    } else if (marker == 0xDD) {  // DRI: restart intervals
+      if (seg + 2 > seg_end) return -3;
+      int interval = (seg[0] << 8) | seg[1];
+      // Restart markers would need predictor/bit-reader resynchronization;
+      // the zero-padding BitReader would silently corrupt everything after
+      // the first RSTn instead — error out loudly. (No DNG writer we know
+      // of emits DRI for lossless strips.)
+      if (interval != 0) return -10;
     } else if (marker == 0xDA) {  // SOS
       if (seg + 1 > seg_end) return -3;
       nscan = seg[0];
