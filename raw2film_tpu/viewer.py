@@ -413,6 +413,20 @@ input[type=text],input:not([type]){width:100%;background:#2a2e36;color:#ddd;bord
 .stockrow img{border-radius:2px}
 .stockmeta{color:#9ab;font-size:11px}
 </style></head><body>
+<div id="shortcuts" style="position:fixed;inset:14vh 26vw;background:#1d2026;border:1px solid #3a4050;
+ border-radius:6px;display:none;padding:16px;z-index:11">
+ <h3 style="margin-top:0">Keyboard shortcuts</h3>
+ <table style="width:100%;color:#ccd">
+  <tr><td>&larr; / &rarr;</td><td><b>previous / next image</b></td></tr>
+  <tr><td>1 &ndash; 9</td><td><b>apply profile N</b></td></tr>
+  <tr><td>e</td><td><b>export full-res JPEG</b></td></tr>
+  <tr><td>s</td><td><b>take snapshot</b></td></tr>
+  <tr><td>b (hold)</td><td><b>compare with snapshot</b></td></tr>
+  <tr><td>wheel / drag / double-click</td><td><b>zoom / pan / reset</b></td></tr>
+  <tr><td>Esc</td><td><b>close overlays</b></td></tr>
+  <tr><td>?</td><td><b>this help</b></td></tr>
+ </table>
+</div>
 <div id="browser">
  <div class="row">
   <input id="q" placeholder="search name / maker / year / type">
@@ -539,8 +553,9 @@ async function init(){
  $("negative_film").onchange=post;$("print_film").onchange=post;
  $("canvas_mode").onchange=post;$("film_format").onchange=post;$("full").onchange=post;
  document.addEventListener("keydown",e=>{
-  if(e.key==="Escape"){$("browser").style.display="none";return;}
+  if(e.key==="Escape"){$("browser").style.display="none";$("shortcuts").style.display="none";return;}
   if(e.target.tagName==="INPUT"||e.target.tagName==="SELECT")return;
+  if(e.key==="?"){const s=$("shortcuts");s.style.display=s.style.display==="none"?"block":"none";return;}
   if(e.key==="ArrowRight"&&cur<files.length-1)selectImage(cur+1);
   else if(e.key==="ArrowLeft"&&cur>0)selectImage(cur-1);
   else if(e.key>="1"&&e.key<="9"){
