@@ -51,6 +51,27 @@ class TestPallasConvV2:
 
 
 class TestPallasGrain:
+    def test_hash_mirror_matches_kernel(self):
+        """grain_field_hash (the jnp mirror every non-pallas backend uses)
+        reproduces the pallas kernel's field — same hash, same taps, same
+        row-offset semantics — to fp-association noise."""
+        import numpy as np
+
+        from raw2film_tpu.ops.pallas_grain import (
+            grain_field_hash,
+            grain_field_pallas,
+            seed2,
+        )
+
+        sd = seed2(1234, 7)
+        a = np.asarray(grain_field_hash(sd, (40, 256), 0.9))
+        b = np.asarray(grain_field_pallas(sd, (40, 256), 0.9, interpret=True))
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-5)
+        # The global row offset shifts the field (space-sharding contract).
+        c = np.asarray(grain_field_hash(seed2(1234, 0), (40, 256), 0.9))
+        assert not np.array_equal(a, c)
+
+
     """Stateless-hash grain kernel (interpret mode)."""
 
     def test_statistics(self):
