@@ -269,6 +269,20 @@ def _stocks() -> list[FilmStock]:
     )
     s.append(
         FilmStock(
+            name="Agfa Vista 200",
+            manufacturer="Agfa",
+            year=1999,
+            iso=200,
+            resolution=95,
+            curve=_neg_curve(0.64, dmin=(0.23, 0.68, 1.00), latitude=2.9),
+            sens=Sensitivities(peaks=(645.0, 550.0, 462.0), widths=(40.0, 39.0, 35.0)),
+            grain=GrainModel(rms=5.2),
+            mtf_model=MTFModel(f50=46.0, adj=0.25),
+            comment="Warm consumer negative: red-forward, sunny-day palette.",
+        )
+    )
+    s.append(
+        FilmStock(
             name="Kodak Portra 160 NC",
             manufacturer="Kodak",
             year=1998,
@@ -472,6 +486,35 @@ def _stocks() -> list[FilmStock]:
             comment="Ultra-speed low-light BW: heavy grain, soft gradation.",
         )
     )
+    s.append(
+        FilmStock(
+            name="Kodak T-Max P3200",
+            manufacturer="Kodak",
+            year=1988,
+            iso=3200,
+            resolution=75,
+            density_measure="bw",
+            curve=_bw_curve(0.60, dmin=0.25, speed=0.25, latitude=2.9),
+            grain=GrainModel(rms=10.0, floor=0.28),
+            mtf_model=MTFModel(f50=36.0, adj=0.32),
+            comment="T-grain push monochrome (EI 800 native): tighter grain "
+            "than Delta 3200, crisper mids.",
+        )
+    )
+    s.append(
+        FilmStock(
+            name="Fuji Neopan 1600",
+            manufacturer="Fujifilm",
+            year=1990,
+            iso=1600,
+            resolution=85,
+            density_measure="bw",
+            curve=_bw_curve(0.64, dmin=0.18, speed=0.15, latitude=2.7),
+            grain=GrainModel(rms=8.0, floor=0.24),
+            mtf_model=MTFModel(f50=42.0, adj=0.33),
+            comment="High-speed street BW: punchy contrast, crisp grain.",
+        )
+    )
 
     s.append(
         FilmStock(
@@ -544,6 +587,21 @@ def _stocks() -> list[FilmStock]:
             curve=_slide_curve(-1.7, dmax=3.6, dmin=0.13, latitude=2.1),
             grain=GrainModel(rms=2.3),
             mtf_model=MTFModel(f50=70.0, adj=0.28),
+        )
+    )
+    s.append(
+        FilmStock(
+            name="Fuji Astia 100F",
+            manufacturer="Fujifilm",
+            year=2003,
+            iso=100,
+            film_type="positive",
+            resolution=140,
+            curve=_slide_curve(-1.5, dmax=3.4, dmin=0.12, latitude=2.35),
+            dyes=DyeSet(unwanted=(0.04, 0.07, 0.02)),
+            grain=GrainModel(rms=2.2),
+            mtf_model=MTFModel(f50=68.0, adj=0.24),
+            comment="The soft portrait slide: lowest-contrast E-6, gentle skin.",
         )
     )
 
