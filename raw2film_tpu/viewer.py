@@ -147,7 +147,9 @@ class ViewerState:
             kwargs["icc_transform"] = self._icc_transform
         return kwargs
 
-    def request(self, index: int, params: dict, full: bool) -> None:
+    def request(
+        self, index: int, params: dict, full: bool, half: bool = False
+    ) -> None:
         src = self.files[index]
         name = os.path.basename(src)
         with self._state_lock:
@@ -159,12 +161,40 @@ class ViewerState:
             # handler thread must not interleave between the merge above and
             # the param resolution, or the frame renders from torn state.
             kwargs = self._render_kwargs(name)
+        # half: the reference's "Half res. preview" speed toggle
+        # (src/raw2film/gui.py:425-428) — halve the preview scale only.
         self.engine.request(
             src,
             full_preview=full,
-            max_scale=PREVIEW_MAX_SCALE,
+            max_scale=PREVIEW_MAX_SCALE * (0.5 if half else 1.0),
             **kwargs,
         )
+
+    def reset_image(self, index: int) -> None:
+        """Drop the stored per-image params (the reference's "Reset image"
+        action, src/raw2film/gui.py:405-406): the image falls back to its
+        profile + schema defaults."""
+        name = os.path.basename(self.files[index])
+        with self._state_lock:
+            self.image_params.pop(name, None)
+            self._persist()
+
+    def reset_all_images(self) -> None:
+        """Drop every image's stored params ("Reset all images",
+        src/raw2film/gui.py:407-408)."""
+        with self._state_lock:
+            self.image_params.clear()
+            self._persist()
+
+    def delete_profile(self, name: str) -> None:
+        """Remove a named profile ("Delete profile",
+        src/raw2film/gui.py:411-412). Images referencing it fall back to
+        schema defaults on the next resolve."""
+        if name == "Default":
+            raise ValueError("cannot delete the Default profile")
+        with self._state_lock:
+            self.profiles.pop(name, None)
+            self._persist()
 
     def copy_settings_to_all(self, index: int) -> None:
         """Copy the source image's stored params to every image in the
@@ -229,11 +259,18 @@ class ViewerState:
             self._export_thread.start()
         return dst
 
-    def export_all(self, quality: int = 95) -> int:
-        """Queue a full-resolution export of EVERY image (the reference's
-        save_all_images batch, src/raw2film/gui.py:2596-2605), sequential in
-        one background thread with progress notes. Returns the queue size."""
-        srcs = list(self.files)
+    def export_all(
+        self, quality: int = 95, indices: list[int] | None = None
+    ) -> int:
+        """Queue a full-resolution export of every image — or, with
+        ``indices``, only the selected ones (the reference's save_all_images
+        and save_selected_images batches, src/raw2film/gui.py:2596-2605 and
+        381-385) — sequential in one background thread with progress notes.
+        Returns the queue size."""
+        if indices:
+            srcs = [self.files[i] for i in indices if 0 <= i < len(self.files)]
+        else:
+            srcs = list(self.files)
 
         def run():
             from raw2film_tpu.io.export import save_image
@@ -396,6 +433,7 @@ body{margin:0;background:#16181c;color:#ddd;font:13px system-ui;display:flex;hei
 #strip{display:flex;gap:6px;padding:8px;overflow-x:auto;width:96%}
 #strip img{height:64px;border-radius:3px;cursor:pointer;opacity:.7}
 #strip img.sel{outline:2px solid #7ab4ff;opacity:1}
+#strip img.msel{outline:2px dashed #ffb86b;opacity:1}
 label{display:block;margin:10px 0 2px}
 input[type=range]{width:100%}
 select{width:100%;background:#2a2e36;color:#ddd;border:0;padding:4px}
@@ -423,7 +461,8 @@ input[type=text],input:not([type]){width:100%;background:#2a2e36;color:#ddd;bord
   <tr><td>s</td><td><b>take snapshot</b></td></tr>
   <tr><td>b (hold)</td><td><b>compare with snapshot</b></td></tr>
   <tr><td>wheel / drag / double-click</td><td><b>zoom / pan / reset</b></td></tr>
-  <tr><td>Esc</td><td><b>close overlays</b></td></tr>
+  <tr><td>ctrl/&#8984;-click thumbnail</td><td><b>toggle batch-export selection</b></td></tr>
+  <tr><td>Esc</td><td><b>close overlays / deselect all</b></td></tr>
   <tr><td>?</td><td><b>this help</b></td></tr>
  </table>
 </div>
@@ -441,7 +480,7 @@ input[type=text],input:not([type]){width:100%;background:#2a2e36;color:#ddd;bord
 <div id="side">
  <h3>raw2film-tpu</h3>
  <label>profile <select id="profile"></select></label>
- <div class="row"><button id="saveprof">save profile</button><button id="newprof">new profile</button></div>
+ <div class="row"><button id="saveprof">save profile</button><button id="newprof">new profile</button><button id="delprof">delete</button></div>
  <label>negative <select id="negative_film"></select></label>
  <label>print <select id="print_film"></select></label>
  <button id="stocks_btn">browse stocks</button>
@@ -456,9 +495,11 @@ input[type=text],input:not([type]){width:100%;background:#2a2e36;color:#ddd;bord
  <label>canvas <select id="canvas_mode"></select></label>
  <div id="canvas_sliders"></div>
  <label><input type="checkbox" id="full"> full preview (grain/halation/MTF)</label>
+ <label><input type="checkbox" id="halfres"> half-res preview (faster)</label>
  <button id="export">export full-res JPEG</button>
  <div class="row"><button id="exportall">export ALL</button><button id="exportcancel">cancel</button></div>
  <button id="copyall">copy settings to all</button>
+ <div class="row"><button id="resetimg">reset image</button><button id="resetall">reset all</button></div>
  <div id="note"></div>
  <div id="err"></div>
 </div>
@@ -478,6 +519,7 @@ const SLIDERS = [
  ["chroma_nr",0,10,1,0]];
 const CANVAS_SLIDERS = [["canvas_scale",1,2,.01,1],["canvas_ratio",.2,1.5,.01,.8]];
 let cur=0, seq=0, t=null, files=[], profiles={}, snapA=null, holdB=false;
+let batchSel=new Set();  // ctrl-click thumbnail selection for "export selected"
 const $=id=>document.getElementById(id);
 const WB_PRESETS={daylight:[5500,0],cloudy:[6500,0],shade:[7500,0],tungsten:[3200,0],fluor:[4000,15],flash:[5800,0]};
 function currentParams(){
@@ -491,7 +533,8 @@ function currentParams(){
  return p;
 }
 function post(){
- fetch("/api/params",{method:"POST",body:JSON.stringify({i:cur,params:currentParams(),full:$("full").checked})});
+ fetch("/api/params",{method:"POST",body:JSON.stringify(
+  {i:cur,params:currentParams(),full:$("full").checked,half:$("halfres").checked})});
 }
 function applyParams(p){
  for(const [n] of [...SLIDERS,...CANVAS_SLIDERS])
@@ -552,8 +595,11 @@ async function init(){
  mk($("sliders"),SLIDERS); mk($("canvas_sliders"),CANVAS_SLIDERS);
  $("negative_film").onchange=post;$("print_film").onchange=post;
  $("canvas_mode").onchange=post;$("film_format").onchange=post;$("full").onchange=post;
+ $("halfres").onchange=post;
  document.addEventListener("keydown",e=>{
-  if(e.key==="Escape"){$("browser").style.display="none";$("shortcuts").style.display="none";return;}
+  if(e.key==="Escape"){$("browser").style.display="none";$("shortcuts").style.display="none";
+   batchSel.clear();document.querySelectorAll("#strip img.msel").forEach(el=>el.classList.remove("msel"));
+   updExportAll();return;}
   if(e.target.tagName==="INPUT"||e.target.tagName==="SELECT")return;
   if(e.key==="?"){const s=$("shortcuts");s.style.display=s.style.display==="none"?"block":"none";return;}
   if(e.key==="ArrowRight"&&cur<files.length-1)selectImage(cur+1);
@@ -605,9 +651,33 @@ async function init(){
   $("note").textContent="exporting...";
   fetch("/api/export",{method:"POST",body:JSON.stringify({i:cur})});
  };
+ function updExportAll(){
+  $("exportall").textContent=batchSel.size?`export ${batchSel.size} selected`:"export ALL";
+ }
  $("exportall").onclick=async()=>{
-  const r=await (await fetch("/api/export_all",{method:"POST",body:"{}"})).json();
+  const body=batchSel.size?{indices:[...batchSel]}:{};
+  const r=await (await fetch("/api/export_all",{method:"POST",body:JSON.stringify(body)})).json();
   $("note").textContent=r.error||("batch export queued: "+r.queued+" images");
+ };
+ $("resetimg").onclick=async()=>{
+  await fetch("/api/reset",{method:"POST",body:JSON.stringify({i:cur})});
+  selectImage(cur); $("note").textContent="image reset to profile defaults";
+ };
+ $("resetall").onclick=async()=>{
+  if(!confirm("Reset stored settings for ALL "+files.length+" images?"))return;
+  await fetch("/api/reset",{method:"POST",body:JSON.stringify({all:true})});
+  selectImage(cur); $("note").textContent="all images reset";
+ };
+ $("delprof").onclick=async()=>{
+  const name=$("profile").value;
+  if(name==="Default"){$("note").textContent="cannot delete the Default profile";return;}
+  if(!confirm("Delete profile '"+name+"'?"))return;
+  const r=await (await fetch("/api/profile",{method:"POST",
+   body:JSON.stringify({name,delete:true})})).json();
+  profiles=r.profiles||profiles;
+  [...$("profile").options].filter(o=>o.value===name).forEach(o=>o.remove());
+  $("profile").value="Default"; post();
+  $("note").textContent="profile '"+name+"' deleted";
  };
  $("exportcancel").onclick=()=>fetch("/api/export_cancel",{method:"POST",body:"{}"});
  $("copyall").onclick=async()=>{
@@ -663,7 +733,13 @@ async function init(){
  const strip=$("strip");
  files.forEach((f,i)=>{
   const im=document.createElement("img");im.src="/api/thumb/"+i;im.title=f;
-  im.onclick=()=>selectImage(i);
+  im.onclick=e=>{
+   if(e.ctrlKey||e.metaKey){ // toggle batch-export selection
+    if(batchSel.has(i)){batchSel.delete(i);im.classList.remove("msel");}
+    else{batchSel.add(i);im.classList.add("msel");}
+    updExportAll();
+   }else selectImage(i);
+  };
   if(i===0)im.classList.add("sel");
   strip.append(im);
  });
@@ -771,19 +847,32 @@ def make_handler(state: ViewerState):
                         int(doc.get("i", 0)),
                         dict(doc.get("params") or {}),
                         bool(doc.get("full", False)),
+                        half=bool(doc.get("half", False)),
                     )
                     self._json({"ok": True})
                 elif u.path == "/api/profile":
-                    state.save_profile(
-                        str(doc.get("name", "Default")),
-                        dict(doc.get("params") or {}),
-                    )
+                    if doc.get("delete"):
+                        state.delete_profile(str(doc.get("name", "")))
+                    else:
+                        state.save_profile(
+                            str(doc.get("name", "Default")),
+                            dict(doc.get("params") or {}),
+                        )
                     self._json({"ok": True, "profiles": state.profiles})
+                elif u.path == "/api/reset":
+                    if doc.get("all"):
+                        state.reset_all_images()
+                    else:
+                        state.reset_image(int(doc.get("i", 0)))
+                    self._json({"ok": True})
                 elif u.path == "/api/export":
                     dst = state.export(int(doc.get("i", 0)))
                     self._json({"ok": True, "dst": dst})
                 elif u.path == "/api/export_all":
-                    n = state.export_all(int(doc.get("quality", 95)))
+                    n = state.export_all(
+                        int(doc.get("quality", 95)),
+                        indices=[int(i) for i in doc.get("indices") or []] or None,
+                    )
                     self._json({"ok": True, "queued": n})
                 elif u.path == "/api/export_cancel":
                     state.cancel_export()

@@ -245,3 +245,82 @@ class TestViewer:
         # the server must stay up either way.
         code, _, body = _get(base + "/api/images")
         assert code == 200
+
+    def test_export_selected(self, server):
+        """/api/export_all with indices exports ONLY those images (the
+        reference's save_selected_images, gui.py:383-385)."""
+        import time
+
+        base, state, folder = server
+        doc = _post(base + "/api/export_all", {"indices": [1]})
+        assert doc["ok"] and doc["queued"] == 1
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            _, _, body = _get(base + "/api/wait?since=0")
+            note = json.loads(body).get("note") or ""
+            if "batch export finished" in note:
+                break
+            time.sleep(0.2)
+        else:
+            raise AssertionError("selected export did not finish")
+        assert sorted(os.listdir(os.path.join(folder, "export"))) == ["b.jpg"]
+
+    def test_reset_image_and_all(self, server):
+        """/api/reset drops stored per-image params (one image or all) and
+        persists the removal to the sidecar."""
+        base, state, folder = server
+        _post(base + "/api/params", {"i": 0, "params": {"exp_comp": 1.5}})
+        _post(base + "/api/params", {"i": 1, "params": {"exp_comp": -1.0}})
+        assert state.image_params["a.dng"]["exp_comp"] == 1.5
+        out = _post(base + "/api/reset", {"i": 0})
+        assert out["ok"] and "a.dng" not in state.image_params
+        # Resolved params fall back to the schema default.
+        _, _, body = _get(base + "/api/params?i=0")
+        assert json.loads(body)["exp_comp"] == 0.0
+        assert state.image_params["b.dng"]["exp_comp"] == -1.0
+        out = _post(base + "/api/reset", {"all": True})
+        assert out["ok"] and state.image_params == {}
+        saved = json.load(
+            open(os.path.join(folder, "raw2film_settings.json"))
+        )
+        assert saved["images"] == {}
+
+    def test_delete_profile(self, server):
+        """Profile deletion removes it from state + sidecar; the Default
+        profile is protected."""
+        base, state, folder = server
+        _post(base + "/api/profile", {"name": "Punchy", "params": {"push_pull": 1.0}})
+        assert "Punchy" in state.profiles
+        out = _post(base + "/api/profile", {"name": "Punchy", "delete": True})
+        assert out["ok"] and "Punchy" not in out["profiles"]
+        saved = json.load(
+            open(os.path.join(folder, "raw2film_settings.json"))
+        )
+        assert "Punchy" not in saved.get("profiles", {})
+        import urllib.error
+
+        try:
+            out = _post(base + "/api/profile", {"name": "Default", "delete": True})
+        except urllib.error.HTTPError as e:
+            out = json.loads(e.read())
+        assert "error" in out
+        # The guard must not have crashed the server.
+        code, _, _ = _get(base + "/api/images")
+        assert code == 200
+
+    def test_half_res_preview(self, server):
+        """The half flag halves the preview scale cap handed to the engine
+        (the tiny test fixture is source-limited, so assert on the request,
+        not the rendered frame size)."""
+        from raw2film_tpu.viewer import PREVIEW_MAX_SCALE
+
+        base, state, _ = server
+        seen = []
+        orig = state.engine.request
+        state.engine.request = lambda src, **kw: seen.append(kw["max_scale"])
+        try:
+            _post(base + "/api/params", {"i": 0, "params": {}, "half": False})
+            _post(base + "/api/params", {"i": 0, "params": {}, "half": True})
+        finally:
+            state.engine.request = orig
+        assert seen == [PREVIEW_MAX_SCALE, PREVIEW_MAX_SCALE * 0.5]
