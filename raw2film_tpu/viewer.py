@@ -127,6 +127,11 @@ class ViewerState:
 
         name = os.path.basename(self.files[index])
         defaults = merge_params()
+        # Dynamic (non-schema) per-image keys the reference also stores
+        # outside its default dicts: the lens-correction toggle + manual
+        # lens profile override (gui.py:1410-1455, 1716-1729).
+        defaults.setdefault("lens_correction", True)
+        defaults.setdefault("lens", "")
         resolved = self._resolved(name)
         return {**defaults, **resolved}
 
@@ -143,9 +148,24 @@ class ViewerState:
         }
         kwargs["negative_film"] = resolved.get("negative_film", "Kodak Portra 400")
         kwargs["print_film"] = resolved.get("print_film") or None
+        # A manual lens override names a profile from the lens DB; register
+        # it in the processor's lookup so process(lens=...) resolves it.
+        lens_name = kwargs.get("lens")
+        if lens_name and lens_name not in self.proc.lenses:
+            from raw2film_tpu.io import lens as lens_mod
+
+            for p in lens_mod.load_profiles():
+                if p.model == lens_name:
+                    self.proc.lenses[lens_name] = p
+                    break
         if self._icc_transform is not None:
             kwargs["icc_transform"] = self._icc_transform
         return kwargs
+
+    def lens_names(self) -> list[str]:
+        from raw2film_tpu.io import lens as lens_mod
+
+        return sorted({p.model for p in lens_mod.load_profiles()})
 
     def request(
         self, index: int, params: dict, full: bool, half: bool = False
@@ -494,6 +514,8 @@ input[type=text],input:not([type]){width:100%;background:#2a2e36;color:#ddd;bord
  <div id="sliders"></div>
  <label>canvas <select id="canvas_mode"></select></label>
  <div id="canvas_sliders"></div>
+ <label><input type="checkbox" id="lens_correction" checked> lens correction</label>
+ <label>lens override <input id="lens" list="lenslist" placeholder="auto-detect"><datalist id="lenslist"></datalist></label>
  <label><input type="checkbox" id="full"> full preview (grain/halation/MTF)</label>
  <label><input type="checkbox" id="halfres"> half-res preview (faster)</label>
  <button id="export">export full-res JPEG</button>
@@ -530,6 +552,8 @@ function currentParams(){
  p.canvas_mode=$("canvas_mode").value;
  p.film_format=$("film_format").value;
  p.profile=$("profile").value;
+ p.lens_correction=$("lens_correction").checked;
+ p.lens=$("lens").value.trim();
  return p;
 }
 function post(){
@@ -543,6 +567,8 @@ function applyParams(p){
  if("print_film" in p)$("print_film").value=p.print_film==null?"None":p.print_film;
  if(p.canvas_mode)$("canvas_mode").value=p.canvas_mode;
  if(p.film_format)$("film_format").value=p.film_format;
+ if("lens_correction" in p)$("lens_correction").checked=p.lens_correction!==false;
+ if("lens" in p)$("lens").value=p.lens||"";
  if(p.profile && [...$("profile").options].some(o=>o.value===p.profile))$("profile").value=p.profile;
 }
 function debounce(){clearTimeout(t);t=setTimeout(post,60)}
@@ -596,6 +622,8 @@ async function init(){
  $("negative_film").onchange=post;$("print_film").onchange=post;
  $("canvas_mode").onchange=post;$("film_format").onchange=post;$("full").onchange=post;
  $("halfres").onchange=post;
+ $("lens_correction").onchange=post;$("lens").onchange=post;
+ for(const m of info.lenses||[]) $("lenslist").append(new Option(m,m));
  document.addEventListener("keydown",e=>{
   if(e.key==="Escape"){$("browser").style.display="none";$("shortcuts").style.display="none";
    batchSel.clear();document.querySelectorAll("#strip img.msel").forEach(el=>el.classList.remove("msel"));
@@ -796,6 +824,7 @@ def make_handler(state: ViewerState):
                             "profiles": state.profiles,
                             "canvas_modes": list(CANVAS_MODES),
                             "film_formats": list(_formats()),
+                            "lenses": state.lens_names(),
                         }
                     )
                 elif u.path == "/api/params":

@@ -324,3 +324,25 @@ class TestViewer:
         finally:
             state.engine.request = orig
         assert seen == [PREVIEW_MAX_SCALE, PREVIEW_MAX_SCALE * 0.5]
+
+    def test_lens_toggle_and_override(self, server):
+        """Per-image lens_correction toggle + manual lens profile override
+        flow through to the render kwargs (the reference's dynamic
+        image-param keys, gui.py:1410-1455)."""
+        base, state, _ = server
+        # Defaults exposed so the UI can reset the controls.
+        _, _, body = _get(base + "/api/params?i=0")
+        doc = json.loads(body)
+        assert doc["lens_correction"] is True and doc["lens"] == ""
+        # The lens DB names are listed for the datalist.
+        _, _, body = _get(base + "/api/images")
+        lenses = json.loads(body)["lenses"]
+        assert "synthetic 50mm f/2" in lenses
+        # Store an override; the render kwargs carry it and the profile is
+        # registered in the processor's lookup.
+        _post(base + "/api/params", {"i": 0, "params": {
+            "lens_correction": False, "lens": "synthetic 50mm f/2"}})
+        kw = state._render_kwargs("a.dng")
+        assert kw["lens_correction"] is False
+        assert kw["lens"] == "synthetic 50mm f/2"
+        assert "synthetic 50mm f/2" in state.proc.lenses
