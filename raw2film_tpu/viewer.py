@@ -340,6 +340,15 @@ class ViewerState:
     def cancel_export(self) -> None:
         self._export_cancel.set()
 
+    def close_images(self, indices: list[int]) -> int:
+        """Drop images from the session list WITHOUT touching disk (the
+        reference's "Close selected images" action, gui.py:391-393). Stored
+        params stay in the sidecar, so reopening the folder restores them."""
+        drop = {i for i in indices if 0 <= i < len(self.files)}
+        with self._state_lock:
+            self.files = [f for i, f in enumerate(self.files) if i not in drop]
+        return len(drop)
+
     def set_icc(
         self,
         softproof: str | None = None,
@@ -522,6 +531,7 @@ input[type=text],input:not([type]){width:100%;background:#2a2e36;color:#ddd;bord
  <div class="row"><button id="exportall">export ALL</button><button id="exportcancel">cancel</button></div>
  <button id="copyall">copy settings to all</button>
  <div class="row"><button id="resetimg">reset image</button><button id="resetall">reset all</button></div>
+ <button id="closesel">close selected (keep files)</button>
  <div id="note"></div>
  <div id="err"></div>
 </div>
@@ -695,6 +705,12 @@ async function init(){
   if(!confirm("Reset stored settings for ALL "+files.length+" images?"))return;
   await fetch("/api/reset",{method:"POST",body:JSON.stringify({all:true})});
   selectImage(cur); $("note").textContent="all images reset";
+ };
+ $("closesel").onclick=async()=>{
+  if(!batchSel.size){$("note").textContent="ctrl/⌘-click thumbnails to select images first";return;}
+  if(!confirm("Close "+batchSel.size+" selected image(s)? Files stay on disk."))return;
+  await fetch("/api/close",{method:"POST",body:JSON.stringify({indices:[...batchSel]})});
+  location.reload();
  };
  $("delprof").onclick=async()=>{
   const name=$("profile").value;
@@ -906,6 +922,11 @@ def make_handler(state: ViewerState):
                 elif u.path == "/api/export_cancel":
                     state.cancel_export()
                     self._json({"ok": True})
+                elif u.path == "/api/close":
+                    n = state.close_images(
+                        [int(i) for i in doc.get("indices") or []]
+                    )
+                    self._json({"ok": True, "removed": n})
                 elif u.path == "/api/copy_settings":
                     state.copy_settings_to_all(int(doc.get("i", 0)))
                     self._json({"ok": True})

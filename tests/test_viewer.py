@@ -346,3 +346,16 @@ class TestViewer:
         assert kw["lens_correction"] is False
         assert kw["lens"] == "synthetic 50mm f/2"
         assert "synthetic 50mm f/2" in state.proc.lenses
+
+    def test_close_selected(self, server):
+        """/api/close drops images from the session list without touching
+        the files on disk (the reference's "Close selected images")."""
+        base, state, folder = server
+        out = _post(base + "/api/close", {"indices": [0]})
+        assert out["ok"] and out["removed"] == 1
+        _, _, body = _get(base + "/api/images")
+        assert json.loads(body)["files"] == ["b.dng"]
+        assert os.path.exists(os.path.join(folder, "a.dng"))  # file untouched
+        # Thumb index 0 now serves the remaining image.
+        code, _, _ = _get(base + "/api/thumb/0")
+        assert code == 200
