@@ -516,6 +516,10 @@ input[type=text],input:not([type]){width:100%;background:#2a2e36;color:#ddd;bord
  <details><summary>ICC / softproof</summary>
   <label>softproof profile <input id="icc_soft" placeholder="/path/to/paper.icc"></label>
   <label>display profile <input id="icc_disp" placeholder="optional display.icc"></label>
+  <label>rendering intent <select id="icc_intent">
+   <option value="0">perceptual</option><option value="1">relative colorimetric</option>
+   <option value="2">saturation preserving</option><option value="3">absolute colorimetric</option>
+  </select></label>
   <div class="row"><button id="icc_apply">proof on</button><button id="icc_off">off</button></div>
  </details>
  <label>format <select id="film_format"></select></label>
@@ -762,7 +766,8 @@ async function init(){
  // --- ICC softproof (viewer-only; exports stay un-proofed) ---
  $("icc_apply").onclick=async()=>{
   const r=await (await fetch("/api/icc",{method:"POST",body:JSON.stringify(
-   {softproof:$("icc_soft").value||null,display:$("icc_disp").value||null})})).json();
+   {softproof:$("icc_soft").value||null,display:$("icc_disp").value||null,
+    intent:parseInt($("icc_intent").value)})})).json();
   if(r.error){$("err").textContent=r.error;return;}
   $("err").textContent="";$("note").textContent=r.active?"softproof ON":"softproof off";post();
  };
@@ -773,6 +778,7 @@ async function init(){
  fetch("/api/icc").then(r=>r.json()).then(r=>{
   if(r.softproof)$("icc_soft").value=r.softproof;
   if(r.display)$("icc_disp").value=r.display;
+  if(r.intent!==undefined)$("icc_intent").value=String(r.intent);
  });
  const strip=$("strip");
  files.forEach((f,i)=>{

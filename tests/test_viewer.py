@@ -359,3 +359,21 @@ class TestViewer:
         # Thumb index 0 now serves the remaining image.
         code, _, _ = _get(base + "/api/thumb/0")
         assert code == 200
+
+    def test_icc_intent_round_trip(self, server, tmp_path):
+        """The rendering-intent selection persists through /api/icc (the
+        reference's per-transform intent menus, gui.py:437-480)."""
+        base, state, _ = server
+        pytest.importorskip("PIL.ImageCms")
+        from PIL import ImageCms
+
+        prof = str(tmp_path / "p.icc")
+        with open(prof, "wb") as f:
+            f.write(ImageCms.ImageCmsProfile(ImageCms.createProfile("sRGB")).tobytes())
+        out = _post(base + "/api/icc", {"softproof": prof, "intent": 3})
+        assert out["active"] and out["intent"] == 3
+        _, _, body = _get(base + "/api/icc")
+        assert json.loads(body)["intent"] == 3
+        # Page carries the intent selector.
+        _, _, page = _get(base + "/")
+        assert b"icc_intent" in page
