@@ -525,6 +525,15 @@ input[type=text],input:not([type]){width:100%;background:#2a2e36;color:#ddd;bord
  <label>format <select id="film_format"></select></label>
  <div class="row" id="wb_presets"></div>
  <div id="sliders"></div>
+ <details><summary>advanced</summary>
+  <div id="adv_checks"></div>
+  <label>grain mode <select id="grain_mode">
+   <option value="0">off</option><option value="1">BW</option><option value="2" selected>color</option>
+  </select></label>
+  <label>output encoding <select id="gamma_func"></select></label>
+  <div class="row"><button id="rot90">rotate 90&deg;</button></div>
+  <div id="adv_sliders"></div>
+ </details>
  <label>canvas <select id="canvas_mode"></select></label>
  <div id="canvas_sliders"></div>
  <label><input type="checkbox" id="lens_correction" checked> lens correction</label>
@@ -554,13 +563,25 @@ const SLIDERS = [
  ["rotation",-45,45,.5,0],["zoom",1,3,.01,1],
  ["chroma_nr",0,10,1,0]];
 const CANVAS_SLIDERS = [["canvas_scale",1,2,.01,1],["canvas_ratio",.2,1.5,.01,.8]];
-let cur=0, seq=0, t=null, files=[], profiles={}, snapA=null, holdB=false;
+const ADV_SLIDERS = [
+ ["halation_size",.2,3,.05,1],["halation_green_factor",0,1,.05,.3],
+ ["projector_kelvin",2800,10000,50,6500],["inversion_gamma",1,8,.1,4],
+ ["shadow_comp",-1,1,.05,0],["grain_sigma",.05,1,.05,.4],
+ ["sharpening_sigma",.3,3,.05,1],["color_masking",0,1,.05,1],
+ ["burn_scale",10,200,5,50]];
+const ADV_CHECKS = [["halation",true],["sharpness",true],["white_clip",false],
+ ["white_balance",false],["idealized_curve",false],["flip",false]];
+let cur=0, seq=0, t=null, files=[], profiles={}, snapA=null, holdB=false, rtimes=0;
 let batchSel=new Set();  // ctrl-click thumbnail selection for "export selected"
 const $=id=>document.getElementById(id);
 const WB_PRESETS={daylight:[5500,0],cloudy:[6500,0],shade:[7500,0],tungsten:[3200,0],fluor:[4000,15],flash:[5800,0]};
 function currentParams(){
  const p={};
- for(const [n] of [...SLIDERS,...CANVAS_SLIDERS]) p[n]=parseFloat($(n).value), $("v_"+n).textContent=$(n).value;
+ for(const [n] of [...SLIDERS,...CANVAS_SLIDERS,...ADV_SLIDERS]) p[n]=parseFloat($(n).value), $("v_"+n).textContent=$(n).value;
+ for(const [n] of ADV_CHECKS) p[n]=$(n).checked;
+ p.grain=parseInt($("grain_mode").value);
+ p.gamma_func=$("gamma_func").value;
+ p.rotate_times=rtimes;
  p.negative_film=$("negative_film").value;
  p.print_film=$("print_film").value==="None"?null:$("print_film").value;
  p.canvas_mode=$("canvas_mode").value;
@@ -575,8 +596,12 @@ function post(){
   {i:cur,params:currentParams(),full:$("full").checked,half:$("halfres").checked})});
 }
 function applyParams(p){
- for(const [n] of [...SLIDERS,...CANVAS_SLIDERS])
+ for(const [n] of [...SLIDERS,...CANVAS_SLIDERS,...ADV_SLIDERS])
   if(p[n]!==undefined){$(n).value=p[n];$("v_"+n).textContent=p[n];}
+ for(const [n,dv] of ADV_CHECKS) if(n in p)$(n).checked=!!p[n];
+ if("grain" in p)$("grain_mode").value=String(p.grain);
+ if(p.gamma_func)$("gamma_func").value=p.gamma_func;
+ if("rotate_times" in p)rtimes=(p.rotate_times|0)%4;
  if(p.negative_film)$("negative_film").value=p.negative_film;
  if("print_film" in p)$("print_film").value=p.print_film==null?"None":p.print_film;
  if(p.canvas_mode)$("canvas_mode").value=p.canvas_mode;
@@ -632,7 +657,14 @@ async function init(){
    `<label>${n}<span class="v" id="v_${n}">${dv}</span>
     <input type="range" id="${n}" min="${lo}" max="${hi}" step="${st}" value="${dv}"></label>`);
   $(n).oninput=debounce;}};
- mk($("sliders"),SLIDERS); mk($("canvas_sliders"),CANVAS_SLIDERS);
+ mk($("sliders"),SLIDERS); mk($("canvas_sliders"),CANVAS_SLIDERS); mk($("adv_sliders"),ADV_SLIDERS);
+ for(const [n,dv] of ADV_CHECKS){
+  $("adv_checks").insertAdjacentHTML("beforeend",
+   `<label><input type="checkbox" id="${n}"${dv?" checked":""}> ${n}</label>`);
+  $(n).onchange=post;}
+ for(const g of info.gamma_funcs||["sRGB"]) $("gamma_func").append(new Option(g,g));
+ $("grain_mode").onchange=post;$("gamma_func").onchange=post;
+ $("rot90").onclick=()=>{rtimes=(rtimes+1)%4;post();$("note").textContent="rotated "+rtimes*90+"°";};
  $("negative_film").onchange=post;$("print_film").onchange=post;
  $("canvas_mode").onchange=post;$("film_format").onchange=post;$("full").onchange=post;
  $("halfres").onchange=post;
@@ -805,6 +837,12 @@ def _formats():
     return FORMATS
 
 
+def _gamma_keys():
+    from raw2film_tpu.film.transfer import GAMMA_KEYS
+
+    return GAMMA_KEYS
+
+
 def make_handler(state: ViewerState):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
@@ -847,6 +885,7 @@ def make_handler(state: ViewerState):
                             "canvas_modes": list(CANVAS_MODES),
                             "film_formats": list(_formats()),
                             "lenses": state.lens_names(),
+                            "gamma_funcs": list(_gamma_keys()),
                         }
                     )
                 elif u.path == "/api/params":

@@ -377,3 +377,22 @@ class TestViewer:
         # Page carries the intent selector.
         _, _, page = _get(base + "/")
         assert b"icc_intent" in page
+
+    def test_advanced_controls(self, server):
+        """The advanced section exposes every remaining ProfileParams/
+        ImageParams control; posted values flow into the render kwargs."""
+        base, state, _ = server
+        _, _, page = _get(base + "/")
+        for ctl in (b"halation_size", b"projector_kelvin", b"grain_mode",
+                    b"gamma_func", b"rot90", b"color_masking", b"burn_scale",
+                    b"white_clip", b"idealized_curve", b"flip"):
+            assert ctl in page, ctl
+        _, _, body = _get(base + "/api/images")
+        assert "ARRI LogC3" in json.loads(body)["gamma_funcs"]
+        _post(base + "/api/params", {"i": 0, "params": {
+            "grain": 0, "gamma_func": "Rec709", "rotate_times": 1,
+            "halation": False, "shadow_comp": 0.5, "flip": True}})
+        kw = state._render_kwargs("a.dng")
+        assert kw["grain"] == 0 and kw["gamma_func"] == "Rec709"
+        assert kw["rotate_times"] == 1 and kw["halation"] is False
+        assert kw["shadow_comp"] == 0.5 and kw["flip"] is True
