@@ -474,3 +474,46 @@ class TestValidation:
             chain.build_negative_params(PORTRA, exp_kelvin=-100)
         with pytest.raises(ValueError, match="tint"):
             chain.build_negative_params(PORTRA, tint=1e6)
+
+
+class TestRound3StockAnchors:
+    """Published-datasheet orderings for the four round-3 additions."""
+
+    def test_astia_is_the_softest_slide(self):
+        """Astia 100F was Fuji's low-contrast portrait slide: its H&D
+        straight-line gamma magnitude sits below Provia 100F and Velvia 50
+        (Fuji E-6 datasheets order Velvia > Provia > Astia on contrast)."""
+
+        def slide_gamma(name):
+            return abs(float(np.mean(STOCKS[name].curve.gamma)))
+
+        astia = slide_gamma("Fuji Astia 100F")
+        provia = slide_gamma("Fuji Provia 100F")
+        velvia = slide_gamma("Fuji Velvia 50")
+        assert astia < provia < velvia, (astia, provia, velvia)
+
+    def test_high_speed_bw_grain_ordering(self):
+        """Kodak/Fuji granularity ordering: Delta 3200 > T-Max P3200 >
+        Neopan 1600 > Tri-X 400 (T-grain P3200 is finer than Delta 3200
+        at the same EI; Neopan 1600 is finer still)."""
+        from raw2film_tpu.film.grain import grain_amplitude
+
+        d = np.linspace(0.3, 1.8, 32)
+
+        def amp(name):
+            return float(
+                np.mean(grain_amplitude(STOCKS[name], d, scale=200.0, bw_grain=True))
+            )
+
+        delta = amp("Ilford Delta 3200")
+        p3200 = amp("Kodak T-Max P3200")
+        neopan = amp("Fuji Neopan 1600")
+        trix = amp("Kodak Tri-X 400")
+        assert delta > p3200 > neopan > trix, (delta, p3200, neopan, trix)
+
+    def test_vista_grainier_than_portra(self):
+        """Consumer Agfa Vista 200 is grainier than pro Portra 160 and in
+        the same class as Gold 200 / C200."""
+        v = STOCKS["Agfa Vista 200"]
+        assert v.grain.rms > STOCKS["Kodak Portra 160"].grain.rms
+        assert abs(v.grain.rms - STOCKS["Kodak Gold 200"].grain.rms) < 1.5
