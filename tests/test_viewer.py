@@ -396,3 +396,25 @@ class TestViewer:
         assert kw["grain"] == 0 and kw["gamma_func"] == "Rec709"
         assert kw["rotate_times"] == 1 and kw["halation"] is False
         assert kw["shadow_comp"] == 0.5 and kw["flip"] is True
+
+    def test_advanced_params_render_a_frame(self, server):
+        """A full-preview request carrying advanced params (grain BW,
+        Rec709 encoding, halation off, rotate 90) renders end-to-end."""
+        base, state, _ = server
+        out = _post(base + "/api/params", {"i": 0, "full": True, "params": {
+            "grain": 1, "gamma_func": "Rec709", "halation": False,
+            "rotate_times": 1, "color_masking": 0.5, "shadow_comp": 0.3}})
+        assert out["ok"]
+        _, _, body = _get(base + "/api/wait?since=0")
+        doc = json.loads(body)
+        assert doc["seq"] >= 1 and not doc.get("error"), doc
+        code, _, jpg = _get(base + "/api/frame.jpg")
+        assert code == 200 and jpg[:2] == b"\xff\xd8"
+        # rotate_times=1 swaps the frame aspect (64x40 source -> taller
+        # than wide after the 90-degree rotation + 3:2 frame crop).
+        import io as _io
+
+        from PIL import Image
+
+        w, h = Image.open(_io.BytesIO(jpg)).size
+        assert h > w, (w, h)
