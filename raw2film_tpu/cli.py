@@ -85,7 +85,22 @@ def build_parser() -> argparse.ArgumentParser:
         "(linear Rec709 in, display RGB out) and exit",
     )
     p.add_argument("--lut-size", type=int, default=33, help="3D LUT side length")
-    # Every ProfileParams/ImageParams field becomes a flag.
+    p.add_argument(
+        "--lens-correction",
+        type=lambda s: s.lower() in ("1", "true", "yes", "on"),
+        default=argparse.SUPPRESS,
+        metavar="BOOL",
+        help="enable/disable lens correction (default on)",
+    )
+    p.add_argument(
+        "--lens",
+        default=argparse.SUPPRESS,
+        help="manual lens profile model name (overrides EXIF auto-detect)",
+    )
+    # Every ProfileParams/ImageParams field becomes a flag. Defaults are
+    # SUPPRESSed so main() can tell explicit flags (which must override the
+    # folder sidecar) from untouched ones (which must NOT — the reference's
+    # merge order is defaults < profile < per-image < explicit overrides).
     for dc in (ProfileParams(), ImageParams()):
         for f in dataclasses.fields(dc):
             name = "--" + f.name.replace("_", "-")
@@ -94,20 +109,43 @@ def build_parser() -> argparse.ArgumentParser:
                 p.add_argument(
                     name,
                     type=lambda s: s.lower() in ("1", "true", "yes", "on"),
-                    default=default,
+                    default=argparse.SUPPRESS,
                     metavar="BOOL",
                 )
             elif default is None or isinstance(default, str):
-                p.add_argument(name, type=str, default=default)
+                p.add_argument(name, type=str, default=argparse.SUPPRESS)
             elif isinstance(default, int) and not isinstance(default, bool):
-                p.add_argument(name, type=int, default=default)
+                p.add_argument(name, type=int, default=argparse.SUPPRESS)
             else:
-                p.add_argument(name, type=float, default=default)
+                p.add_argument(name, type=float, default=argparse.SUPPRESS)
     return p
 
 
 def main(argv: list[str] | None = None) -> int:
+    import dataclasses as _dc
+
+    from raw2film_tpu.pipeline.params import ImageParams, ProfileParams
+
     args = build_parser().parse_args(argv)
+    # Split explicit schema flags (they override the sidecar) from
+    # untouched ones (restored to defaults for direct args.X uses below).
+    cli_over = {}
+    for dc in (ProfileParams(), ImageParams()):
+        for f in _dc.fields(dc):
+            if hasattr(args, f.name):
+                cli_over[f.name] = getattr(args, f.name)
+            else:
+                setattr(args, f.name, getattr(dc, f.name))
+    for name, default in (("lens_correction", True), ("lens", None)):
+        if hasattr(args, name):
+            cli_over[name] = getattr(args, name)
+        else:
+            setattr(args, name, default)
+    if "print_film" in cli_over:
+        cli_over["print_film"] = (
+            None if cli_over["print_film"] in (None, "", "None")
+            else cli_over["print_film"]
+        )
 
     if args.trace:
         os.environ["RAW2FILM_TRACE"] = "1"
@@ -186,10 +224,12 @@ def main(argv: list[str] | None = None) -> int:
 
     files: list[str] = []
     sidecar_images: dict = {}
+    sidecar_profiles: dict = {}
     for inp in args.inputs:
         if os.path.isdir(inp):
             files.extend(scan_raw_files(inp))
-            _, imgs = load_folder_settings(inp)
+            profs, imgs = load_folder_settings(inp)
+            sidecar_profiles.update(profs)
             sidecar_images.update(imgs)
         else:
             files.append(inp)
@@ -220,15 +260,6 @@ def main(argv: list[str] | None = None) -> int:
         print(f"unknown print stock {args.print_film!r}; see --list-stocks", file=sys.stderr)
         return 2
 
-    cli_over = {
-        f.name: getattr(args, f.name)
-        for dc in (ProfileParams(), ImageParams())
-        for f in dataclasses.fields(dc)
-    }
-    cli_over["print_film"] = (
-        None if args.print_film in (None, "", "None") else args.print_film
-    )
-
     icc_transform = None
     if args.softproof_profile or args.display_profile:
         from raw2film_tpu.io import icc as icc_mod
@@ -258,11 +289,25 @@ def main(argv: list[str] | None = None) -> int:
 
     def process(payload, **params):
         src, raw = payload if isinstance(payload, tuple) else (payload, None)
-        merged = merge_params(None, sidecar_images.get(os.path.basename(src)), **params)
+        # Reference merge order (gui.py:2181-2195): schema defaults, the
+        # image's sidecar profile, its per-image sidecar params, then ONLY
+        # explicitly-passed CLI flags on top.
+        img_sc = sidecar_images.get(os.path.basename(src)) or {}
+        prof = sidecar_profiles.get(img_sc.get("profile", ""))
+        merged = merge_params(prof, img_sc, **params)
         merged.pop("profile", None)
         from raw2film_tpu.pipeline.params import apply_film_format
 
         apply_film_format(merged)
+        # Dynamic non-schema keys (sidecar-stored by the viewer, or the
+        # --lens / --lens-correction flags): same precedence as above.
+        lens_kw = {
+            k: params.get(k, img_sc.get(k))
+            for k in ("lens_correction", "lens")
+            if k in params or k in img_sc
+        }
+        if lens_kw.get("lens"):
+            proc.register_lens(lens_kw["lens"])
         out = proc.process(
             raw if raw is not None else src,
             merged.pop("negative_film"),
@@ -271,6 +316,7 @@ def main(argv: list[str] | None = None) -> int:
             max_scale=None if args.full_res else 400.0,
             seed=args.seed,
             icc_transform=icc_transform,
+            **lens_kw,
             **merged,
         )
         # Metadata comes back through the Processor (single decode).

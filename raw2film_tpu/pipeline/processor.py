@@ -153,6 +153,21 @@ class Processor:
         self._fusion_bad: set = set()
         self.last_metadata: dict = {}
 
+    def register_lens(self, name: str) -> bool:
+        """Resolve a lens model name from the profile DB into ``lenses`` so
+        ``process(lens=name)`` honors a manual override (the reference's
+        lens-model selector, src/raw2film/gui.py:603-612). Returns whether
+        the name now resolves."""
+        if not name or name in self.lenses:
+            return bool(name) and name in self.lenses
+        from raw2film_tpu.io import lens as lens_mod
+
+        for p in lens_mod.load_profiles():
+            if p.model == name:
+                self.lenses[name] = p
+                return True
+        return False
+
     # ------------------------------------------------------------ image
 
     def load_image(

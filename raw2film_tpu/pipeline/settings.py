@@ -38,19 +38,32 @@ def save_settings(
     os.replace(tmp, path)
 
 
+# Per-image keys the reference stores OUTSIDE its default schema dicts and
+# persists wholesale in settings JSON (gui.py:1716-1729, 1865-1873): manual
+# camera/lens overrides + the per-image lens-correction toggle. Preserved
+# through sidecar round-trips alongside the ImageParams schema keys.
+DYNAMIC_IMAGE_KEYS = ("lens", "lens_correction", "cam")
+
+
 def load_settings(path: str) -> tuple[dict, dict]:
-    """-> (profiles: name->ProfileParams, images: basename->ImageParams).
-    Unknown keys are ignored so documents from other versions load."""
+    """-> (profiles: name->dict, images: basename->dict), each filtered to
+    its schema keys (plus :data:`DYNAMIC_IMAGE_KEYS` for images). Unknown
+    keys are ignored so documents from other versions load; values are
+    plain dicts so dynamic keys survive a round trip."""
     with open(path) as f:
         doc = json.load(f)
     prof_fields = {f.name for f in dataclasses.fields(ProfileParams)}
     img_fields = {f.name for f in dataclasses.fields(ImageParams)}
     profiles = {
-        name: ProfileParams(**{k: v for k, v in p.items() if k in prof_fields})
+        name: {k: v for k, v in p.items() if k in prof_fields}
         for name, p in doc.get("profiles", {}).items()
     }
     images = {
-        name: ImageParams(**{k: v for k, v in p.items() if k in img_fields})
+        name: {
+            k: v
+            for k, v in p.items()
+            if k in img_fields or k in DYNAMIC_IMAGE_KEYS
+        }
         for name, p in doc.get("images", {}).items()
     }
     return profiles, images

@@ -65,7 +65,8 @@ class ViewerState:
             for name, p in profiles.items()
         }
         self.image_params: dict[str, dict] = {
-            name: dataclasses.asdict(p) for name, p in images.items()
+            name: dataclasses.asdict(p) if dataclasses.is_dataclass(p) else dict(p)
+            for name, p in images.items()
         }
         self._cond = threading.Condition()
         # Serializes param/profile mutation + sidecar persistence across
@@ -150,14 +151,8 @@ class ViewerState:
         kwargs["print_film"] = resolved.get("print_film") or None
         # A manual lens override names a profile from the lens DB; register
         # it in the processor's lookup so process(lens=...) resolves it.
-        lens_name = kwargs.get("lens")
-        if lens_name and lens_name not in self.proc.lenses:
-            from raw2film_tpu.io import lens as lens_mod
-
-            for p in lens_mod.load_profiles():
-                if p.model == lens_name:
-                    self.proc.lenses[lens_name] = p
-                    break
+        if kwargs.get("lens"):
+            self.proc.register_lens(kwargs["lens"])
         if self._icc_transform is not None:
             kwargs["icc_transform"] = self._icc_transform
         return kwargs

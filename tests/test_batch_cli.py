@@ -136,8 +136,8 @@ class TestSettings:
             images={"img.dng": ImageParams(exp_comp=1.5, rotation=2.0)},
         )
         profiles, images = load_settings(p)
-        assert profiles["Default"].negative_film == "Kodak Ektar 100"
-        assert images["img.dng"].exp_comp == 1.5
+        assert profiles["Default"]["negative_film"] == "Kodak Ektar 100"
+        assert images["img.dng"]["exp_comp"] == 1.5
 
     def test_unknown_keys_ignored(self, tmp_path):
         p = str(tmp_path / "settings.json")
@@ -148,14 +148,15 @@ class TestSettings:
         with open(p, "w") as f:
             json.dump(doc, f)
         profiles, _ = load_settings(p)
-        assert profiles["X"].negative_film == "Kodak Gold 200"
+        assert profiles["X"]["negative_film"] == "Kodak Gold 200"
+        assert "mystery" not in profiles["X"]
 
     def test_folder_sidecar(self, tmp_path):
         save_settings(
             sidecar_path(str(tmp_path)), images={"a.dng": ImageParams(tint=3.0)}
         )
         _, images = load_folder_settings(str(tmp_path))
-        assert images["a.dng"].tint == 3.0
+        assert images["a.dng"]["tint"] == 3.0
         assert load_folder_settings("/nonexistent") == ({}, {})
 
 
@@ -304,3 +305,93 @@ class TestExportLut:
         lut, _, _ = read_cube(dst)
         # BW chain: LUT output is neutral everywhere.
         assert np.abs(lut.max(axis=-1) - lut.min(axis=-1)).max() < 1e-5
+
+
+class TestSidecarMergeOrder:
+    """The CLI merge order is defaults < sidecar profile < sidecar image <
+    EXPLICIT flags only (reference gui.py:2181-2195). Untouched CLI flags
+    must not clobber the sidecar."""
+
+    def test_sidecar_actually_changes_output(self, tmp_path):
+        from PIL import Image
+
+        from raw2film_tpu.cli import main
+
+        folder = tmp_path / "roll"
+        folder.mkdir()
+        _write_fixture_dng(folder / "f1.dng")
+        out_a, out_b = str(tmp_path / "a"), str(tmp_path / "b")
+        assert main([str(folder), "-o", out_a, "--grain", "0"]) == 0
+        save_settings(
+            sidecar_path(str(folder)),
+            images={"f1.dng": {"exp_comp": 2.0}},
+        )
+        assert main([str(folder), "-o", out_b, "--grain", "0"]) == 0
+        a = np.asarray(Image.open(os.path.join(out_a, "f1.jpg")), np.float32)
+        b = np.asarray(Image.open(os.path.join(out_b, "f1.jpg")), np.float32)
+        assert np.abs(a - b).mean() > 2.0, "sidecar exp_comp had no effect"
+
+    def test_explicit_flag_overrides_sidecar(self, tmp_path):
+        from PIL import Image
+
+        from raw2film_tpu.cli import main
+
+        folder = tmp_path / "roll"
+        folder.mkdir()
+        _write_fixture_dng(folder / "f1.dng")
+        save_settings(
+            sidecar_path(str(folder)),
+            images={"f1.dng": {"exp_comp": 2.0}},
+        )
+        out_a, out_b = str(tmp_path / "a"), str(tmp_path / "b")
+        # Explicit --exp-comp 0 must beat the sidecar's 2.0 ...
+        assert main([str(folder), "-o", out_a, "--grain", "0",
+                     "--exp-comp", "0"]) == 0
+        # ... and match a run with no sidecar at all.
+        os.remove(sidecar_path(str(folder)))
+        assert main([str(folder), "-o", out_b, "--grain", "0"]) == 0
+        a = np.asarray(Image.open(os.path.join(out_a, "f1.jpg")), np.float32)
+        b = np.asarray(Image.open(os.path.join(out_b, "f1.jpg")), np.float32)
+        assert np.abs(a - b).mean() < 0.5
+
+    def test_sidecar_profile_layer_resolves(self, tmp_path):
+        from PIL import Image
+
+        from raw2film_tpu.cli import main
+
+        folder = tmp_path / "roll"
+        folder.mkdir()
+        _write_fixture_dng(folder / "f1.dng")
+        out_a = str(tmp_path / "a")
+        assert main([str(folder), "-o", out_a, "--grain", "0"]) == 0
+        # A sidecar profile with a strong push; the image references it.
+        save_settings(
+            sidecar_path(str(folder)),
+            profiles={"Hot": {"push_pull": 2.0}},
+            images={"f1.dng": {"profile": "Hot"}},
+        )
+        out_b = str(tmp_path / "b")
+        assert main([str(folder), "-o", out_b, "--grain", "0"]) == 0
+        a = np.asarray(Image.open(os.path.join(out_a, "f1.jpg")), np.float32)
+        b = np.asarray(Image.open(os.path.join(out_b, "f1.jpg")), np.float32)
+        assert np.abs(a - b).mean() > 1.0, "sidecar profile had no effect"
+
+    def test_dynamic_lens_keys_survive_roundtrip(self, tmp_path):
+        p = str(tmp_path / "settings.json")
+        save_settings(
+            p,
+            images={"a.dng": {"exp_comp": 1.0, "lens": "synthetic 50mm f/2",
+                              "lens_correction": False}},
+        )
+        _, images = load_settings(p)
+        assert images["a.dng"]["lens"] == "synthetic 50mm f/2"
+        assert images["a.dng"]["lens_correction"] is False
+
+    def test_register_lens(self):
+        from raw2film_tpu.pipeline.processor import Processor
+
+        proc = Processor()
+        assert proc.register_lens("synthetic 50mm f/2")
+        assert "synthetic 50mm f/2" in proc.lenses
+        assert not proc.register_lens("no such lens")
+        assert not proc.register_lens("")
