@@ -353,7 +353,33 @@ def render_chain(
             ref_hw=burn_ref_hw,
         )
 
-    # Print / inversion / direct view (planes: fully fused elementwise).
+    # Print / inversion / direct view. Preferred: ONE streaming Pallas pass
+    # for the whole tail (develop + view + encode + quantize) — the density
+    # image is read once and only the uint8 leaves (ops/pallas_print.py).
+    # Fallback: the planes formulation, which XLA fuses into a few loops.
+    if cfg.fusion and not cfg.icc and _use_pallas():
+        from raw2film_tpu.ops.pallas_print import (
+            pack_print_vec,
+            print_encode_pallas,
+        )
+
+        out = print_encode_pallas(
+            d,
+            pack_print_vec(bundle),
+            cfg.print_mode,
+            cfg.shadow_comp,
+            cfg.sat_neutral,
+            cfg.gamma_func,
+            quantize=cfg.quantize,
+        )
+        if out is not None:
+            return out
+    return _print_tail(d, bundle, cfg)
+
+
+def _print_tail(d: Array, bundle: dict, cfg: RenderConfig) -> Array:
+    """The XLA planes formulation of the chain tail (also the reference
+    implementation the Pallas tail kernel is tested against)."""
     dp = _planes(d)
     if cfg.print_mode == "print":
         le0 = jnp.reshape(bundle["log_e0"], (3, -1))

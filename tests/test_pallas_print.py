@@ -1,0 +1,112 @@
+"""Print/encode tail kernel (interpret mode) vs the XLA planes tail."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from raw2film_tpu.ops.pallas_print import pack_print_vec, print_encode_pallas
+from raw2film_tpu.pipeline.render import RenderConfig, _print_tail
+
+
+def _bundle(rng):
+    r3 = lambda lo, hi: jnp.asarray(rng.uniform(lo, hi, 3), jnp.float32)
+    m3 = lambda s: jnp.asarray(
+        np.eye(3) * 1.0 + rng.normal(0, s, (3, 3)), jnp.float32
+    )
+    return {
+        "a": m3(0.1),
+        "log_e0": r3(-0.5, 0.5),
+        "prt_curve": (
+            r3(0.05, 0.15),  # d_min
+            r3(1.5, 3.0),  # gamma
+            r3(-1.2, -0.8),  # x_toe
+            r3(0.6, 1.0),  # x_shoulder
+            r3(0.15, 0.3),  # w_toe
+            r3(0.15, 0.3),  # w_shoulder
+        ),
+        "d_offset": r3(0.0, 0.4),
+        "v": m3(0.05),
+        "shadow_comp": jnp.float32(0.35),
+        "shadow_ref": jnp.float32(1.8),
+        "vd_offset": r3(-2.2, -1.8),
+        "to_display": m3(0.2),
+        "white_gain": r3(0.9, 1.1),
+        "sat": jnp.float32(1.3),
+    }
+
+
+def _cfg(**kw):
+    base = dict(
+        scale=20.0,
+        halation=False,
+        sharpness=False,
+        grain=0,
+        highlight_burn=False,
+        quantize=True,
+    )
+    base.update(kw)
+    return RenderConfig(**base)
+
+
+CASES = [
+    dict(print_mode="print", shadow_comp=False, sat_neutral=True, gamma_func="sRGB"),
+    dict(print_mode="print", shadow_comp=True, sat_neutral=False, gamma_func="Rec709"),
+    dict(print_mode="inversion", shadow_comp=False, sat_neutral=False, gamma_func="Gamma 2.2"),
+    dict(print_mode="direct", shadow_comp=True, sat_neutral=True, gamma_func="ARRI LogC3"),
+    dict(print_mode="print", shadow_comp=False, sat_neutral=True, gamma_func="Linear"),
+]
+
+
+@pytest.mark.parametrize("case", CASES)
+@pytest.mark.parametrize("quantize", [True, False])
+def test_print_kernel_matches_planes_tail(case, quantize):
+    rng = np.random.default_rng(hash(tuple(sorted(case.items()))) % 2**31)
+    bundle = _bundle(rng)
+    cfg = _cfg(quantize=quantize, **case)
+    d = jnp.asarray(
+        rng.uniform(0.0, 3.5, (3, 64, 256)).astype(np.float32)
+    )
+    ref = np.asarray(_print_tail(d, bundle, cfg))
+    got = print_encode_pallas(
+        d,
+        pack_print_vec(bundle),
+        cfg.print_mode,
+        cfg.shadow_comp,
+        cfg.sat_neutral,
+        cfg.gamma_func,
+        quantize=quantize,
+        interpret=True,
+    )
+    assert got is not None
+    got = np.asarray(got)
+    if quantize:
+        assert got.dtype == np.uint8
+        # Identical math modulo association order: at most a rounding-
+        # boundary code.
+        assert np.abs(got.astype(np.int16) - ref.astype(np.int16)).max() <= 1
+        assert (got != ref).mean() < 1e-3
+    else:
+        # Same math modulo mul-add association / pow lowering: observed
+        # max |diff| 1.8e-5, ~2% of one 8-bit code.
+        np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_print_kernel_tile_fallbacks():
+    rng = np.random.default_rng(0)
+    bundle = _bundle(rng)
+    d = jnp.asarray(rng.uniform(0.0, 3.0, (3, 40, 256)).astype(np.float32))
+    # 40 rows: no 32-divisible tile for uint8 -> caller must fall back.
+    assert (
+        print_encode_pallas(
+            d, pack_print_vec(bundle), "print", False, True, "sRGB",
+            quantize=True, interpret=True,
+        )
+        is None
+    )
+    # ...but the float path serves 40 rows (tile 40 or 8).
+    out = print_encode_pallas(
+        d, pack_print_vec(bundle), "print", False, True, "sRGB",
+        quantize=False, interpret=True,
+    )
+    assert out is not None and out.shape == (3, 40, 256)
