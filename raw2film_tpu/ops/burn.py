@@ -41,6 +41,50 @@ def down_up_blur(
     return convops.zoom_upsample(blurred, factor, (h, w))
 
 
+def burn_smallmap(
+    density: jnp.ndarray,
+    d_ref_green,
+    burn_scale: float = 50.0,
+    ref_hw: tuple | None = None,
+):
+    """The burn glow as (small blurred map, row/col bilinear matrices) so the
+    upsample + subtract can fuse into the print tail kernel: the full-res
+    glow never touches HBM (kernel computes up = rowmat @ small @ colmat per
+    tile on the MXU and subtracts in-register). Returns None when the
+    factor/shape can't be served (caller runs the staged burn()).
+
+    The matrices reproduce bilinear_upsample_mxu(..., f, (hs*f, ws*f))
+    followed by the edge pad to (H, W) exactly: rows/cols beyond the
+    upsampled extent repeat the last weight row (= mode="edge").
+    """
+    import numpy as np
+
+    from raw2film_tpu.ops.conv import _lerp_matrix_full
+
+    h, w = density.shape[-2:]
+    rh, rw = ref_hw if ref_hw is not None else (h, w)
+    factor = max(1, math.ceil(min(int(rh), int(rw)) / burn_scale))
+    hs, ws = h // factor, w // factor
+    if factor <= 8 or hs == 0 or ws == 0:
+        return None
+    if (hs * h + ws * w) * 4 > 6 << 20:  # matrices must fit the VMEM budget
+        return None
+    g = density[1:2]
+    mask = jnp.maximum(g - d_ref_green, 0.0)
+    small = convops.gaussian_blur(
+        convops.box_downsample_mxu(mask, factor), 3.0, truncate=2.0
+    )[0]
+    rm = _lerp_matrix_full(hs, factor)
+    if rm.shape[0] < h:
+        rm = np.concatenate([rm, np.repeat(rm[-1:], h - rm.shape[0], 0)], 0)
+    rm = rm[:h]
+    cm = _lerp_matrix_full(ws, factor)
+    if cm.shape[0] < w:
+        cm = np.concatenate([cm, np.repeat(cm[-1:], w - cm.shape[0], 0)], 0)
+    cm = cm[:w].T
+    return small, jnp.asarray(rm, jnp.float32), jnp.asarray(cm, jnp.float32)
+
+
 def burn(
     density: jnp.ndarray,
     d_ref_green: float,

@@ -46,7 +46,8 @@ from raw2film_tpu.film.transfer import encode
 #   [47:56] to_display   row-major
 #   [56:59] white_gain
 #   [59]    sat
-PVEC_LEN = 60
+#   [60]    highlight_burn strength (used only with the burn epilogue)
+PVEC_LEN = 61
 
 
 def pack_print_vec(bundle: dict) -> jnp.ndarray:
@@ -71,6 +72,7 @@ def pack_print_vec(bundle: dict) -> jnp.ndarray:
             flat("to_display", 9),
             flat("white_gain", 3),
             jnp.reshape(bundle["sat"], (1,)).astype(jnp.float32),
+            jnp.reshape(bundle["highlight_burn"], (1,)).astype(jnp.float32),
         ]
     )
 
@@ -83,10 +85,28 @@ def _softp(u, w):
 
 
 def _kernel(
-    d_ref, p_ref, o_ref, *, mode, shadow, sat_neutral, gamma, quantize
+    d_ref, p_ref, *rest, mode, shadow, sat_neutral, gamma, quantize, burn
 ):
+    if burn:
+        small_ref, row_ref, col_ref, o_ref = rest
+    else:
+        (o_ref,) = rest
     P = lambda i: p_ref[i]
     dp = (d_ref[0], d_ref[1], d_ref[2])
+
+    if burn:
+        # Burn epilogue: bilinear-upsample the low-res blurred glow for this
+        # row band on the MXU (rowmat_tile @ small @ colmat) and subtract —
+        # the full-res glow never exists outside VMEM (ops/burn.py staged
+        # path reference: down_up_blur + maximum).
+        t = jnp.dot(
+            row_ref[...], small_ref[...], preferred_element_type=jnp.float32
+        )
+        up = jnp.dot(t, col_ref[...], preferred_element_type=jnp.float32)
+        hb = P(60)
+        dp = tuple(
+            jnp.maximum(q - hb * up, np.float32(0.0)) for q in dp
+        )
 
     if mode == "print":
         d_pp = []
@@ -151,11 +171,16 @@ def print_encode_pallas(
     quantize: bool = True,
     tile_h: int | str = "auto",
     interpret: bool = False,
+    burn: tuple | None = None,
 ) -> jnp.ndarray | None:
     """(3, H, W) density -> encoded (3, H, W) uint8 (or float when
     ``quantize`` is False) in one Pallas pass. Returns None when the shape
     can't be served (caller falls back to the XLA planes tail): uint8 output
     blocks need a 32-row sublane tile, float a 8-row one.
+
+    ``burn``: optional (small, rowmat, colmat) from ops.burn.burn_smallmap —
+    runs the highlight-burn upsample + subtract as a kernel prologue
+    (strength = pvec[60]).
     """
     c, h, w = d.shape
     if c != 3 or w < 256:
@@ -167,29 +192,56 @@ def print_encode_pallas(
         th = tile_h if h % tile_h == 0 else None
     if th is None:
         return None
+    burn_bytes = 0
+    if burn is not None:
+        small, rowmat, colmat = burn
+        hs, ws = small.shape[-2:]
+        if rowmat.shape != (h, hs) or colmat.shape != (ws, w):
+            return None
+        burn_bytes = (hs * ws + 2 * th * hs + ws * w + th * w) * 4
     # VMEM budget (double-buffered in + out): keep >=3MB headroom.
-    if (3 * th * w * 4) * 2 + (3 * th * w * (1 if quantize else 4)) * 2 > 12_500_000:
+    if (
+        (3 * th * w * 4) * 2
+        + (3 * th * w * (1 if quantize else 4)) * 2
+        + burn_bytes
+        > 12_500_000
+    ):
         return None
     out_dtype = jnp.uint8 if quantize else d.dtype
+    burn_args, burn_specs = (), []
+    if burn is not None:
+        small, rowmat, colmat = burn
+        burn_args = (
+            jnp.reshape(small, (hs, ws)).astype(jnp.float32),
+            rowmat,
+            colmat,
+        )
+        burn_specs = [
+            pl.BlockSpec((hs, ws), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((th, hs), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ws, w), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ]
     return pl.pallas_call(
-        lambda dr, pr, orf: _kernel(
+        lambda dr, pr, *rest: _kernel(
             dr,
             pr,
-            orf,
+            *rest,
             mode=mode,
             shadow=shadow,
             sat_neutral=sat_neutral,
             gamma=gamma,
             quantize=quantize,
+            burn=burn is not None,
         ),
         out_shape=jax.ShapeDtypeStruct((3, h, w), out_dtype),
         grid=(h // th,),
         in_specs=[
             pl.BlockSpec((3, th, w), lambda j: (0, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            *burn_specs,
         ],
         out_specs=pl.BlockSpec(
             (3, th, w), lambda j: (0, j, 0), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
-    )(d, jnp.reshape(pvec, (PVEC_LEN,)).astype(jnp.float32))
+    )(d, jnp.reshape(pvec, (PVEC_LEN,)).astype(jnp.float32), *burn_args)

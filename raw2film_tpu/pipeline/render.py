@@ -347,17 +347,24 @@ def render_chain(
                 amp = jnp.broadcast_to(amp.mean(axis=0, keepdims=True), amp.shape)
             d = jnp.maximum(d + amp * field, 0.0)
 
+    # Tail: [highlight burn] -> print/inversion/direct -> encode -> uint8.
+    # Preferred: ONE streaming Pallas pass (ops/pallas_print.py) — the burn
+    # glow rides in as a low-res map + bilinear matrices (the full-res glow
+    # never touches HBM), the density image is read once, and only the uint8
+    # leaves. Fallbacks: staged burn() + the XLA planes tail.
+    tail_pallas = cfg.fusion and not cfg.icc and _use_pallas()
+    burn_args = None
     if cfg.highlight_burn:
-        d = burn_ops.burn(
-            d, bundle["d_ref_green"], bundle["highlight_burn"], cfg.burn_scale,
-            ref_hw=burn_ref_hw,
-        )
-
-    # Print / inversion / direct view. Preferred: ONE streaming Pallas pass
-    # for the whole tail (develop + view + encode + quantize) — the density
-    # image is read once and only the uint8 leaves (ops/pallas_print.py).
-    # Fallback: the planes formulation, which XLA fuses into a few loops.
-    if cfg.fusion and not cfg.icc and _use_pallas():
+        if tail_pallas:
+            burn_args = burn_ops.burn_smallmap(
+                d, bundle["d_ref_green"], cfg.burn_scale, ref_hw=burn_ref_hw
+            )
+        if burn_args is None:
+            d = burn_ops.burn(
+                d, bundle["d_ref_green"], bundle["highlight_burn"],
+                cfg.burn_scale, ref_hw=burn_ref_hw,
+            )
+    if tail_pallas:
         from raw2film_tpu.ops.pallas_print import (
             pack_print_vec,
             print_encode_pallas,
@@ -371,9 +378,16 @@ def render_chain(
             cfg.sat_neutral,
             cfg.gamma_func,
             quantize=cfg.quantize,
+            burn=burn_args,
         )
         if out is not None:
             return out
+        if burn_args is not None:
+            # Tail kernel declined the shape after all: run the staged burn.
+            d = burn_ops.burn(
+                d, bundle["d_ref_green"], bundle["highlight_burn"],
+                cfg.burn_scale, ref_hw=burn_ref_hw,
+            )
     return _print_tail(d, bundle, cfg)
 
 

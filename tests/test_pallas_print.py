@@ -33,6 +33,7 @@ def _bundle(rng):
         "to_display": m3(0.2),
         "white_gain": r3(0.9, 1.1),
         "sat": jnp.float32(1.3),
+        "highlight_burn": jnp.float32(0.0),
     }
 
 
@@ -90,6 +91,61 @@ def test_print_kernel_matches_planes_tail(case, quantize):
         # Same math modulo mul-add association / pow lowering: observed
         # max |diff| 1.8e-5, ~2% of one 8-bit code.
         np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_burn_smallmap_matrices_match_staged_upsample():
+    from raw2film_tpu.ops import burn as burn_ops
+    from raw2film_tpu.ops.conv import bilinear_upsample_mxu
+
+    rng = np.random.default_rng(1)
+    d = jnp.asarray(rng.uniform(0.0, 3.0, (3, 64, 256)).astype(np.float32))
+    got = burn_ops.burn_smallmap(d, 0.8, burn_scale=5.0)
+    assert got is not None
+    small, rowmat, colmat = got
+    f = 13  # ceil(64/5)
+    hs, ws = 64 // f, 256 // f
+    assert small.shape == (hs, ws)
+    up = np.asarray(rowmat) @ np.asarray(small) @ np.asarray(colmat)
+    staged = np.asarray(
+        bilinear_upsample_mxu(small[None], f, (hs * f, ws * f))
+    )[0]
+    staged = np.pad(
+        staged, [(0, 64 - hs * f), (0, 256 - ws * f)], mode="edge"
+    )
+    np.testing.assert_allclose(up, staged, atol=1e-6)
+
+
+def test_print_kernel_burn_fused_matches_staged():
+    from raw2film_tpu.ops import burn as burn_ops
+
+    rng = np.random.default_rng(2)
+    bundle = _bundle(rng)
+    bundle["highlight_burn"] = jnp.float32(0.6)
+    cfg = _cfg(print_mode="print", quantize=True)
+    d = jnp.asarray(rng.uniform(0.0, 3.5, (3, 64, 256)).astype(np.float32))
+    burn_args = burn_ops.burn_smallmap(d, 0.8, burn_scale=5.0)
+    assert burn_args is not None
+    small, rowmat, colmat = burn_args
+    up = np.asarray(rowmat) @ np.asarray(small) @ np.asarray(colmat)
+    d_burned = jnp.asarray(
+        np.maximum(np.asarray(d) - 0.6 * up[None], 0.0)
+    )
+    ref = np.asarray(_print_tail(d_burned, bundle, cfg))
+    got = print_encode_pallas(
+        d,
+        pack_print_vec(bundle),
+        cfg.print_mode,
+        cfg.shadow_comp,
+        cfg.sat_neutral,
+        cfg.gamma_func,
+        quantize=True,
+        interpret=True,
+        burn=burn_args,
+    )
+    assert got is not None
+    got = np.asarray(got)
+    assert np.abs(got.astype(np.int16) - ref.astype(np.int16)).max() <= 1
+    assert (got != ref).mean() < 2e-3
 
 
 def test_print_kernel_tile_fallbacks():
