@@ -157,7 +157,10 @@ def _kernel(
     for c in range(3):
         q = encode(jnp.clip(rgb[c], 0.0, 1.0), gamma, jnp)
         if quantize:
-            q = jnp.round(q * np.float32(255.0)).astype(jnp.uint8)
+            # Mosaic has no f32->u8 cast; round through i32 (exact for 0..255).
+            q = jnp.round(q * np.float32(255.0)).astype(jnp.int32).astype(
+                jnp.uint8
+            )
         o_ref[c] = q
 
 
