@@ -562,8 +562,27 @@ def fused_sep_rank_mxu(
         # Taller tiles raise MXU row utilization (M=48: 12.2 vs 14.5 ms for
         # the halation pass at 45MP; 64 blows the double-buffered VMEM
         # budget). Prefer a height that divides H so the pad-free clamped-
-        # index mode applies.
-        tile_h = next((t for t in (48, 40, 32) if h % t == 0), 48)
+        # index mode applies — but only if the tile's VMEM estimate clears
+        # the 16MB scoped limit with margin: Mosaic's accounting varies run
+        # to run at the cliff (the per-channel rank-4 MTF at tile 48 /
+        # W=8208 compiled at ~15.9M for dozens of runs, then flipped to a
+        # 19.06M hard OOM), so a borderline tile is a latent compile flake,
+        # not a perf win.
+        band_bytes = 4 * sum(
+            (chunk + 2 * (len(r_) // 2)) * chunk for r_ in v
+        )
+
+        def _vmem_est(t):
+            io = 4 * t * w * 4 * 2  # prev/cur/next/out, double-buffered
+            cols = 4 * sum((t + 2 * (len(r_) // 2)) * t for r_ in u)
+            scratch = 4 * (t + 2 * rh_max + t) * (chunk + 2 * rw_max)
+            return io + band_bytes + cols + scratch
+
+        budget = 13_500_000
+        tile_h = next(
+            (t for t in (48, 40, 32) if h % t == 0 and _vmem_est(t) <= budget),
+            next((t for t in (32, 24, 16) if _vmem_est(t) <= budget), 16),
+        )
     # The H halo must fit in one neighbor block: grow the tile for wide
     # kernels instead of silently falling back.
     th = min(max(tile_h, _round_up(rh_max, SUBLANE)), _round_up(h, SUBLANE))
