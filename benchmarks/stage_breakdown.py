@@ -7,12 +7,15 @@ protocol as bench.py (the axon tunnel acks dispatch without waiting).
 
 from __future__ import annotations
 
+import os
+import sys
 import time
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from __graft_entry__ import _build
 from raw2film_tpu.data import REC709_TO_XYZ
 from raw2film_tpu.pipeline import render as R

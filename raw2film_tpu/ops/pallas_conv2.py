@@ -579,9 +579,15 @@ def fused_sep_rank_mxu(
             return io + band_bytes + cols + scratch
 
         budget = 13_500_000
+        # The fallback (no candidate divides h) keeps the tall-tile
+        # preference: demote ONLY at the budget cliff. (Demoting the /4
+        # halation-pyramid blur from its long-standing tile 48 to 32 at
+        # 1368x2052 flipped the whole fused 45MP chain to a Mosaic compile
+        # failure — tall tiles are both the fast AND the proven-lowerable
+        # configuration for these shapes.)
         tile_h = next(
             (t for t in (48, 40, 32) if h % t == 0 and _vmem_est(t) <= budget),
-            next((t for t in (32, 24, 16) if _vmem_est(t) <= budget), 16),
+            next((t for t in (48, 40, 32, 24, 16) if _vmem_est(t) <= budget), 16),
         )
     # The H halo must fit in one neighbor block: grow the tile for wide
     # kernels instead of silently falling back.
