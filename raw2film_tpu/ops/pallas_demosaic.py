@@ -24,35 +24,8 @@ SUBLANE = 8
 R = 2  # 5x5 kernel radius
 
 
-def _taps(k2d: np.ndarray):
-    """Nonzero (dy, dx, coef) triples of a 5x5 kernel."""
-    out = []
-    for dy in range(5):
-        for dx in range(5):
-            c = float(k2d[dy, dx])
-            if c != 0.0:
-                out.append((dy, dx, c))
-    return tuple(out)
-
-
-def _mhc_taps():
-    from raw2film_tpu.ops.demosaic import (
-        _G_AT_RB,
-        _RB_AT_G_SAME_COL,
-        _RB_AT_G_SAME_ROW,
-        _RB_AT_OPPOSITE,
-    )
-
-    return (
-        _taps(_G_AT_RB),
-        _taps(_RB_AT_G_SAME_ROW),
-        _taps(_RB_AT_G_SAME_COL),
-        _taps(_RB_AT_OPPOSITE),
-    )
-
-
 def _demosaic_kernel(
-    prev_ref, cur_ref, next_ref, o_ref, win, *, th, chunk, w, nh, ry, rx, tapsets
+    prev_ref, cur_ref, next_ref, o_ref, win, *, th, chunk, w, nh, ry, rx
 ):
     j = pl.program_id(0)
     for c0 in range(0, w, chunk):
@@ -102,17 +75,34 @@ def _demosaic_kernel(
                     slice(th - 2 - k, th - 1 - k),
                 )
 
-        # Four interpolants via shared-window shift-adds (VPU).
-        interp = []
-        for taps in tapsets:
-            acc = None
-            for dy, dx, coef in taps:
-                term = np.float32(coef) * win[dy : dy + th, dx : dx + cw]
-                acc = term if acc is None else acc + term
-            interp.append(acc)
-        t_g, t_row, t_col, t_opp = interp
+        # Four interpolants from SHARED pair sums (the MHC kernels decompose
+        # over the same symmetric neighbor groups): 13 shifted window reads
+        # + ~35 VPU ops instead of 48 reads + ~92 ops for tap-by-tap.
+        #   h1/v1: distance-1 horiz/vert pairs, h2/v2: distance-2 pairs,
+        #   dg: the four diagonals, m: center.
+        def sh(dy, dx):
+            return win[dy : dy + th, dx : dx + cw]
 
-        m = win[R : R + th, R : R + cw]
+        m = sh(R, R)
+        h1 = sh(2, 1) + sh(2, 3)
+        v1 = sh(1, 2) + sh(3, 2)
+        h2 = sh(2, 0) + sh(2, 4)
+        v2 = sh(0, 2) + sh(4, 2)
+        dg = (sh(1, 1) + sh(1, 3)) + (sh(3, 1) + sh(3, 3))
+        e = np.float32(0.125)
+        hv2 = h2 + v2
+        t_g = e * (np.float32(4.0) * m + np.float32(2.0) * (h1 + v1) - hv2)
+        t_row = e * (
+            np.float32(5.0) * m + np.float32(4.0) * h1 - dg - h2
+            + np.float32(0.5) * v2
+        )
+        t_col = e * (
+            np.float32(5.0) * m + np.float32(4.0) * v1 - dg - v2
+            + np.float32(0.5) * h2
+        )
+        t_opp = e * (
+            np.float32(6.0) * m + np.float32(2.0) * dg - np.float32(1.5) * hv2
+        )
         # Bayer phase masks from GLOBAL parities.
         yy = (
             jax.lax.broadcasted_iota(jnp.int32, (th, cw), 0) + j * np.int32(th)
@@ -140,7 +130,7 @@ def demosaic_mhc_pallas(
     ry: int,
     rx: int,
     tile_h: int = 32,
-    chunk: int = 512,
+    chunk: int = 1024,
     interpret: bool = False,
 ) -> jnp.ndarray | None:
     """(H, W) mosaic -> (3, H, W) RGB; returns None when the shape can't be
@@ -155,7 +145,7 @@ def demosaic_mhc_pallas(
     out = pl.pallas_call(
         lambda p, cu, n, o, win: _demosaic_kernel(
             p, cu, n, o, win,
-            th=th, chunk=chunk, w=w, nh=nh, ry=ry, rx=rx, tapsets=_mhc_taps(),
+            th=th, chunk=chunk, w=w, nh=nh, ry=ry, rx=rx,
         ),
         out_shape=jax.ShapeDtypeStruct((3, h, w), mosaic.dtype),
         grid=(nh,),
