@@ -514,6 +514,40 @@ def _fused_rank_mxu_kernel(
             )
 
 
+def _auto_tile(h, w, u, v, chunk, rh_max, rw_max) -> int:
+    """Tile height for fused_sep_rank_mxu's auto mode.
+
+    Taller tiles raise MXU row utilization (M=48: 12.2 vs 14.5 ms for the
+    halation pass at 45MP; 64 blows the double-buffered VMEM budget).
+    Prefer a height that divides H so the pad-free clamped-index mode
+    applies — but only if the tile's VMEM estimate clears the 16MB scoped
+    limit with margin: Mosaic's accounting varies run to run at the cliff
+    (the per-channel rank-4 MTF at tile 48 / W=8208 compiled at ~15.9M for
+    dozens of runs, then flipped to a 19.06M hard OOM), so a borderline
+    tile is a latent compile flake, not a perf win.
+
+    The fallback (no candidate divides h) keeps the tall-tile preference:
+    demote ONLY at the budget cliff. (Demoting the /4 halation-pyramid
+    blur from its long-standing tile 48 to 32 at 1368x2052 flipped the
+    whole fused 45MP chain to a Mosaic compile failure — tall tiles are
+    both the fast AND the proven-lowerable configuration for these
+    shapes; tests/test_pallas.py pins the chain's shapes.)
+    """
+    band_bytes = 4 * sum((chunk + 2 * (len(r_) // 2)) * chunk for r_ in v)
+
+    def _vmem_est(t):
+        io = 4 * t * w * 4 * 2  # prev/cur/next/out, double-buffered
+        cols = 4 * sum((t + 2 * (len(r_) // 2)) * t for r_ in u)
+        scratch = 4 * (t + 2 * rh_max + t) * (chunk + 2 * rw_max)
+        return io + band_bytes + cols + scratch
+
+    budget = 13_500_000
+    return next(
+        (t for t in (48, 40, 32) if h % t == 0 and _vmem_est(t) <= budget),
+        next((t for t in (48, 40, 32, 24, 16) if _vmem_est(t) <= budget), 16),
+    )
+
+
 def fused_sep_rank_mxu(
     img: jnp.ndarray,
     u,
@@ -559,36 +593,7 @@ def fused_sep_rank_mxu(
     rh_max = max(len(r_) // 2 for r_ in u)
     rw_max = max(len(r_) // 2 for r_ in v)
     if tile_h == "auto":
-        # Taller tiles raise MXU row utilization (M=48: 12.2 vs 14.5 ms for
-        # the halation pass at 45MP; 64 blows the double-buffered VMEM
-        # budget). Prefer a height that divides H so the pad-free clamped-
-        # index mode applies — but only if the tile's VMEM estimate clears
-        # the 16MB scoped limit with margin: Mosaic's accounting varies run
-        # to run at the cliff (the per-channel rank-4 MTF at tile 48 /
-        # W=8208 compiled at ~15.9M for dozens of runs, then flipped to a
-        # 19.06M hard OOM), so a borderline tile is a latent compile flake,
-        # not a perf win.
-        band_bytes = 4 * sum(
-            (chunk + 2 * (len(r_) // 2)) * chunk for r_ in v
-        )
-
-        def _vmem_est(t):
-            io = 4 * t * w * 4 * 2  # prev/cur/next/out, double-buffered
-            cols = 4 * sum((t + 2 * (len(r_) // 2)) * t for r_ in u)
-            scratch = 4 * (t + 2 * rh_max + t) * (chunk + 2 * rw_max)
-            return io + band_bytes + cols + scratch
-
-        budget = 13_500_000
-        # The fallback (no candidate divides h) keeps the tall-tile
-        # preference: demote ONLY at the budget cliff. (Demoting the /4
-        # halation-pyramid blur from its long-standing tile 48 to 32 at
-        # 1368x2052 flipped the whole fused 45MP chain to a Mosaic compile
-        # failure — tall tiles are both the fast AND the proven-lowerable
-        # configuration for these shapes.)
-        tile_h = next(
-            (t for t in (48, 40, 32) if h % t == 0 and _vmem_est(t) <= budget),
-            next((t for t in (48, 40, 32, 24, 16) if _vmem_est(t) <= budget), 16),
-        )
+        tile_h = _auto_tile(h, w, u, v, chunk, rh_max, rw_max)
     # The H halo must fit in one neighbor block: grow the tile for wide
     # kernels instead of silently falling back.
     th = min(max(tile_h, _round_up(rh_max, SUBLANE)), _round_up(h, SUBLANE))

@@ -336,3 +336,42 @@ class TestPallasDemosaic:
 
         bayer = jnp.zeros((50, 600), jnp.float32)  # 50 % 32 != 0
         assert demosaic_mhc_pallas(bayer, 0, 0, interpret=True) is None
+
+
+class TestAutoTileChooser:
+    """Pin the auto tile for the shapes the 45MP fused chain actually uses.
+
+    Tile choice is program-context-sensitive on Mosaic: demoting the /4
+    halation-pyramid blur from 48 to 32 at 1368x2052 flipped the whole
+    fused 45MP chain to a compile failure even though the smaller tile
+    compiled in other programs. These pins make a chooser edit that would
+    alter the chain's proven tiles fail fast on CPU.
+    """
+
+    def _ranks(self, n, r, scale=1.0):
+        k = np.exp(-0.5 * (np.arange(n) - n // 2) ** 2 / (scale * n / 6) ** 2)
+        return [k / k.sum()] * r
+
+    def test_pyramid_small_blur_shape_keeps_tile_48(self):
+        from raw2film_tpu.ops.pallas_conv2 import _auto_tile
+
+        # The /4 pyramid level of the 45MP frame (5472/4 x 8208/4), two
+        # ~15-27 tap Gaussian terms: long-standing, chain-proven tile 48.
+        u = self._ranks(15, 1) + self._ranks(27, 1)
+        assert _auto_tile(1368, 2052, u, u, 512, 13, 13) == 48
+
+    def test_full_res_rank4_demotes_at_the_budget(self):
+        from raw2film_tpu.ops.pallas_conv2 import _auto_tile
+
+        # Full-res 45MP rank-4 (the staged halation fallback): the VMEM
+        # estimate is past the budget at 48/40 — the chooser demotes to 32
+        # instead of risking the documented 19.06M compile-flake class.
+        u = self._ranks(27, 4)
+        assert _auto_tile(5472, 8208, u, u, 512, 13, 13) == 32
+
+    def test_divisibility_still_preferred(self):
+        from raw2film_tpu.ops.pallas_conv2 import _auto_tile
+
+        # 2448 % 48 == 0 and the estimate fits: pad-free 48.
+        u = self._ranks(27, 4)
+        assert _auto_tile(2448, 3672, u, u, 512, 13, 13) == 48
