@@ -1,5 +1,7 @@
 """Print/encode tail kernel (interpret mode) vs the XLA planes tail."""
 
+import zlib
+
 import numpy as np
 import pytest
 
@@ -62,7 +64,11 @@ CASES = [
 @pytest.mark.parametrize("case", CASES)
 @pytest.mark.parametrize("quantize", [True, False])
 def test_print_kernel_matches_planes_tail(case, quantize):
-    rng = np.random.default_rng(hash(tuple(sorted(case.items()))) % 2**31)
+    # NOT hash(): string hashing is PYTHONHASHSEED-randomized per process,
+    # which made this test sample a different seed every pytest run (and
+    # flake when a seed's worst pixel exceeded the float tolerance).
+    seed = zlib.crc32(repr(sorted(case.items())).encode())
+    rng = np.random.default_rng(seed)
     bundle = _bundle(rng)
     cfg = _cfg(quantize=quantize, **case)
     d = jnp.asarray(
