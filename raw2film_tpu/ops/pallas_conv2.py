@@ -351,22 +351,27 @@ def _band_matrix(taps, ew: int, cw: int) -> np.ndarray:
 
 
 def _fused_rank_mxu_kernel(
-    prev_ref, cur_ref, next_ref, *rest,
+    top_ref, cur_ref, bot_ref, *rest,
     ranks, th, chunk, w, rh_max, rw_max, nh, patch_edges, precision=None,
-    same_last=False, grain_taps=None,
+    same_last=False, grain_taps=None, colmerge=False,
 ):
     """Like _fused_rank_kernel but the row conv is tmp @ B on the MXU.
 
     The halo window is assembled ONCE per W-chunk at the max radii and every
     rank slices its sub-window — one set of VMEM copies regardless of rank.
-    With ``patch_edges`` the H neighbors arrive via CLAMPED index maps over
-    the unpadded array (no jnp.pad copy of the frame) and the first/last
-    row-band reflects its halo rows in-kernel.
+    H halos arrive as (1, 1, rh, w) row bands gathered host-side (full
+    prev/next neighbor blocks would triple the HBM read traffic and eat the
+    VMEM that taller, MXU-friendlier tiles need). With ``patch_edges`` the
+    first/last row-band reflects its halo rows in-kernel; in padded mode the
+    halo bands come pre-reflected from the jnp.pad frame.
 
     ``grain_taps``: when set, a film-grain epilogue runs on each finished
     chunk (MTF + grain mega-fusion: the post-conv density never returns to
     HBM between the stages). The hash field is positionally stateless, so
     this reproduces ops.pallas_grain.grain_apply_pallas bit-for-bit.
+
+    ``colmerge``: every rank's column conv runs as ONE (nr*th, .) matmul —
+    nr-fold better MXU row utilization for the column pass.
     """
     # rest = [band_main_0, band_last_0, ...] + [colband_0, ...],
     #        [grain seed, grain prm (SMEM) if grain_taps], o_ref, win, tmp
@@ -375,52 +380,61 @@ def _fused_rank_mxu_kernel(
     nr = len(ranks)
     bands_per_rank = 1 if same_last else 2
     band_refs = rest[: bands_per_rank * nr]
-    colband_refs = rest[bands_per_rank * nr : (bands_per_rank + 1) * nr]
+    n_cb = 1 if colmerge else nr
+    colband_refs = rest[bands_per_rank * nr : bands_per_rank * nr + n_cb]
     if grain_taps is not None:
-        seed_ref = rest[(bands_per_rank + 1) * nr]
-        prm_ref = rest[(bands_per_rank + 1) * nr + 1]
+        seed_ref = rest[bands_per_rank * nr + n_cb]
+        prm_ref = rest[bands_per_rank * nr + n_cb + 1]
     o_ref, win, tmp = rest[-3], rest[-2], rest[-1]
     n_chunks = len(_chunks(w, chunk))
     j = pl.program_id(1)
     for ci, (c0, cw) in enumerate(_chunks(w, chunk)):
         ew_max = cw + 2 * rw_max
 
-        def fill(dst_rows, src_ref, src_rows):
+        def fill(dst_rows, src_ref, src_rows, halo=False):
             # Columns [c0-rw_max, c0+cw+rw_max) with reflect-101 at 0 and w.
+            def src(rows, lo, hi):
+                return (
+                    src_ref[0, 0, rows, lo:hi] if halo else src_ref[0, rows, lo:hi]
+                )
+
             lo = c0 - rw_max
             hi = c0 + cw + rw_max
             if lo >= 0 and hi <= w:
-                win[dst_rows, 0:ew_max] = src_ref[0, src_rows, lo:hi]
+                win[dst_rows, 0:ew_max] = src(src_rows, lo, hi)
                 return
             pos = 0
             if lo < 0:
                 n = -lo
                 for idx in range(n):
-                    win[dst_rows, idx : idx + 1] = src_ref[
-                        0, src_rows, n - idx : n - idx + 1
-                    ]
+                    win[dst_rows, idx : idx + 1] = src(
+                        src_rows, n - idx, n - idx + 1
+                    )
                 pos = n
                 lo = 0
             take = min(hi, w) - lo
-            win[dst_rows, pos : pos + take] = src_ref[0, src_rows, lo : lo + take]
+            win[dst_rows, pos : pos + take] = src(src_rows, lo, lo + take)
             pos += take
             if hi > w:
                 n = hi - w
                 for idx in range(n):
-                    win[dst_rows, pos + idx : pos + idx + 1] = src_ref[
-                        0, src_rows, w - 2 - idx : w - 1 - idx
-                    ]
+                    win[dst_rows, pos + idx : pos + idx + 1] = src(
+                        src_rows, w - 2 - idx, w - 1 - idx
+                    )
 
         if rh_max:
-            fill(slice(0, rh_max), prev_ref, slice(th - rh_max, th))
+            fill(slice(0, rh_max), top_ref, slice(0, rh_max), halo=True)
         fill(slice(rh_max, rh_max + th), cur_ref, slice(0, th))
         if rh_max:
             fill(
-                slice(rh_max + th, rh_max + th + rh_max), next_ref, slice(0, rh_max)
+                slice(rh_max + th, rh_max + th + rh_max),
+                bot_ref,
+                slice(0, rh_max),
+                halo=True,
             )
         if patch_edges and rh_max:
             # First/last band: halo rows reflect the band itself (the
-            # clamped neighbor delivered the wrong block).
+            # clamped halo index map delivered the wrong rows).
             @pl.when(j == 0)
             def _top():
                 for k in range(rh_max):
@@ -462,15 +476,24 @@ def _fused_rank_mxu_kernel(
                 a, hi_part, preferred_element_type=jnp.float32
             ) + jnp.dot(a, lo, preferred_element_type=jnp.float32)
 
+        if colmerge:
+            # All ranks' column convs as one (nr*th, th+2rh) @ (th+2rh, ew).
+            tmp[:, 0:ew_max] = mm(
+                colband_refs[0][0], win[0 : th + 2 * rh_max, 0:ew_max]
+            )
         for ri, (tv, thaps, rw) in enumerate(ranks):
             rv = len(tv) // 2
             ew = cw + 2 * rw
             coff = rw_max - rw
-            # Column conv on the MXU: (th, th+2rv) banded @ (th+2rv, ew).
-            tmp[:, 0:ew] = mm(
-                colband_refs[ri][0],
-                win[rh_max - rv : rh_max + th + rv, coff : coff + ew],
-            )
+            if colmerge:
+                t_in = tmp[ri * th : (ri + 1) * th, coff : coff + ew]
+            else:
+                # Column conv on the MXU: (th, th+2rv) banded @ (th+2rv, ew).
+                tmp[:, 0:ew] = mm(
+                    colband_refs[ri][0],
+                    win[rh_max - rv : rh_max + th + rv, coff : coff + ew],
+                )
+                t_in = tmp[:, 0:ew]
 
             band_ref = band_refs[
                 bands_per_rank * ri
@@ -478,8 +501,8 @@ def _fused_rank_mxu_kernel(
             ]
             # Row conv: the image operand is on the LEFT here.
             if split:
-                t_hi = _bf16_trunc(tmp[:, 0:ew])
-                tlo = tmp[:, 0:ew] - t_hi
+                t_hi = _bf16_trunc(t_in)
+                tlo = t_in - t_hi
                 res = jnp.dot(
                     t_hi, band_ref[0], preferred_element_type=jnp.float32
                 ) + jnp.dot(
@@ -487,7 +510,7 @@ def _fused_rank_mxu_kernel(
                 )
             else:
                 res = jnp.dot(
-                    tmp[:, 0:ew],
+                    t_in,
                     band_ref[0],
                     preferred_element_type=jnp.float32,
                     precision=prec,
@@ -536,9 +559,11 @@ def _auto_tile(h, w, u, v, chunk, rh_max, rw_max) -> int:
     band_bytes = 4 * sum((chunk + 2 * (len(r_) // 2)) * chunk for r_ in v)
 
     def _vmem_est(t):
-        io = 4 * t * w * 4 * 2  # prev/cur/next/out, double-buffered
-        cols = 4 * sum((t + 2 * (len(r_) // 2)) * t for r_ in u)
-        scratch = 4 * (t + 2 * rh_max + t) * (chunk + 2 * rw_max)
+        # cur + out double-buffered, plus the two (rh, w) halo row bands
+        # (the old full prev/next neighbor blocks cost 2*t*w*4*2 more).
+        io = 2 * t * w * 4 * 2 + 2 * max(rh_max, 1) * w * 4 * 2
+        cols = 4 * sum((t + 2 * rh_max) * t for _ in u)  # merged col stack
+        scratch = 4 * (t + 2 * rh_max + len(u) * t) * (chunk + 2 * rw_max)
         return io + band_bytes + cols + scratch
 
     budget = 13_500_000
@@ -557,6 +582,7 @@ def fused_sep_rank_mxu(
     interpret: bool = False,
     precision=None,
     grain: tuple | None = None,
+    colmerge: bool = True,
 ) -> jnp.ndarray | None:
     """fused_sep_rank with the row conv on the MXU via banded matmuls.
 
@@ -642,22 +668,30 @@ def fused_sep_rank_mxu(
         for kv, kh in zip(u, v)
     )
     last_cw = w - (len(_chunks(w, chunk)) - 1) * chunk
-    # Pad-free mode when the grid tiles H exactly: neighbors come from
-    # CLAMPED index maps and the boundary bands reflect in-kernel — no
-    # full-frame jnp.pad copy (~4ms at 45MP).
+    # Halo row bands instead of full prev/next neighbor blocks (see kernel
+    # docstring). Pad-free mode when the grid tiles H exactly: the boundary
+    # bands reflect in-kernel — no full-frame jnp.pad copy (~4ms at 45MP).
+    rh = max(rh_max, 1)
     patch_edges = hp == h
     if patch_edges:
         x = img
         nh = h // th
-        prev_map = lambda i, j: (i, jnp.maximum(j - 1, 0), 0)
+        blocks = img.reshape(c, nh, th, w)
+        # top[k] = last rh rows of block k; bot[k] = first rh rows of k+1.
+        top_arr = blocks[:, : nh - 1, th - rh :, :]
+        bot_arr = blocks[:, 1:, :rh, :]
+        top_map = lambda i, j: (i, jnp.maximum(j - 1, 0), 0, 0)
         cur_map = lambda i, j: (i, j, 0)
-        next_map = lambda i, j: (i, jnp.minimum(j + 1, nh - 1), 0)
+        bot_map = lambda i, j: (i, jnp.minimum(j, nh - 2), 0, 0)
     else:
         x = jnp.pad(img, [(0, 0), (th, hp - h + th), (0, 0)], mode="reflect")
         nh = hp // th
-        prev_map = lambda i, j: (i, j, 0)
+        xb = x.reshape(c, nh + 2, th, w)
+        top_arr = xb[:, :nh, th - rh :, :]
+        bot_arr = xb[:, 2:, :rh, :]
+        top_map = lambda i, j: (i, j, 0, 0)
         cur_map = lambda i, j: (i, j + 1, 0)
-        next_map = lambda i, j: (i, j + 2, 0)
+        bot_map = lambda i, j: (i, j, 0, 0)
     cb_count = len(u3)  # 1 (shared) or C (per-channel)
 
     def _stack(mats):  # (C_b, a, b) band stack + channel-indexed BlockSpec
@@ -686,17 +720,42 @@ def fused_sep_rank_mxu(
             band_specs.append(spec)
     col_specs = []
     col_args = []
-    for ri in range(len(u)):
+    if colmerge and rh_max:
+        # One (nr*th, th+2rh) stack per channel: smaller supports are
+        # zero-padded to the shared rh window so every rank reads the same
+        # win rows in the single merged dot.
         mats = []
         for ci in range(cb_count):
-            kv = u3[ci][ri]
-            cb = _band_matrix(
-                tuple(float(t) for t in kv), th + 2 * (len(kv) // 2), th
-            ).T
-            mats.append(np.ascontiguousarray(cb, np.float32))
+            cbs = []
+            for ri in range(len(u)):
+                kv = u3[ci][ri]
+                rv = len(kv) // 2
+                cb = _band_matrix(
+                    tuple(float(t) for t in kv), th + 2 * rv, th
+                ).T
+                pad = rh_max - rv
+                if pad:
+                    cb = np.pad(cb, [(0, 0), (pad, pad)])
+                cbs.append(cb)
+            mats.append(
+                np.ascontiguousarray(np.concatenate(cbs, axis=0), np.float32)
+            )
         arr, spec = _stack(mats)
         col_args.append(arr)
         col_specs.append(spec)
+    else:
+        colmerge = False
+        for ri in range(len(u)):
+            mats = []
+            for ci in range(cb_count):
+                kv = u3[ci][ri]
+                cb = _band_matrix(
+                    tuple(float(t) for t in kv), th + 2 * (len(kv) // 2), th
+                ).T
+                mats.append(np.ascontiguousarray(cb, np.float32))
+            arr, spec = _stack(mats)
+            col_args.append(arr)
+            col_specs.append(spec)
     band_specs += col_specs
     band_args += col_args
     grain_taps = None
@@ -715,18 +774,18 @@ def fused_sep_rank_mxu(
             jnp.asarray(prm_arr, jnp.float32).reshape(6),
         ]
     out = pl.pallas_call(
-        lambda p_ref, c_ref, n_ref, *rest: _fused_rank_mxu_kernel(
-            p_ref, c_ref, n_ref, *rest,
+        lambda t_ref, c_ref, b_ref, *rest: _fused_rank_mxu_kernel(
+            t_ref, c_ref, b_ref, *rest,
             ranks=ranks, th=th, chunk=chunk, w=w, rh_max=rh_max,
             rw_max=rw_max, nh=nh, patch_edges=patch_edges, precision=precision,
-            same_last=same_last, grain_taps=grain_taps,
+            same_last=same_last, grain_taps=grain_taps, colmerge=colmerge,
         ),
         out_shape=jax.ShapeDtypeStruct((c, hp, w), img.dtype),
         grid=(c, nh),
         in_specs=[
-            pl.BlockSpec((1, th, w), prev_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, rh, w), top_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, th, w), cur_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, th, w), next_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, rh, w), bot_map, memory_space=pltpu.VMEM),
             *band_specs,
         ],
         out_specs=pl.BlockSpec(
@@ -734,8 +793,11 @@ def fused_sep_rank_mxu(
         ),
         scratch_shapes=[
             pltpu.VMEM((th + 2 * rh_max, chunk + 2 * rw_max), img.dtype),
-            pltpu.VMEM((th, chunk + 2 * rw_max), img.dtype),
+            pltpu.VMEM(
+                ((len(ranks) * th) if colmerge else th, chunk + 2 * rw_max),
+                img.dtype,
+            ),
         ],
         interpret=interpret,
-    )(x, x, x, *band_args)
+    )(top_arr, x, bot_arr, *band_args)
     return out[:, :h, :]

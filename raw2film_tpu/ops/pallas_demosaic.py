@@ -25,7 +25,7 @@ R = 2  # 5x5 kernel radius
 
 
 def _demosaic_kernel(
-    prev_ref, cur_ref, next_ref, o_ref, win, *, th, chunk, w, nh, ry, rx
+    top_ref, cur_ref, bot_ref, o_ref, win, *, th, chunk, w, nh, ry, rx
 ):
     j = pl.program_id(0)
     for c0 in range(0, w, chunk):
@@ -33,33 +33,38 @@ def _demosaic_kernel(
         ew = cw + 2 * R
 
         def fill(dst_rows, src_ref, src_rows):
+            def src(rows, lo, hi):
+                return src_ref[0, rows, lo:hi]
+
             lo = c0 - R
             hi = c0 + cw + R
             if lo >= 0 and hi <= w:
-                win[dst_rows, 0:ew] = src_ref[0, src_rows, lo:hi]
+                win[dst_rows, 0:ew] = src(src_rows, lo, hi)
                 return
             pos = 0
             if lo < 0:
                 n = -lo
                 for idx in range(n):
-                    win[dst_rows, idx : idx + 1] = src_ref[
-                        0, src_rows, n - idx : n - idx + 1
-                    ]
+                    win[dst_rows, idx : idx + 1] = src(
+                        src_rows, n - idx, n - idx + 1
+                    )
                 pos = n
                 lo = 0
             take = min(hi, w) - lo
-            win[dst_rows, pos : pos + take] = src_ref[0, src_rows, lo : lo + take]
+            win[dst_rows, pos : pos + take] = src(src_rows, lo, lo + take)
             pos += take
             if hi > w:
                 n = hi - w
                 for idx in range(n):
-                    win[dst_rows, pos + idx : pos + idx + 1] = src_ref[
-                        0, src_rows, w - 2 - idx : w - 1 - idx
-                    ]
+                    win[dst_rows, pos + idx : pos + idx + 1] = src(
+                        src_rows, w - 2 - idx, w - 1 - idx
+                    )
 
-        fill(slice(0, R), prev_ref, slice(th - R, th))
+        # H halos from (1, R, w) row bands (see fused_sep_rank_mxu: full
+        # neighbor blocks triple the mosaic read traffic).
+        fill(slice(0, R), top_ref, slice(0, R))
         fill(slice(R, R + th), cur_ref, slice(0, th))
-        fill(slice(R + th, R + th + R), next_ref, slice(0, R))
+        fill(slice(R + th, R + th + R), bot_ref, slice(0, R))
 
         @pl.when(j == 0)
         def _top():
@@ -141,23 +146,29 @@ def demosaic_mhc_pallas(
         return None
     nh = h // th
     x = mosaic[None]
-    clamp = lambda off: (lambda j: (0, jnp.clip(j + off, 0, nh - 1), 0))
+    # Halo row bands: top[k] = last R rows of block k, bot[k] = first R rows
+    # of block k+1 (j==0 / j==nh-1 get garbage via the clamped map and
+    # overwrite it with the in-kernel reflection).
+    blocks = mosaic.reshape(nh, th, w)
+    top_arr = blocks[: nh - 1, th - R :, :]
+    bot_arr = blocks[1:, :R, :]
+    halo = lambda off: (lambda j: (jnp.clip(j + off, 0, nh - 2), 0, 0))
     out = pl.pallas_call(
-        lambda p, cu, n, o, win: _demosaic_kernel(
-            p, cu, n, o, win,
+        lambda t, cu, b, o, win: _demosaic_kernel(
+            t, cu, b, o, win,
             th=th, chunk=chunk, w=w, nh=nh, ry=ry, rx=rx,
         ),
         out_shape=jax.ShapeDtypeStruct((3, h, w), mosaic.dtype),
         grid=(nh,),
         in_specs=[
-            pl.BlockSpec((1, th, w), clamp(-1), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, th, w), clamp(0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, th, w), clamp(1), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, w), halo(-1), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, w), lambda j: (0, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, w), halo(0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (3, th, w), lambda j: (0, j, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[pltpu.VMEM((th + 2 * R, chunk + 2 * R), mosaic.dtype)],
         interpret=interpret,
-    )(x, x, x)
+    )(top_arr, x, bot_arr)
     return out

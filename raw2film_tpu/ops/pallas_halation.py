@@ -44,22 +44,27 @@ PYR_F = 4  # pyramid decimation factor served by the fused upsample
 
 
 def _mega_kernel(
-    prev_ref, cur_ref, next_ref, sm_ref, *rest,
+    top_ref, cur_ref, bot_ref, sm_ref, *rest,
     ranks, th, chunk, w, rh_max, rw_max, nh, same_last, develop=False,
+    colmerge=False,
 ):
-    """Grid (C, nh). Blocks: ep (1, th, w) x3 neighbors; pyramid blur
-    (1, th, w4) row-aligned; band/col matrices; horizontal lerp matrices;
-    fac SMEM f32[C]; [dev SMEM f32[19] when develop]; out (1, th, w);
-    scratch win, tmp."""
+    """Grid (C, nh). Blocks: ep (1, th, w) current band + (1, 1, rh, w) halo
+    row bands (gathered host-side — the full neighbor blocks would triple the
+    HBM read traffic and cap tile_h at 48); pyramid blur (1, th, w4)
+    row-aligned; band/col matrices; horizontal lerp matrices; fac SMEM
+    f32[C]; [dev SMEM f32[19] when develop]; out (1, th, w); scratch win,
+    tmp. ``colmerge``: all ranks' column convs run as ONE (nr*th, .) matmul
+    (better MXU row utilization than nr dots at M=th)."""
     nr = len(ranks)
     bands_per_rank = 1 if same_last else 2
     band_refs = rest[: bands_per_rank * nr]
-    colband_refs = rest[bands_per_rank * nr : (bands_per_rank + 1) * nr]
-    uwf_ref = rest[(bands_per_rank + 1) * nr]
-    uwm_ref = rest[(bands_per_rank + 1) * nr + 1]
-    uwl_ref = rest[(bands_per_rank + 1) * nr + 2]
-    fac_ref = rest[(bands_per_rank + 1) * nr + 3]
-    dev_ref = rest[(bands_per_rank + 1) * nr + 4] if develop else None
+    n_cb = 1 if colmerge else nr
+    colband_refs = rest[bands_per_rank * nr : bands_per_rank * nr + n_cb]
+    uwf_ref = rest[bands_per_rank * nr + n_cb]
+    uwm_ref = rest[bands_per_rank * nr + n_cb + 1]
+    uwl_ref = rest[bands_per_rank * nr + n_cb + 2]
+    fac_ref = rest[bands_per_rank * nr + n_cb + 3]
+    dev_ref = rest[bands_per_rank * nr + n_cb + 4] if develop else None
     o_ref, win, tmp = rest[-3], rest[-2], rest[-1]
 
     j = pl.program_id(1)
@@ -71,42 +76,50 @@ def _mega_kernel(
     for ci, (c0, cw) in enumerate(pieces):
         ew_max = cw + 2 * rw_max
 
-        def fill(dst_rows, src_ref, src_rows):
+        def fill(dst_rows, src_ref, src_rows, halo=False):
             # Columns [c0-rw_max, c0+cw+rw_max) with reflect-101 at 0 and w.
+            def src(rows, lo, hi):
+                return (
+                    src_ref[0, 0, rows, lo:hi] if halo else src_ref[0, rows, lo:hi]
+                )
+
             lo = c0 - rw_max
             hi = c0 + cw + rw_max
             if lo >= 0 and hi <= w:
-                win[dst_rows, 0:ew_max] = src_ref[0, src_rows, lo:hi]
+                win[dst_rows, 0:ew_max] = src(src_rows, lo, hi)
                 return
             pos = 0
             if lo < 0:
                 n = -lo
                 for idx in range(n):
-                    win[dst_rows, idx : idx + 1] = src_ref[
-                        0, src_rows, n - idx : n - idx + 1
-                    ]
+                    win[dst_rows, idx : idx + 1] = src(
+                        src_rows, n - idx, n - idx + 1
+                    )
                 pos = n
                 lo = 0
             take = min(hi, w) - lo
-            win[dst_rows, pos : pos + take] = src_ref[0, src_rows, lo : lo + take]
+            win[dst_rows, pos : pos + take] = src(src_rows, lo, lo + take)
             pos += take
             if hi > w:
                 n = hi - w
                 for idx in range(n):
-                    win[dst_rows, pos + idx : pos + idx + 1] = src_ref[
-                        0, src_rows, w - 2 - idx : w - 1 - idx
-                    ]
+                    win[dst_rows, pos + idx : pos + idx + 1] = src(
+                        src_rows, w - 2 - idx, w - 1 - idx
+                    )
 
         if rh_max:
-            fill(slice(0, rh_max), prev_ref, slice(th - rh_max, th))
+            fill(slice(0, rh_max), top_ref, slice(0, rh_max), halo=True)
         fill(slice(rh_max, rh_max + th), cur_ref, slice(0, th))
         if rh_max:
             fill(
-                slice(rh_max + th, rh_max + th + rh_max), next_ref, slice(0, rh_max)
+                slice(rh_max + th, rh_max + th + rh_max),
+                bot_ref,
+                slice(0, rh_max),
+                halo=True,
             )
         if rh_max:
             # First/last band: halo rows reflect the band itself (the clamped
-            # neighbor index map delivered the wrong block).
+            # halo index map delivered the wrong rows).
             @pl.when(j == 0)
             def _top():
                 for k in range(rh_max):
@@ -122,21 +135,32 @@ def _mega_kernel(
                     )
 
         # ---- separable ranks: col conv on MXU, row conv as banded matmul.
+        if colmerge:
+            # One (nr*th, th+2rh) @ (th+2rh, ew) dot for every rank at once.
+            tmp[:, 0:ew_max] = jnp.dot(
+                colband_refs[0][0],
+                win[0 : th + 2 * rh_max, 0:ew_max],
+                preferred_element_type=jnp.float32,
+            )
         for ri, (tv, thaps, rw) in enumerate(ranks):
             rv = len(tv) // 2
             ew = cw + 2 * rw
             coff = rw_max - rw
-            tmp[:, 0:ew] = jnp.dot(
-                colband_refs[ri][0],
-                win[rh_max - rv : rh_max + th + rv, coff : coff + ew],
-                preferred_element_type=jnp.float32,
-            )
+            if colmerge:
+                t_in = tmp[ri * th : (ri + 1) * th, coff : coff + ew]
+            else:
+                tmp[:, 0:ew] = jnp.dot(
+                    colband_refs[ri][0],
+                    win[rh_max - rv : rh_max + th + rv, coff : coff + ew],
+                    preferred_element_type=jnp.float32,
+                )
+                t_in = tmp[:, 0:ew]
             band_ref = band_refs[
                 bands_per_rank * ri
                 + (1 if (not same_last and ci == n_chunks - 1) else 0)
             ]
             res = jnp.dot(
-                tmp[:, 0:ew], band_ref[0], preferred_element_type=jnp.float32
+                t_in, band_ref[0], preferred_element_type=jnp.float32
             )
             if ri == 0:
                 o_ref[0, :, c0 : c0 + cw] = res
@@ -191,6 +215,26 @@ def _mega_kernel(
         o_ref[0, :, c0 : c0 + cw] = combined
 
 
+def _mega_vmem_ok(th, w, chunk, nr, rh, rw, budget=13_000_000):
+    """Scoped-VMEM estimate for a (th, chunk) mega-kernel configuration.
+
+    Mosaic's accounting varies at the margin (see memory/BENCHMARKS.md):
+    keep >=3MB headroom below the ~16MB ceiling. Double-buffered: current
+    band, halo bands, pyramid rows, output. Single: constant band matrices,
+    scratch."""
+    ew = chunk + 2 * rw
+    cur = th * w * 4 * 2
+    halos = 2 * max(rh, 1) * w * 4 * 2
+    sru = th * (w // PYR_F) * 4 * 2
+    out = th * w * 4 * 2
+    bands = nr * ew * chunk * 4
+    colband = nr * th * (th + 2 * rh) * 4
+    lerp = 3 * (chunk // PYR_F + 2) * chunk * 4
+    win = (th + 2 * rh) * ew * 4
+    tmp = nr * th * ew * 4
+    return cur + halos + sru + out + bands + colband + lerp + win + tmp <= budget
+
+
 def halation_mega(
     img: jnp.ndarray,
     u,
@@ -198,9 +242,10 @@ def halation_mega(
     small_rows_up: jnp.ndarray,
     factors: jnp.ndarray,
     tile_h: int | str = "auto",
-    chunk: int = 512,
+    chunk: int | str = "auto",
     interpret: bool = False,
     develop: jnp.ndarray | None = None,
+    colmerge: bool = True,
 ) -> jnp.ndarray | None:
     """(C, H, W) exposure + (C, H, W/4) row-upsampled pyramid blur ->
     halation-combined exposure, in one pallas pass. ``u``/``v``: shared
@@ -212,6 +257,14 @@ def halation_mega(
     in-register (valid only for identity color masking — the default
     color_masking=1.0 — where development is per-channel).
 
+    H halos travel as (C, nh-1, rh, W) row bands gathered host-side (one
+    cheap XLA slice) instead of full prev/next neighbor blocks: the block
+    form read every band three times (~1.1 GB of extra HBM at 45MP) and its
+    VMEM footprint capped tile_h at 48 rows, starving the MXU (M=48 of 128).
+    ``chunk`` "auto" picks 256: the row-conv band matmul's zero fraction
+    (support 2*rw+1 of chunk+2*rw columns) dominates the kernel's FLOPs, and
+    256 measured fastest across tile sizes at 45MP (see BENCHMARKS.md).
+
     Returns None when the shape can't be served (caller falls back to the
     separate-kernel path): needs H % tile == 0 with 4 | W, W > 2*chunk, and
     every W-chunk a multiple of 4.
@@ -221,8 +274,19 @@ def halation_mega(
     v = [np.asarray(r_, np.float64).ravel() for r_ in v]
     rh_max = max(len(r_) // 2 for r_ in u)
     rw_max = max(len(r_) // 2 for r_ in v)
+    if chunk == "auto":
+        chunk = 256
     if tile_h == "auto":
-        tile_h = next((t for t in (48, 40, 32) if h % t == 0), 48)
+        tile_h = next(
+            (
+                t
+                for t in (96, 88, 80, 72, 64, 56, 48, 40, 32)
+                if h % t == 0
+                and h > 2 * t
+                and _mega_vmem_ok(t, w, chunk, len(u), rh_max, rw_max)
+            ),
+            next((t for t in (48, 40, 32) if h % t == 0), 48),
+        )
     th = tile_h
     w4 = w // PYR_F
     last_cw = w - (len(_chunks(w, chunk)) - 1) * chunk
@@ -249,7 +313,6 @@ def halation_mega(
     )
     same_last = last_cw == chunk
 
-    clamp = lambda lo: (lambda i, j: (i, jnp.clip(j + lo, 0, nh - 1), 0))
     const = lambda arr: pl.BlockSpec(
         (1, *arr.shape[1:]), lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM
     )
@@ -261,13 +324,31 @@ def halation_mega(
             arr = _band_matrix(v[ri], cw_ + 2 * (len(v[ri]) // 2), cw_)[None]
             band_args.append(jnp.asarray(arr))
             band_specs.append(const(arr))
-    for ri in range(len(u)):
-        cb = _band_matrix(
-            tuple(float(t) for t in u[ri]), th + 2 * (len(u[ri]) // 2), th
-        ).T[None]
-        arr = np.ascontiguousarray(cb, np.float32)
+    if colmerge and rh_max:
+        # Stack every rank's column-conv band into one (nr*th, th+2rh)
+        # matrix (smaller supports zero-padded to the shared rh window).
+        cbs = []
+        for ri in range(len(u)):
+            rv = len(u[ri]) // 2
+            cb = _band_matrix(
+                tuple(float(t) for t in u[ri]), th + 2 * rv, th
+            ).T
+            pad = rh_max - rv
+            if pad:
+                cb = np.pad(cb, [(0, 0), (pad, pad)])
+            cbs.append(cb)
+        arr = np.ascontiguousarray(np.concatenate(cbs, axis=0), np.float32)[None]
         band_args.append(jnp.asarray(arr))
         band_specs.append(const(arr))
+    else:
+        colmerge = False
+        for ri in range(len(u)):
+            cb = _band_matrix(
+                tuple(float(t) for t in u[ri]), th + 2 * (len(u[ri]) // 2), th
+            ).T[None]
+            arr = np.ascontiguousarray(cb, np.float32)
+            band_args.append(jnp.asarray(arr))
+            band_specs.append(const(arr))
 
     # Horizontal lerp matrices (pallas_pyramid banded-chunk convention).
     uwf = _lerp_matrix(chunk, PYR_F, clamp_lo=True, clamp_hi=False)
@@ -291,19 +372,32 @@ def halation_mega(
         band_args.append(jnp.asarray(develop, jnp.float32).reshape(19))
         band_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
 
+    # Halo row bands: top[k] = last rh rows of block k, bot[k] = first rh
+    # rows of block k+1 (one XLA slice each; j==0 / j==nh-1 read garbage via
+    # the clamped index map and overwrite it with the in-kernel reflection).
+    blocks = img.reshape(c, nh, th, w)
+    rh = max(rh_max, 1)
+    top_arr = blocks[:, : nh - 1, th - rh :, :]
+    bot_arr = blocks[:, 1:, :rh, :]
+    halo = lambda lo: pl.BlockSpec(
+        (1, 1, rh, w),
+        lambda i, j: (i, jnp.clip(j + lo, 0, nh - 2), 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+
     out = pl.pallas_call(
-        lambda p, cu, n, sm, *rest: _mega_kernel(
-            p, cu, n, sm, *rest,
+        lambda t, cu, b, sm, *rest: _mega_kernel(
+            t, cu, b, sm, *rest,
             ranks=ranks, th=th, chunk=chunk, w=w, rh_max=rh_max,
             rw_max=rw_max, nh=nh, same_last=same_last,
-            develop=develop is not None,
+            develop=develop is not None, colmerge=colmerge,
         ),
         out_shape=jax.ShapeDtypeStruct((c, h, w), img.dtype),
         grid=(c, nh),
         in_specs=[
-            pl.BlockSpec((1, th, w), clamp(-1), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, th, w), clamp(0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, th, w), clamp(1), memory_space=pltpu.VMEM),
+            halo(-1),
+            pl.BlockSpec((1, th, w), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            halo(0),
             pl.BlockSpec((1, th, w4), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             *band_specs,
         ],
@@ -312,8 +406,11 @@ def halation_mega(
         ),
         scratch_shapes=[
             pltpu.VMEM((th + 2 * rh_max, chunk + 2 * rw_max), img.dtype),
-            pltpu.VMEM((th, chunk + 2 * rw_max), img.dtype),
+            pltpu.VMEM(
+                ((len(ranks) * th) if colmerge else th, chunk + 2 * rw_max),
+                img.dtype,
+            ),
         ],
         interpret=interpret,
-    )(img, img, img, small_rows_up, *band_args)
+    )(top_arr, img, bot_arr, small_rows_up, *band_args)
     return out

@@ -338,6 +338,76 @@ class TestPallasDemosaic:
         assert demosaic_mhc_pallas(bayer, 0, 0, interpret=True) is None
 
 
+class TestColmergeAndHalos:
+    """The halo-row-band inputs and the merged column-conv matmul are pure
+    layout/utilization changes: outputs must match the unmerged path to fp
+    association noise, for unequal supports (the zero-pad embed) and in the
+    padded (non-dividing height) mode."""
+
+    def _g(self, n, s):
+        k = np.exp(-0.5 * (np.arange(n) - n // 2) ** 2 / s**2)
+        return k / k.sum()
+
+    def test_colmerge_matches_unmerged_unequal_supports(self):
+        from raw2film_tpu.ops import pallas_conv2 as pc2
+
+        rng = np.random.default_rng(3)
+        img = jnp.asarray(rng.uniform(0, 2, (3, 96, 600)).astype(np.float32))
+        u = [self._g(27, 3.0), 0.5 * self._g(11, 1.5)]
+        v = [self._g(27, 3.0), self._g(11, 1.5)]
+        a = pc2.fused_sep_rank_mxu(
+            img, u, v, tile_h=32, chunk=256, interpret=True, colmerge=True
+        )
+        b = pc2.fused_sep_rank_mxu(
+            img, u, v, tile_h=32, chunk=256, interpret=True, colmerge=False
+        )
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+
+    def test_colmerge_matches_in_padded_mode(self):
+        from raw2film_tpu.ops import pallas_conv2 as pc2
+
+        rng = np.random.default_rng(4)
+        img = jnp.asarray(rng.uniform(0, 2, (3, 98, 600)).astype(np.float32))
+        u = [self._g(23, 2.0)]
+        v = [self._g(23, 2.0)]
+        a = pc2.fused_sep_rank_mxu(
+            img, u, v, tile_h=32, chunk=256, interpret=True, colmerge=True
+        )
+        b = pc2.fused_sep_rank_mxu(
+            img, u, v, tile_h=32, chunk=256, interpret=True, colmerge=False
+        )
+        assert a.shape == (3, 98, 600)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+
+    def test_halation_mega_chunk_invariance(self):
+        """chunk is a pure tiling knob: 128 vs 384 must agree."""
+        from raw2film_tpu.ops import pallas_halation, pallas_pyramid
+
+        rng = np.random.default_rng(5)
+        h, w = 160, 1088
+        img = jnp.asarray(rng.uniform(0.0, 2.0, (3, h, w)).astype(np.float32))
+        u = [self._g(15, 1.5), 0.4 * self._g(19, 3.0)]
+        v = [self._g(15, 1.5), self._g(19, 3.0)]
+        small = jnp.asarray(
+            rng.uniform(0.0, 2.0, (3, h // 4, w // 4)).astype(np.float32)
+        )
+        rows_up = pallas_pyramid.bilinear_upsample_rows_pallas(
+            small, 4, oh=h, interpret=True
+        )
+        factors = jnp.asarray([1.0, 0.3, 0.0])
+        outs = [
+            np.asarray(
+                pallas_halation.halation_mega(
+                    img, u, v, rows_up, factors,
+                    chunk=c, interpret=True, colmerge=m,
+                )
+            )
+            for c, m in ((128, True), (384, True), (384, False))
+        ]
+        np.testing.assert_allclose(outs[0], outs[1], atol=2e-6)
+        np.testing.assert_allclose(outs[1], outs[2], atol=2e-6)
+
+
 class TestAutoTileChooser:
     """Pin the auto tile for the shapes the 45MP fused chain actually uses.
 
@@ -360,14 +430,15 @@ class TestAutoTileChooser:
         u = self._ranks(15, 1) + self._ranks(27, 1)
         assert _auto_tile(1368, 2052, u, u, 512, 13, 13) == 48
 
-    def test_full_res_rank4_demotes_at_the_budget(self):
+    def test_full_res_rank4_keeps_tile_48_with_halo_bands(self):
         from raw2film_tpu.ops.pallas_conv2 import _auto_tile
 
-        # Full-res 45MP rank-4 (the staged halation fallback): the VMEM
-        # estimate is past the budget at 48/40 — the chooser demotes to 32
-        # instead of risking the documented 19.06M compile-flake class.
+        # Full-res 45MP rank-4 (the staged halation fallback): with the
+        # halo-row-band inputs (no full prev/next neighbor blocks) the VMEM
+        # estimate clears the budget at 48 — before the refactor this shape
+        # demoted to 32 (the old estimate counted 4 full-tile blocks).
         u = self._ranks(27, 4)
-        assert _auto_tile(5472, 8208, u, u, 512, 13, 13) == 32
+        assert _auto_tile(5472, 8208, u, u, 512, 13, 13) == 48
 
     def test_divisibility_still_preferred(self):
         from raw2film_tpu.ops.pallas_conv2 import _auto_tile
