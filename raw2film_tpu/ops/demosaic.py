@@ -119,6 +119,38 @@ def demosaic_mhc(bayer: jnp.ndarray, pattern: str = "RGGB") -> jnp.ndarray:
     return jnp.stack([r, g, b])
 
 
+def demosaic_exposure(
+    bayer: jnp.ndarray, pattern: str, mat
+) -> jnp.ndarray:
+    """max(mat @ clip01(demosaic_mhc(bayer)), 0): demosaic fused with the
+    chain's input transform. On the Pallas path the 3x3 runs as a kernel
+    epilogue so the intermediate RGB image never touches HBM (saves a
+    full-res XLA elementwise pass, ~1.1 GB at 45MP); the XLA fallback uses
+    the same exact-f32 scalar mul-adds as render._matp, so both paths match
+    the staged formulation to f32 ulps (FMA contraction only)."""
+    mat = jnp.asarray(mat, jnp.float32)
+    if pattern in _PATTERNS:
+        from raw2film_tpu.ops.conv import _use_pallas
+
+        if _use_pallas():
+            from raw2film_tpu.ops.pallas_demosaic import demosaic_mhc_pallas
+
+            ry, rx = _PATTERNS[pattern]
+            out = demosaic_mhc_pallas(bayer, ry, rx, mat=mat)
+            if out is not None:
+                return out
+    rgb = jnp.clip(demosaic_mhc(bayer, pattern), 0.0, 1.0)
+    p = (rgb[0], rgb[1], rgb[2])
+    return jnp.stack(
+        [
+            jnp.maximum(
+                mat[c, 0] * p[0] + mat[c, 1] * p[1] + mat[c, 2] * p[2], 0.0
+            )
+            for c in range(3)
+        ]
+    )
+
+
 def demosaic_bilinear(bayer: jnp.ndarray, pattern: str = "RGGB") -> jnp.ndarray:
     """Cheap bilinear demosaic (preview / half-res substitutes)."""
     if pattern not in _PATTERNS:

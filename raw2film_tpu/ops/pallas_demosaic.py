@@ -25,8 +25,12 @@ R = 2  # 5x5 kernel radius
 
 
 def _demosaic_kernel(
-    top_ref, cur_ref, bot_ref, o_ref, win, *, th, chunk, w, nh, ry, rx
+    top_ref, cur_ref, bot_ref, *rest, th, chunk, w, nh, ry, rx, matrix=False
 ):
+    if matrix:
+        m_ref, o_ref, win = rest
+    else:
+        o_ref, win = rest
     j = pl.program_id(0)
     for c0 in range(0, w, chunk):
         cw = min(chunk, w - c0)
@@ -121,13 +125,42 @@ def _demosaic_kernel(
         g_b_row = (yy == 1 - ry) & (xx == rx)
 
         sl = slice(c0, c0 + cw)
-        o_ref[1, :, sl] = jnp.where(is_r | is_b, t_g, m)
-        o_ref[0, :, sl] = jnp.where(
-            is_r, m, jnp.where(g_r_row, t_row, jnp.where(g_b_row, t_col, t_opp))
-        )
-        o_ref[2, :, sl] = jnp.where(
-            is_b, m, jnp.where(g_b_row, t_row, jnp.where(g_r_row, t_col, t_opp))
-        )
+        if not matrix:
+            o_ref[1, :, sl] = jnp.where(is_r | is_b, t_g, m)
+            o_ref[0, :, sl] = jnp.where(
+                is_r, m, jnp.where(g_r_row, t_row, jnp.where(g_b_row, t_col, t_opp))
+            )
+            o_ref[2, :, sl] = jnp.where(
+                is_b, m, jnp.where(g_b_row, t_row, jnp.where(g_r_row, t_col, t_opp))
+            )
+        else:
+            # Input-transform epilogue: clip the demosaiced RGB to [0,1],
+            # apply the traced 3x3 (camera->chain input, VPU scalar
+            # mul-adds, exact f32 like render._matp) and floor at 0 — the
+            # RGB image never exists outside VMEM (saves a full-res XLA
+            # elementwise pass, ~1.1 GB of HBM at 45MP).
+            one = np.float32(1.0)
+            zero = np.float32(0.0)
+            rch = jnp.clip(
+                jnp.where(
+                    is_r, m,
+                    jnp.where(g_r_row, t_row, jnp.where(g_b_row, t_col, t_opp)),
+                ),
+                zero, one,
+            )
+            gch = jnp.clip(jnp.where(is_r | is_b, t_g, m), zero, one)
+            bch = jnp.clip(
+                jnp.where(
+                    is_b, m,
+                    jnp.where(g_b_row, t_row, jnp.where(g_r_row, t_col, t_opp)),
+                ),
+                zero, one,
+            )
+            for c in range(3):
+                o_ref[c, :, sl] = jnp.maximum(
+                    m_ref[3 * c] * rch + m_ref[3 * c + 1] * gch + m_ref[3 * c + 2] * bch,
+                    zero,
+                )
 
 
 def demosaic_mhc_pallas(
@@ -137,9 +170,14 @@ def demosaic_mhc_pallas(
     tile_h: int = 32,
     chunk: int = 1024,
     interpret: bool = False,
+    mat: jnp.ndarray | None = None,
 ) -> jnp.ndarray | None:
     """(H, W) mosaic -> (3, H, W) RGB; returns None when the shape can't be
-    served (caller falls back to the XLA formulation)."""
+    served (caller falls back to the XLA formulation).
+
+    ``mat``: optional traced (3, 3) input-transform matrix — the kernel then
+    returns max(mat @ clip01(rgb), 0) (the chain's exposure image) instead of
+    the raw RGB."""
     h, w = mosaic.shape
     th = tile_h
     if h % th != 0 or h <= 2 * th or w <= chunk + R:
@@ -153,10 +191,15 @@ def demosaic_mhc_pallas(
     top_arr = blocks[: nh - 1, th - R :, :]
     bot_arr = blocks[1:, :R, :]
     halo = lambda off: (lambda j: (jnp.clip(j + off, 0, nh - 2), 0, 0))
+    mat_args, mat_specs = (), []
+    if mat is not None:
+        mat_args = (jnp.reshape(mat, (9,)).astype(jnp.float32),)
+        mat_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
     out = pl.pallas_call(
-        lambda t, cu, b, o, win: _demosaic_kernel(
-            t, cu, b, o, win,
+        lambda t, cu, b, *rest: _demosaic_kernel(
+            t, cu, b, *rest,
             th=th, chunk=chunk, w=w, nh=nh, ry=ry, rx=rx,
+            matrix=mat is not None,
         ),
         out_shape=jax.ShapeDtypeStruct((3, h, w), mosaic.dtype),
         grid=(nh,),
@@ -164,11 +207,12 @@ def demosaic_mhc_pallas(
             pl.BlockSpec((1, R, w), halo(-1), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, th, w), lambda j: (0, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, R, w), halo(0), memory_space=pltpu.VMEM),
+            *mat_specs,
         ],
         out_specs=pl.BlockSpec(
             (3, th, w), lambda j: (0, j, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[pltpu.VMEM((th + 2 * R, chunk + 2 * R), mosaic.dtype)],
         interpret=interpret,
-    )(top_arr, x, bot_arr)
+    )(top_arr, x, bot_arr, *mat_args)
     return out

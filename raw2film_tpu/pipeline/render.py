@@ -187,6 +187,7 @@ def render_chain(
     noise_key: Array,
     grain_row_offset=0,
     burn_ref_hw: tuple | None = None,
+    input_is_exposure: bool = False,
 ) -> Array:
     """(3, H, W) float32 camera XYZ -> (3, H, W) uint8 encoded output.
 
@@ -194,15 +195,22 @@ def render_chain(
     global image coordinates — a row-sharded render reproduces the
     single-device grain field exactly; ``burn_ref_hw`` (static) pins the
     highlight-burn blur factor to the GLOBAL frame size so shards match
-    the single-device factor (parallel/mesh.py halo path)."""
-    img = xyz
-    if cfg.chroma_nr:
-        img = nr_ops.chroma_nr(img, cfg.chroma_nr)
+    the single-device factor (parallel/mesh.py halo path).
+    ``input_is_exposure``: the input already IS the chain's exposure image
+    (max(m_in @ xyz, 0) — the fused-demosaic path computes it as a kernel
+    epilogue); skip chroma NR and the input transform."""
+    if input_is_exposure:
+        ep = _planes(xyz)
+    else:
+        img = xyz
+        if cfg.chroma_nr:
+            img = nr_ops.chroma_nr(img, cfg.chroma_nr)
 
-    # Input transform: WB CAT + layer exposure matrix (+2^exp_comp folded in).
-    ep = tuple(
-        jnp.maximum(q, 0.0) for q in _matp(bundle["m_in"], _planes(img))
-    )
+        # Input transform: WB CAT + layer exposure matrix (+2^exp_comp
+        # folded in).
+        ep = tuple(
+            jnp.maximum(q, 0.0) for q in _matp(bundle["m_in"], _planes(img))
+        )
 
     d = None
     if cfg.halation:
@@ -473,13 +481,6 @@ def render_chain_from_mosaic(
     """
     from raw2film_tpu.ops import demosaic as dm
 
-    rgb = jnp.clip(dm.demosaic_mhc(mosaic, pattern), 0.0, 1.0)
-    if crop is not None:
-        # Static post-demosaic window: lets callers keep an odd-origin
-        # aspect crop while feeding the demosaic an even-aligned (Bayer
-        # phase preserving) superset.
-        y0, x0, ch, cw = crop
-        rgb = rgb[:, y0 : y0 + ch, x0 : x0 + cw]
     b = dict(bundle)
     # HIGHEST precision on the 3x3 fold: the MXU default rounds matmul
     # inputs through bf16 (the round-2 fidelity trap — up to 5 8-bit codes
@@ -489,6 +490,22 @@ def render_chain_from_mosaic(
         jnp.asarray(cam_to_xyz, jnp.float32) * exposure_gain,
         precision=jax.lax.Precision.HIGHEST,
     )
+    if cfg.chroma_nr == 0 and cfg.fusion:
+        # Input transform fused as a demosaic-kernel epilogue: the RGB
+        # image never exists in HBM (clip01 -> m_in -> max0 commute with
+        # the static crop below).
+        ep = dm.demosaic_exposure(mosaic, pattern, b["m_in"])
+        if crop is not None:
+            y0, x0, ch, cw = crop
+            ep = ep[:, y0 : y0 + ch, x0 : x0 + cw]
+        return render_chain(ep, b, cfg, noise_key, input_is_exposure=True)
+    rgb = jnp.clip(dm.demosaic_mhc(mosaic, pattern), 0.0, 1.0)
+    if crop is not None:
+        # Static post-demosaic window: lets callers keep an odd-origin
+        # aspect crop while feeding the demosaic an even-aligned (Bayer
+        # phase preserving) superset.
+        y0, x0, ch, cw = crop
+        rgb = rgb[:, y0 : y0 + ch, x0 : x0 + cw]
     return render_chain(rgb, b, cfg, noise_key)
 
 

@@ -337,6 +337,35 @@ class TestPallasDemosaic:
         bayer = jnp.zeros((50, 600), jnp.float32)  # 50 % 32 != 0
         assert demosaic_mhc_pallas(bayer, 0, 0, interpret=True) is None
 
+    def test_matrix_epilogue_matches_staged(self):
+        """The input-transform epilogue (clip01 -> 3x3 -> max0 in-kernel)
+        must equal the staged demosaic -> clip -> scalar mul-adds to f32
+        ulps (same expressions and association; XLA may contract mul-add
+        to FMA differently between the two programs)."""
+        from raw2film_tpu.ops import demosaic as dm
+        from raw2film_tpu.ops.pallas_demosaic import demosaic_mhc_pallas
+
+        rng = np.random.default_rng(12)
+        bayer = jnp.asarray(rng.normal(0.4, 0.3, (128, 640)).astype(np.float32))
+        mat = jnp.asarray(rng.normal(0.3, 0.4, (3, 3)).astype(np.float32))
+        got = demosaic_mhc_pallas(bayer, 0, 0, chunk=256, interpret=True, mat=mat)
+        assert got is not None
+        rgb = jnp.clip(
+            demosaic_mhc_pallas(bayer, 0, 0, chunk=256, interpret=True), 0.0, 1.0
+        )
+        want = np.stack(
+            [
+                np.asarray(
+                    jnp.maximum(
+                        mat[c, 0] * rgb[0] + mat[c, 1] * rgb[1] + mat[c, 2] * rgb[2],
+                        0.0,
+                    )
+                )
+                for c in range(3)
+            ]
+        )
+        np.testing.assert_allclose(np.asarray(got), want, atol=3e-7)
+
 
 class TestColmergeAndHalos:
     """The halo-row-band inputs and the merged column-conv matmul are pure
