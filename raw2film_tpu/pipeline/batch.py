@@ -147,6 +147,15 @@ class BatchRunner:
             done += 1
             if progress:
                 progress(done, len(tasks))
+        if self._cancel.is_set():
+            # Unblock a producer stuck in q.put (queue full at cancel time)
+            # so its decode payloads are dropped promptly instead of pinned
+            # until process exit.
+            while t.is_alive():
+                try:
+                    q.get(timeout=0.05)
+                except queue.Empty:
+                    pass
         return results
 
 
