@@ -418,3 +418,22 @@ class TestViewer:
 
         w, h = Image.open(_io.BytesIO(jpg)).size
         assert h > w, (w, h)
+
+
+def test_js_endpoints_have_routes():
+    """Every /api/ path the embedded JS fetches must have a server route
+    (guards UI/server drift — the JS is not executed by these tests)."""
+    import re
+
+    import raw2film_tpu.viewer as v
+
+    src = open(v.__file__).read()
+    js = {p.rstrip(".") for p in re.findall(r'["\'(]/(api/[a-z_./]+)', src)}
+    routes = set(re.findall(r'u\.path(?:\.startswith\()? ?==? ?"/(api/[a-z_./]+)"', src))
+    routes |= set(re.findall(r'u\.path\.startswith\("/(api/[a-z_./]+)', src))
+    missing = {
+        j
+        for j in js
+        if not any(j.startswith(r.rstrip("/")) or r.startswith(j) for r in routes)
+    }
+    assert not missing, missing
