@@ -475,3 +475,12 @@ class TestAutoTileChooser:
         # 2448 % 48 == 0 and the estimate fits: pad-free 48.
         u = self._ranks(27, 4)
         assert _auto_tile(2448, 3672, u, u, 512, 13, 13) == 48
+
+    def test_halation_mega_45mp_budget_gate(self):
+        """The mega chooser's taller candidates (72 divides 5472) must stay
+        rejected by the 13MB scoped-VMEM budget at W=8208 until an on-chip
+        record proves them: the shipped 45MP configuration is tile 48."""
+        from raw2film_tpu.ops.pallas_halation import _mega_vmem_ok
+
+        assert not _mega_vmem_ok(72, 8208, 256, 4, 13, 13)
+        assert _mega_vmem_ok(48, 8208, 256, 4, 13, 13)
