@@ -352,3 +352,27 @@ class TestResize:
         img = _img(16, 16)
         out = np.asarray(resize_ops.resolution_scaling(jnp.asarray(img), (32, 32)))
         assert out.shape == (3, 32, 32)
+
+
+def test_demosaic_exposure_fallback_matches_staged():
+    """demosaic_exposure's XLA fallback (pallas off on CPU) must equal
+    clip01(demosaic) -> scalar mul-adds -> max0 exactly."""
+    import numpy as np
+
+    rng = np.random.default_rng(21)
+    mosaic = jnp.asarray(rng.normal(0.4, 0.3, (64, 96)).astype(np.float32))
+    mat = jnp.asarray(rng.normal(0.3, 0.4, (3, 3)).astype(np.float32))
+    got = np.asarray(dm_ops.demosaic_exposure(mosaic, "RGGB", mat))
+    rgb = jnp.clip(dm_ops.demosaic_mhc(mosaic, "RGGB"), 0.0, 1.0)
+    want = np.stack(
+        [
+            np.asarray(
+                jnp.maximum(
+                    mat[c, 0] * rgb[0] + mat[c, 1] * rgb[1] + mat[c, 2] * rgb[2],
+                    0.0,
+                )
+            )
+            for c in range(3)
+        ]
+    )
+    np.testing.assert_allclose(got, want, atol=3e-7)
