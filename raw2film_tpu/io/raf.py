@@ -19,8 +19,11 @@ src/raw2film/data.py:87-102). RAF is Fuji's own container:
 Uncompressed payloads (16-bit little-endian; 12/14-bit packed inferred
 from byte counts) decode for both Bayer and X-Trans mosaics — X-Trans
 demosaics through the generic masked-interpolation kernel
-(:func:`raw2film_tpu.ops.demosaic.demosaic_masked`). Fuji lossless-
-compressed RAF is rejected with a clear error.
+(:func:`raw2film_tpu.ops.demosaic.demosaic_masked`). Lossless-compressed
+payloads (the default on modern X/GFX bodies) are detected by their
+16-byte header and decode through the threaded native strip decoder
+(``r2f_decode_fuji`` — see the compatibility note in
+native/r2f_native.cc: reconstructed schedule, clean abort on mismatch).
 """
 
 from __future__ import annotations
@@ -106,6 +109,59 @@ def _parse_fuji_tiff(buf: bytes, base: int) -> dict | None:
         return None
 
 
+def _parse_compressed_header(payload: bytes) -> dict | None:
+    """The lossless-compressed payload leads with a 16-byte big-endian
+    header: signature 0x4953, version 1, raw type (16 = X-Trans, 0 =
+    Bayer), bits, height, rounded width, width, strip size, strips per
+    row, line-set count. See native/r2f_native.cc for the codec notes."""
+    if len(payload) < 16:
+        return None
+    try:
+        sig, ver, rtype, rbits, rh, rrw, rw, bsize, bir, tlines = (
+            struct.unpack_from(">HBBBHHHHBH", payload, 0)
+        )
+    except struct.error:
+        return None
+    if sig != 0x4953 or ver != 1 or rtype not in (0, 16):
+        return None
+    if rbits not in (12, 14, 16) or not bir or not tlines or not rw or not rh:
+        return None
+    return {
+        "xtrans": rtype == 16,
+        "bits": rbits,
+        "height": rh,
+        "rounded_width": rrw,
+        "width": rw,
+        "block_size": bsize,
+        "blocks_in_row": bir,
+        "total_lines": tlines,
+    }
+
+
+def _decode_compressed(payload: bytes, comp: dict, pattern: str, path: str):
+    from raw2film_tpu import native
+
+    table_len = 4 * comp["blocks_in_row"]
+    if table_len & 0xC:
+        table_len += 0x10 - (table_len & 0xC)
+    if len(payload) < 16 + table_len:
+        raise ValueError(f"{path}: truncated Fuji-compressed strip table")
+    sizes = np.frombuffer(
+        payload, ">u4", count=comp["blocks_in_row"], offset=16
+    ).astype(np.uint32)
+    return native.decode_fuji(
+        payload[16 + table_len :],
+        sizes,
+        comp["bits"],
+        pattern,
+        comp["width"],
+        comp["height"],
+        comp["rounded_width"],
+        comp["block_size"],
+        comp["total_lines"],
+    )
+
+
 def read_raf(buf: bytes, path: str) -> RawImage:
     if not buf.startswith(b"FUJIFILM"):
         raise ValueError(f"{path}: not a RAF file")
@@ -139,6 +195,32 @@ def read_raf(buf: bytes, path: str) -> RawImage:
 
     _check_dims(int(w), int(h), path)
 
+    cfa = hdr.get("xtrans")
+
+    comp = _parse_compressed_header(payload)
+    if comp is not None:
+        if comp["xtrans"]:
+            pattern = cfa if cfa and len(cfa) == 36 else XTRANS_CANONICAL
+        else:
+            pattern = cfa if cfa and len(cfa) == 4 else "RGGB"
+        h, w, bits = comp["height"], comp["width"], comp["bits"]
+        _check_dims(int(w), int(h), path)
+        data = _decode_compressed(payload, comp, pattern, path).astype(
+            np.float32
+        )
+        meta = {"EXIF:Make": "FUJIFILM"}
+        if model:
+            meta["EXIF:Model"] = model
+        return RawImage(
+            data=data,
+            cfa_pattern=pattern,
+            black_level=black,
+            white_level=float((1 << bits) - 1),
+            color_matrix=None,
+            as_shot_neutral=None,
+            metadata=meta,
+        )
+
     n = h * w
     if len(payload) >= 2 * n:
         # Sample byte order follows the embedded Fuji TIFF's BOM.
@@ -151,9 +233,9 @@ def read_raf(buf: bytes, path: str) -> RawImage:
         data = _unpack_14bit(payload, n).astype(np.float32)
     else:
         raise NotImplementedError(
-            f"{path}: Fuji-compressed RAF payloads are not supported "
-            f"({len(payload)} bytes for {n} {bits}-bit samples); convert "
-            "to DNG"
+            f"{path}: unrecognized RAF payload layout ({len(payload)} "
+            f"bytes for {n} {bits}-bit samples, no lossless-compression "
+            "header); convert to DNG"
         )
     data = data.reshape(h, w)
 

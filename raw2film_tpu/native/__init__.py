@@ -45,7 +45,7 @@ def _build() -> bool:
         return False
 
 
-_ABI = 7
+_ABI = 8
 
 
 def get_lib():
@@ -157,6 +157,22 @@ def _bind(lib):
         ctypes.c_int,
         ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint16),  # curve[4096]
+        ctypes.POINTER(ctypes.c_uint16),  # out
+    ]
+    lib.r2f_decode_fuji.restype = ctypes.c_int
+    lib.r2f_decode_fuji.argtypes = [
+        ctypes.c_char_p,  # strip data region
+        ctypes.c_long,
+        ctypes.c_int,  # raw_bits
+        ctypes.c_int,  # is_xtrans
+        ctypes.c_int,  # width
+        ctypes.c_int,  # height
+        ctypes.c_int,  # rounded_width
+        ctypes.c_int,  # block_size
+        ctypes.c_int,  # blocks_in_row
+        ctypes.c_int,  # total_lines
+        ctypes.POINTER(ctypes.c_uint32),  # strip sizes
+        ctypes.c_char_p,  # CFA pattern codes (36 or 4)
         ctypes.POINTER(ctypes.c_uint16),  # out
     ]
     lib.r2f_remap_bilinear.restype = None
@@ -352,6 +368,61 @@ def decode_arw2(
     )
     if rc != 0:
         raise ValueError(f"ARW2 decode failed (code {rc})")
+    return out.reshape(height, width)
+
+
+def decode_fuji(
+    strips: bytes,
+    strip_sizes: np.ndarray,
+    raw_bits: int,
+    pattern: str,
+    width: int,
+    height: int,
+    rounded_width: int,
+    block_size: int,
+    total_lines: int,
+) -> np.ndarray:
+    """Decode a Fuji lossless-compressed payload -> (h, w) uint16 mosaic.
+
+    ``strips`` is the strip-data region (header + size table already
+    stripped by the caller); ``pattern`` is the frame-aligned CFA string —
+    36 chars (X-Trans) or 4 (Bayer). Raises NotImplementedError when the
+    bitstream does not decode cleanly (see the compatibility note in
+    r2f_native.cc: the schedule is reconstructed, and mis-parses abort via
+    code-range/consumption guards instead of returning garbage)."""
+    lib = get_lib()
+    if lib is None:
+        raise NotImplementedError(
+            "Fuji-compressed RAF needs the native decoder; g++ was "
+            "unavailable to build raw2film_tpu/native/libr2f_native.so"
+        )
+    is_xtrans = len(pattern) == 36
+    codes = bytes({"R": 0, "G": 1, "B": 2}[c] for c in pattern)
+    sizes = np.ascontiguousarray(strip_sizes, np.uint32)
+    out = np.empty(height * width, np.uint16)
+    rc = lib.r2f_decode_fuji(
+        strips,
+        len(strips),
+        int(raw_bits),
+        int(is_xtrans),
+        int(width),
+        int(height),
+        int(rounded_width),
+        int(block_size),
+        len(sizes),
+        int(total_lines),
+        sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        codes,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+    )
+    if rc < 0:
+        raise ValueError(f"Fuji-compressed RAF: malformed parameters (code {rc})")
+    if rc != 0:
+        raise NotImplementedError(
+            "Fuji-compressed RAF bitstream did not decode cleanly (code "
+            f"{rc}); this may be an unverified variant of the compression "
+            "— convert the file to DNG"
+        )
     return out.reshape(height, width)
 
 

@@ -10,6 +10,7 @@
 // Exposed with a plain C ABI for ctypes. Build: see Makefile (g++ -O3
 // -shared -fPIC).
 
+#include <atomic>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
@@ -760,6 +761,444 @@ void r2f_remap_bilinear(const float* src, int channels, int h, int w,
   for (auto& th : threads) th.join();
 }
 
-int r2f_abi_version() { return 7; }
+// ---------------------------------------------------------------------------
+// Fuji lossless-compressed RAF (the scheme modern X/GFX bodies write by
+// default; the reference ingests it through LibRaw, reference:
+// src/raw2film/raw_conversion.py:36-48). Reimplemented from the format's
+// public structure — a JPEG-LS-style predictor/Golomb coder over
+// per-color "lines":
+//
+//   * The raw frame is cut into vertical strips of `block_size` columns
+//     (768 on real bodies), each compressed independently (threaded here).
+//   * Each strip is coded six mosaic rows at a time into subsampled color
+//     lines (2 samples per 3 columns for X-Trans, 1 per 2 for Bayer):
+//     R/B get one line per two rows, G one line per row. Line cells that
+//     no sensor pixel maps to are not coded — the decoder fills them with
+//     the same neighbor interpolation the coded path predicts with.
+//   * Samples are coded even positions first (running eight ahead), then
+//     odd; pairs of lines interleave per pass in the fixed order
+//     (R2,G2)(G3,B2)(R3,G4)(G5,B3)(R4,G6)(G7,B4) with three gradient
+//     context sets cycling across passes.
+//   * A code is unary zero-count + adaptive-width remainder (width from a
+//     per-gradient (sum,count) pair, LOCO-I style), with a raw escape
+//     after max_bits-raw_bits-1 zeros; values fold sign via zig-zag and
+//     wrap modulo the sample range.
+//
+// COMPATIBILITY NOTE: reconstructed from format knowledge and validated
+// by round-trips against this repo's own spec-based encoder
+// (tests/raw_fixtures.py::fuji_compress) plus the geometric
+// cross-check that interpolated cells are exactly the cells unused by
+// the CFA layout. Not yet verified against camera-written files; any
+// mismatch aborts cleanly (code-range guard, unary-run cap, and a
+// bitstream-consumption check per strip) instead of returning garbage.
+
+namespace fuji {
+
+struct Params {
+  int q1, q2, q3;    // gradient quantizer thresholds (0x12, 0x43, 0x114)
+  int max_value;     // (1 << raw_bits) - 1
+  int total_values;  // max_value + 1
+  int raw_bits;
+  int max_bits;      // 4 * raw_bits (unary escape threshold basis)
+  int min_value;     // 0x40: gradient-context renormalization point
+  int max_diff;      // initial gradient sum: max(2, (total+0x20) >> 6)
+};
+
+struct Grad {
+  int v1;  // accumulated |error|
+  int v2;  // count
+};
+
+struct BitIn {
+  const uint8_t* p;
+  const uint8_t* end;
+  uint64_t acc = 0;
+  int n = 0;
+  long consumed_bits = 0;
+  bool fail = false;
+
+  BitIn(const uint8_t* data, long len) : p(data), end(data + len) {}
+
+  inline void fill() {
+    while (n <= 55) {
+      uint64_t b = p < end ? *p++ : 0;  // zero padding past the end is
+      acc |= b << (56 - n);             // caught by the consumption check
+      n += 8;
+    }
+  }
+
+  inline uint32_t get(int k) {
+    if (k <= 0) return 0;
+    fill();
+    uint32_t v = uint32_t(acc >> (64 - k));
+    acc <<= k;
+    n -= k;
+    consumed_bits += k;
+    return v;
+  }
+
+  // Count zero bits up to and excluding the terminating one-bit (which is
+  // consumed). Runs longer than 64 mean a desynced/corrupt stream.
+  inline int zeros_until_one() {
+    int count = 0;
+    for (;;) {
+      fill();
+      if (acc == 0) {
+        consumed_bits += n;
+        count += n;
+        n = 0;
+        if (p >= end || count > 64) {
+          fail = true;
+          return count;
+        }
+        continue;
+      }
+      int lz = __builtin_clzll(acc);
+      count += lz;
+      acc <<= lz + 1;
+      n -= lz + 1;
+      consumed_bits += lz + 1;
+      if (count > 64) fail = true;
+      return count;
+    }
+  }
+};
+
+// Line-buffer plane layout: 18 rows of (line_width + 2) cells — R0..R4,
+// G0..G7, B0..B4 with one pad column each side. Two context rows per
+// plane; the other rows are decoded per six-row set.
+enum Line {
+  R0 = 0, R1, R2, R3, R4,
+  G0, G1, G2, G3, G4, G5, G6, G7,
+  B0, B1, B2, B3, B4,
+  LTOTAL
+};
+
+inline int iabs(int v) { return v < 0 ? -v : v; }
+
+struct StripDecoder {
+  Params P;
+  BitIn in;
+  int lw;  // line width (samples per coded line)
+  std::vector<uint16_t> buf;
+  Grad grad_even[3][41];
+  Grad grad_odd[3][41];
+  int errcnt = 0;
+
+  StripDecoder(const Params& params, const uint8_t* data, long len, int line_width)
+      : P(params), in(data, len), lw(line_width), buf(size_t(LTOTAL) * (line_width + 2), 0) {
+    for (int s = 0; s < 3; ++s)
+      for (int g = 0; g < 41; ++g) {
+        grad_even[s][g] = {P.max_diff, 1};
+        grad_odd[s][g] = {P.max_diff, 1};
+      }
+  }
+
+  inline uint16_t* cell(int line, int c) { return &buf[size_t(line) * (lw + 2) + c]; }
+
+  inline int qclass(int d) const {
+    int a = iabs(d);
+    int c;
+    if (a >= P.q3) c = 4;
+    else if (a >= P.q2) c = 3;
+    else if (a >= P.q1) c = 2;
+    else if (a > 0) c = 1;
+    else c = 0;
+    return d < 0 ? -c : c;
+  }
+
+  static inline int bit_diff(int v1, int v2) {
+    int k = 0;
+    if (v2 < v1)
+      while (k <= 12 && (v2 << ++k) < v1) {
+      }
+    return k;
+  }
+
+  // One coded residual: unary + adaptive remainder, zig-zag unfold,
+  // gradient-context update. Returns the signed error.
+  inline int read_code(Grad& g) {
+    int zeros = in.zeros_until_one();
+    int k;
+    if (zeros < P.max_bits - P.raw_bits - 1) {
+      int db = bit_diff(g.v1, g.v2);
+      k = (zeros << db) | int(in.get(db));
+    } else {
+      k = int(in.get(P.raw_bits)) + 1;
+    }
+    if (k < 0 || k >= P.total_values) ++errcnt;
+    int c = (k & 1) ? (-1 - k / 2) : (k / 2);
+    g.v1 += iabs(c);
+    if (g.v2 == P.min_value) {
+      g.v1 >>= 1;
+      g.v2 >>= 1;
+    }
+    g.v2 += 1;
+    return c;
+  }
+
+  inline void store(int line, int c, int val) {
+    if (val < 0) val += P.total_values;
+    else if (val > P.max_value) val -= P.total_values;
+    if (val < 0) val = 0;
+    else if (val > P.max_value) val = P.max_value;
+    *cell(line, c) = uint16_t(val);
+  }
+
+  // Even positions predict from the previous lines only (upper row of
+  // the same color plane); the gradient context is (above-above2,
+  // aboveleft-above).
+  inline int interp_even_val(int l, int c) {
+    int Rb = *cell(l - 1, c);
+    int Rc = *cell(l - 1, c - 1);
+    int Rd = *cell(l - 1, c + 1);
+    int Rf = *cell(l - 2, c);
+    int dC = iabs(Rc - Rb), dF = iabs(Rf - Rb), dD = iabs(Rd - Rb);
+    if (dC > dF && dC > dD) return Rf + Rd + 2 * Rb;
+    if (dD > dC && dD > dF) return Rf + Rc + 2 * Rb;
+    return Rd + Rc + 2 * Rb;
+  }
+
+  inline void dec_even(int l, int pos, Grad* gs) {
+    int c = pos + 1;
+    int Rb = *cell(l - 1, c);
+    int Rc = *cell(l - 1, c - 1);
+    int Rf = *cell(l - 2, c);
+    int grad = 9 * qclass(Rb - Rf) + qclass(Rc - Rb);
+    int interp = interp_even_val(l, c);
+    int code = read_code(gs[iabs(grad)]);
+    store(l, c, grad < 0 ? (interp >> 2) - code : (interp >> 2) + code);
+  }
+
+  inline void fill_even(int l, int pos) {
+    int c = pos + 1;
+    *cell(l, c) = uint16_t(interp_even_val(l, c) >> 2);
+  }
+
+  // Odd positions see both horizontal neighbors (the even pass runs
+  // ahead); context is (above-aboveleft, aboveleft-left).
+  inline void dec_odd(int l, int pos, Grad* gs) {
+    int c = pos + 1;
+    int Ra = *cell(l, c - 1);
+    int Rb = *cell(l - 1, c);
+    int Rc = *cell(l - 1, c - 1);
+    int Rd = *cell(l - 1, c + 1);
+    int Rg = *cell(l, c + 1);
+    int grad = 9 * qclass(Rb - Rc) + qclass(Rc - Ra);
+    int interp;
+    if ((Rb > Rc && Rb > Rd) || (Rb < Rc && Rb < Rd))
+      interp = (Rg + Ra + 2 * Rb) >> 2;
+    else
+      interp = (Ra + Rg) >> 1;
+    int code = read_code(gs[iabs(grad)]);
+    store(l, c, grad < 0 ? interp - code : interp + code);
+  }
+
+  // fa/fb: even-position fill rule per line — -1 all coded, 4 all evens
+  // filled, 0/2 evens with pos%4 == fa filled (derived from the CFA
+  // layout: exactly the cells no sensor pixel maps to).
+  void pass(int la, int lb, int gs, int fa, int fb) {
+    // Pads of the lines being decoded come from the line above: left pad
+    // = its first sample, right pad = its last (read as Ra/Rg at the
+    // line ends).
+    for (int l : {la, lb}) {
+      *cell(l, 0) = *cell(l - 1, 1);
+      *cell(l, lw + 1) = *cell(l - 1, lw);
+    }
+    int ae = 0, ao = 1, be = 0, bo = 1;
+    while (be < lw || bo < lw) {
+      if (be < lw) {
+        if (fa == 4 || (fa >= 0 && (ae & 3) == fa)) fill_even(la, ae);
+        else dec_even(la, ae, grad_even[gs]);
+        ae += 2;
+        if (fb == 4 || (fb >= 0 && (be & 3) == fb)) fill_even(lb, be);
+        else dec_even(lb, be, grad_even[gs]);
+        be += 2;
+      }
+      if ((be > 8 || be >= lw) && bo < lw) {
+        dec_odd(la, ao, grad_odd[gs]);
+        ao += 2;
+        dec_odd(lb, bo, grad_odd[gs]);
+        bo += 2;
+      }
+    }
+  }
+
+  void decode_set(const int fill_rule[6]) {
+    pass(R2, G2, 0, fill_rule[0], -1);
+    pass(G3, B2, 1, -1, fill_rule[1]);
+    pass(R3, G4, 2, fill_rule[2], -1);
+    pass(G5, B3, 0, -1, fill_rule[3]);
+    pass(R4, G6, 1, fill_rule[4], -1);
+    pass(G7, B4, 2, fill_rule[5], -1);
+  }
+
+  void rotate() {
+    size_t row = size_t(lw) + 2;
+    std::memcpy(cell(R0, 0), cell(R3, 0), row * sizeof(uint16_t));
+    std::memcpy(cell(R1, 0), cell(R4, 0), row * sizeof(uint16_t));
+    std::memcpy(cell(G0, 0), cell(G6, 0), row * sizeof(uint16_t));
+    std::memcpy(cell(G1, 0), cell(G7, 0), row * sizeof(uint16_t));
+    std::memcpy(cell(B0, 0), cell(B3, 0), row * sizeof(uint16_t));
+    std::memcpy(cell(B1, 0), cell(B4, 0), row * sizeof(uint16_t));
+  }
+};
+
+// Map a block-local column to its coded-line cell: 2 cells per 3 columns
+// (X-Trans) or 1 per 2 (Bayer).
+inline int xtrans_cell_index(int p) {
+  return (((p * 2 / 3) & ~1) | ((p % 3) & 1)) + ((p % 3) >> 1);
+}
+
+// Derive per-line even-fill rules from the CFA layout: for each R/B line
+// (a pair of mosaic rows), the even cells no sensor pixel maps to are
+// interpolated rather than coded. Returns false for layouts this coder
+// cannot represent (an unused odd cell).
+inline bool xtrans_fill_rules(const uint8_t* pat, int rules[6]) {
+  // rules order matches decode_set: R2, B2, R3, B3, R4, B4.
+  const int line_color[6] = {0, 2, 0, 2, 0, 2};
+  const int line_rows[6][2] = {{0, 1}, {0, 1}, {2, 3}, {2, 3}, {4, 5}, {4, 5}};
+  for (int i = 0; i < 6; ++i) {
+    bool used[4] = {false, false, false, false};
+    for (int r = 0; r < 2; ++r) {
+      int row = line_rows[i][r];
+      for (int p = 0; p < 12; ++p) {  // two 6-col periods cover idx mod 4
+        if (pat[row * 6 + (p % 6)] == line_color[i])
+          used[xtrans_cell_index(p) & 3] = true;
+      }
+    }
+    if (!used[1] || !used[3]) return false;  // unused odd cell: no fill path
+    if (!used[0] && !used[2]) rules[i] = 4;
+    else if (!used[0]) rules[i] = 0;
+    else if (!used[2]) rules[i] = 2;
+    else rules[i] = -1;
+  }
+  return true;
+}
+
+}  // namespace fuji
+
+// Decode a Fuji lossless-compressed payload (see the block comment above).
+// `src` points at the strip-data region (after the 16-byte header and the
+// 16-byte-aligned strip size table, which the Python caller parses);
+// `strip_sizes` are the table's per-strip byte counts. `pattern` is 36
+// CFA codes (X-Trans) or 4 (Bayer), 0=R 1=G 2=B, aligned to the frame
+// origin. Output is the height x width mosaic.
+int r2f_decode_fuji(const uint8_t* src, long len, int raw_bits, int is_xtrans,
+                    int width, int height, int rounded_width, int block_size,
+                    int blocks_in_row, int total_lines,
+                    const uint32_t* strip_sizes, const uint8_t* pattern,
+                    uint16_t* out) {
+  if (width <= 0 || height <= 0 || blocks_in_row <= 0 || total_lines <= 0)
+    return -1;
+  if (raw_bits != 12 && raw_bits != 14 && raw_bits != 16) return -1;
+  if (rounded_width < width || height % 6 != 0 || total_lines != height / 6)
+    return -1;
+  if (block_size <= 0 || block_size % 12 != 0) return -1;
+  if (long(blocks_in_row - 1) * block_size >= rounded_width ||
+      long(blocks_in_row) * block_size < rounded_width)
+    return -1;
+  long total = 0;
+  for (int b = 0; b < blocks_in_row; ++b) {
+    if (strip_sizes[b] > uint32_t(len)) return -1;
+    total += strip_sizes[b];
+  }
+  if (total > len) return -1;
+
+  fuji::Params P;
+  P.q1 = 0x12;
+  P.q2 = 0x43;
+  P.q3 = 0x114;
+  P.max_value = (1 << raw_bits) - 1;
+  P.total_values = P.max_value + 1;
+  P.raw_bits = raw_bits;
+  P.max_bits = 4 * raw_bits;
+  P.min_value = 0x40;
+  P.max_diff = (P.total_values + 0x20) >> 6;
+  if (P.max_diff < 2) P.max_diff = 2;
+
+  int fill_rules[6];
+  if (is_xtrans) {
+    if (!fuji::xtrans_fill_rules(pattern, fill_rules)) return -2;
+  } else {
+    for (int i = 0; i < 6; ++i) fill_rules[i] = -1;
+  }
+
+  std::vector<long> strip_offsets(blocks_in_row);
+  {
+    long off = 0;
+    for (int b = 0; b < blocks_in_row; ++b) {
+      strip_offsets[b] = off;
+      off += strip_sizes[b];
+    }
+  }
+
+  std::vector<int> rcs(blocks_in_row, 0);
+  auto decode_strip = [&](int b) {
+    int col0 = b * block_size;
+    int cols = (b + 1 == blocks_in_row) ? rounded_width - col0 : block_size;
+    int lw = is_xtrans ? cols * 2 / 3 : cols / 2;
+    if (is_xtrans ? (cols % 6 != 0) : (cols % 2 != 0)) {
+      rcs[b] = -3;
+      return;
+    }
+    fuji::StripDecoder dec(P, src + strip_offsets[b], strip_sizes[b], lw);
+    for (int ls = 0; ls < total_lines; ++ls) {
+      dec.decode_set(fill_rules);
+      if (dec.errcnt || dec.in.fail) {
+        rcs[b] = 1;  // corrupt / unrecognized bitstream variant
+        return;
+      }
+      // Copy the six decoded mosaic rows out.
+      for (int r = 0; r < 6; ++r) {
+        int row = ls * 6 + r;
+        if (row >= height) break;
+        for (int p = 0; p < cols; ++p) {
+          int col = col0 + p;
+          if (col >= width) break;
+          int line, idx;
+          uint8_t code = is_xtrans ? pattern[(row % 6) * 6 + (col % 6)]
+                                   : pattern[(row % 2) * 2 + (col % 2)];
+          if (is_xtrans) idx = fuji::xtrans_cell_index(p);
+          else idx = p >> 1;
+          if (code == 0) line = fuji::R2 + r / 2;
+          else if (code == 1) line = fuji::G2 + r;
+          else line = fuji::B2 + r / 2;
+          out[size_t(row) * width + col] = *dec.cell(line, idx + 1);
+        }
+      }
+      dec.rotate();
+    }
+    // Consumption check: a wrong schedule reads the wrong number of bits.
+    long consumed = (dec.in.consumed_bits + 7) / 8;
+    long size = strip_sizes[b];
+    if (consumed > size || size - consumed > 512) rcs[b] = 2;
+  };
+
+  int nthreads = int(std::thread::hardware_concurrency());
+  if (nthreads < 1) nthreads = 1;
+  if (nthreads > blocks_in_row) nthreads = blocks_in_row;
+  if (nthreads > 16) nthreads = 16;
+  if (nthreads <= 1) {
+    for (int b = 0; b < blocks_in_row; ++b) decode_strip(b);
+  } else {
+    std::vector<std::thread> threads;
+    std::atomic<int> next{0};
+    for (int t = 0; t < nthreads; ++t)
+      threads.emplace_back([&]() {
+        for (;;) {
+          int b = next.fetch_add(1);
+          if (b >= blocks_in_row) return;
+          decode_strip(b);
+        }
+      });
+    for (auto& th : threads) th.join();
+  }
+  for (int b = 0; b < blocks_in_row; ++b)
+    if (rcs[b] != 0) return rcs[b];
+  return 0;
+}
+
+int r2f_abi_version() { return 8; }
 
 }  // extern "C"

@@ -536,13 +536,23 @@ def write_raf(
     style: str = "tiff",
     model="X-T5",
     black=1022,
+    compressed: bool = False,
+    bits: int = 14,
+    block_size: int = 96,
 ):
     """RAF skeleton: FUJIFILM header + offset table + CFA-header records
     (0x0100 dims, 0x0131 X-Trans layout) + CFA data as either an embedded
     Fuji TIFF (``style="tiff"``: 0xF001/2/3/7/8/A tags, modern bodies) or
-    the bare sensor dump (``style="bare"``: older bodies)."""
+    the bare sensor dump (``style="bare"``: older bodies). With
+    ``compressed=True`` the payload is the lossless-compressed stream
+    (``fuji_compress``) instead of the 16-bit dump."""
     h, w = mosaic.shape
-    payload = np.asarray(mosaic).astype("<u2").tobytes()
+    if compressed:
+        payload = fuji_compress(
+            mosaic, xtrans or "RGGB", bits=bits, block_size=block_size
+        )
+    else:
+        payload = np.asarray(mosaic).astype("<u2").tobytes()
 
     # CFA header records (big-endian).
     records = []
@@ -558,7 +568,7 @@ def write_raf(
         fuji = _Ifd()
         fuji.add(0xF001, 4, [w])
         fuji.add(0xF002, 4, [h])
-        fuji.add(0xF003, 4, [14])
+        fuji.add(0xF003, 4, [bits])
         fuji.add(0xF007, 4, ("blob", 0))
         fuji.add(0xF008, 4, [len(payload)])
         fuji.add(0xF00A, 4, [black] * 4)
@@ -583,6 +593,275 @@ def write_raf(
     assert len(header) == 0x6C
     with open(path, "wb") as f:
         f.write(bytes(header) + cfa_hdr + cfa_data)
+
+
+# --- Fuji lossless compression (inverse of native r2f_decode_fuji) -------
+
+_FUJI_LINES = 18  # R0..R4, G0..G7, B0..B4
+_FR = {"R": 0, "G": 5, "B": 13}  # plane base line indices
+
+
+def _fuji_cell_index(p: int, is_xtrans: bool) -> int:
+    if not is_xtrans:
+        return p >> 1
+    return (((p * 2 // 3) & ~1) | ((p % 3) & 1)) + ((p % 3) >> 1)
+
+
+def _fuji_bit_diff(v1: int, v2: int) -> int:
+    k = 0
+    if v2 < v1:
+        while True:
+            if k > 12:
+                break
+            k += 1
+            if not ((v2 << k) < v1):
+                break
+    return k
+
+
+def _fuji_fill_rules(pattern: str) -> list[int]:
+    """Per-R/B-line even-cell fill rules, derived from the CFA layout the
+    same way the decoder does (rules order R2,B2,R3,B3,R4,B4)."""
+    line_color = ["R", "B", "R", "B", "R", "B"]
+    line_rows = [(0, 1), (0, 1), (2, 3), (2, 3), (4, 5), (4, 5)]
+    rules = []
+    for i in range(6):
+        used = [False] * 4
+        for row in line_rows[i]:
+            for p in range(12):
+                if pattern[row * 6 + (p % 6)] == line_color[i]:
+                    used[_fuji_cell_index(p, True) & 3] = True
+        if not used[1] or not used[3]:
+            raise ValueError("CFA layout not representable by the fuji coder")
+        if not used[0] and not used[2]:
+            rules.append(4)
+        elif not used[0]:
+            rules.append(0)
+        elif not used[2]:
+            rules.append(2)
+        else:
+            rules.append(-1)
+    return rules
+
+
+class _FujiStripEncoder:
+    """Exact mirror of the native strip decoder: same line buffers, pass
+    schedule, gradient contexts and pad handling; emits the residual codes
+    the decoder will read back."""
+
+    def __init__(self, bits: int, lw: int):
+        self.max_value = (1 << bits) - 1
+        self.total = self.max_value + 1
+        self.raw_bits = bits
+        self.max_bits = 4 * bits
+        self.min_value = 0x40
+        self.max_diff = max(2, (self.total + 0x20) >> 6)
+        self.lw = lw
+        self.buf = np.zeros((_FUJI_LINES, lw + 2), np.int64)
+        self.grad_even = [[[self.max_diff, 1] for _ in range(41)] for _ in range(3)]
+        self.grad_odd = [[[self.max_diff, 1] for _ in range(41)] for _ in range(3)]
+        self.out = _MsbBitWriter()
+
+    def _q(self, d: int) -> int:
+        a = abs(d)
+        if a >= 0x114:
+            c = 4
+        elif a >= 0x43:
+            c = 3
+        elif a >= 0x12:
+            c = 2
+        elif a > 0:
+            c = 1
+        else:
+            c = 0
+        return -c if d < 0 else c
+
+    def _emit(self, t: int, pr: int, grad: int, g: list) -> int:
+        d = (t - pr) if grad >= 0 else (pr - t)
+        c = ((d + self.total // 2) % self.total) - self.total // 2
+        k = 2 * c if c >= 0 else -2 * c - 1
+        assert 0 <= k < self.total
+        threshold = self.max_bits - self.raw_bits - 1
+        db = _fuji_bit_diff(g[0], g[1])
+        zeros = k >> db
+        if zeros < threshold:
+            self.out.put(1, zeros + 1)  # `zeros` 0-bits then the 1
+            self.out.put(k, db)
+        else:
+            self.out.put(1, threshold + 1)
+            self.out.put(k - 1, self.raw_bits)
+        g[0] += abs(c)
+        if g[1] == self.min_value:
+            g[0] >>= 1
+            g[1] >>= 1
+        g[1] += 1
+        # The value the decoder reconstructs (== t: wrap is exact).
+        val = pr + c if grad >= 0 else pr - c
+        if val < 0:
+            val += self.total
+        elif val > self.max_value:
+            val -= self.total
+        assert val == t, (val, t)
+        return val
+
+    def _interp_even(self, l: int, c: int) -> int:
+        b = self.buf
+        Rb, Rc, Rd = b[l - 1, c], b[l - 1, c - 1], b[l - 1, c + 1]
+        Rf = b[l - 2, c]
+        dC, dF, dD = abs(Rc - Rb), abs(Rf - Rb), abs(Rd - Rb)
+        if dC > dF and dC > dD:
+            return int(Rf + Rd + 2 * Rb)
+        if dD > dC and dD > dF:
+            return int(Rf + Rc + 2 * Rb)
+        return int(Rd + Rc + 2 * Rb)
+
+    def _enc_even(self, l: int, pos: int, gs: list, target):
+        c = pos + 1
+        b = self.buf
+        Rb, Rc, Rf = b[l - 1, c], b[l - 1, c - 1], b[l - 2, c]
+        grad = 9 * self._q(int(Rb - Rf)) + self._q(int(Rc - Rb))
+        pr = self._interp_even(l, c) >> 2
+        t = pr if target is None else int(target)
+        b[l, c] = self._emit(t, pr, grad, gs[abs(grad)])
+
+    def _enc_odd(self, l: int, pos: int, gs: list, target):
+        c = pos + 1
+        b = self.buf
+        Ra, Rg = b[l, c - 1], b[l, c + 1]
+        Rb, Rc, Rd = b[l - 1, c], b[l - 1, c - 1], b[l - 1, c + 1]
+        grad = 9 * self._q(int(Rb - Rc)) + self._q(int(Rc - Ra))
+        if (Rb > Rc and Rb > Rd) or (Rb < Rc and Rb < Rd):
+            pr = int(Rg + Ra + 2 * Rb) >> 2
+        else:
+            pr = int(Ra + Rg) >> 1
+        t = pr if target is None else int(target)
+        b[l, c] = self._emit(t, pr, grad, gs[abs(grad)])
+
+    def _pass(self, la: int, lb: int, gs: int, fa: int, fb: int, targets):
+        b, lw = self.buf, self.lw
+        for l in (la, lb):
+            b[l, 0] = b[l - 1, 1]
+            b[l, lw + 1] = b[l - 1, lw]
+        ae = ao = be = bo = 0
+        ao = bo = 1
+        while be < lw or bo < lw:
+            if be < lw:
+                if fa == 4 or (fa >= 0 and (ae & 3) == fa):
+                    b[la, ae + 1] = self._interp_even(la, ae + 1) >> 2
+                else:
+                    self._enc_even(la, ae, self.grad_even[gs], targets[la][ae])
+                ae += 2
+                if fb == 4 or (fb >= 0 and (be & 3) == fb):
+                    b[lb, be + 1] = self._interp_even(lb, be + 1) >> 2
+                else:
+                    self._enc_even(lb, be, self.grad_even[gs], targets[lb][be])
+                be += 2
+            if (be > 8 or be >= lw) and bo < lw:
+                self._enc_odd(la, ao, self.grad_odd[gs], targets[la][ao])
+                ao += 2
+                self._enc_odd(lb, bo, self.grad_odd[gs], targets[lb][bo])
+                bo += 2
+
+    def encode_set(self, rules: list[int], targets):
+        R2, R3, R4 = 2, 3, 4
+        G2, G3, G4, G5, G6, G7 = 7, 8, 9, 10, 11, 12
+        B2, B3, B4 = 15, 16, 17
+        self._pass(R2, G2, 0, rules[0], -1, targets)
+        self._pass(G3, B2, 1, -1, rules[1], targets)
+        self._pass(R3, G4, 2, rules[2], -1, targets)
+        self._pass(G5, B3, 0, -1, rules[3], targets)
+        self._pass(R4, G6, 1, rules[4], -1, targets)
+        self._pass(G7, B4, 2, rules[5], -1, targets)
+
+    def rotate(self):
+        b = self.buf
+        b[0] = b[3]
+        b[1] = b[4]
+        b[5] = b[11]
+        b[6] = b[12]
+        b[13] = b[16]
+        b[14] = b[17]
+
+
+def fuji_compress(
+    mosaic: np.ndarray,
+    pattern: str,
+    bits: int = 14,
+    block_size: int = 96,
+) -> bytes:
+    """Encode a mosaic as a Fuji lossless-compressed payload: 16-byte
+    header + 16-aligned strip size table + independently coded vertical
+    strips (inverse of native r2f_decode_fuji). ``pattern`` is the
+    frame-aligned CFA string: 36 chars = X-Trans, 4 = Bayer."""
+    m = np.asarray(mosaic, np.int64)
+    h, w = m.shape
+    is_xtrans = len(pattern) == 36
+    if h % 6:
+        raise ValueError("height must be a multiple of 6")
+    if block_size % 12:
+        raise ValueError("block_size must be a multiple of 12")
+    step = 6 if is_xtrans else 2
+    rounded = (w + step - 1) // step * step
+    bir = (rounded + block_size - 1) // block_size
+    total_lines = h // 6
+    rules = _fuji_fill_rules(pattern) if is_xtrans else [-1] * 6
+    strips = []
+    for blk in range(bir):
+        col0 = blk * block_size
+        cols = min(block_size, rounded - col0)
+        lw = cols * 2 // 3 if is_xtrans else cols // 2
+        enc = _FujiStripEncoder(bits, lw)
+        for ls in range(total_lines):
+            targets = [[None] * lw for _ in range(_FUJI_LINES)]
+            # Real pixels first, padding columns second (padding never
+            # conflicts — it reuses whatever the cell already holds).
+            for pad_sweep in (False, True):
+                for r in range(6):
+                    row = ls * 6 + r
+                    for p in range(cols):
+                        col = col0 + p
+                        if (col >= w) != pad_sweep:
+                            continue
+                        color = (
+                            pattern[(row % 6) * 6 + (col % 6)]
+                            if is_xtrans
+                            else pattern[(row % 2) * 2 + (col % 2)]
+                        )
+                        line = _FR[color] + 2 + (r if color == "G" else r // 2)
+                        idx = _fuji_cell_index(p, is_xtrans)
+                        t = int(m[row, min(col, w - 1)])
+                        prev = targets[line][idx]
+                        if pad_sweep:
+                            if prev is None:
+                                targets[line][idx] = t
+                            continue
+                        if prev is not None and prev != t:
+                            raise ValueError(
+                                "CFA layout maps two different samples to "
+                                f"one coded cell (line {line}, idx {idx})"
+                            )
+                        targets[line][idx] = t
+            enc.encode_set(rules, targets)
+            enc.rotate()
+        strips.append(enc.out.done())
+
+    header = struct.pack(
+        ">HBBBHHHHBH",
+        0x4953,
+        1,
+        16 if is_xtrans else 0,
+        bits,
+        h,
+        rounded,
+        w,
+        block_size,
+        bir,
+        total_lines,
+    )
+    table = b"".join(struct.pack(">I", len(s)) for s in strips)
+    if len(table) & 0xC:
+        table += b"\0" * (0x10 - (len(table) & 0xC))
+    return header + table + b"".join(strips)
 
 
 def arw2_compress(mosaic11: np.ndarray) -> bytes:

@@ -97,8 +97,9 @@ class TestUnsupported:
         with pytest.raises(NotImplementedError, match="RAF"):
             read_raw(p)
 
-    def test_raf_compressed_clear_error(self, tmp_path):
-        """A payload far smaller than the sensor dump = Fuji-compressed."""
+    def test_raf_unknown_payload_clear_error(self, tmp_path):
+        """A payload that matches neither the dump sizes nor the lossless-
+        compression header gets a clear error, not garbage."""
         from raw_fixtures import write_raf
 
         m = _mosaic(24, 36, bits=14)
@@ -108,7 +109,7 @@ class TestUnsupported:
         truncated = data[: len(data) - 24 * 36 * 2 + 100]
         with open(p, "wb") as f:
             f.write(truncated)
-        with pytest.raises(NotImplementedError, match="compressed"):
+        with pytest.raises(NotImplementedError, match="convert to DNG"):
             read_raw(p)
 
     def test_cr3_clear_error(self, tmp_path):
@@ -647,6 +648,130 @@ class TestFujiRAF:
         m = (_mosaic(36, 48, bits=14) // 2 + 2048).astype(np.uint16)
         p = str(tmp_path / "p.raf")
         write_raf(p, m, xtrans=XTRANS_CANONICAL)
+        out = Processor().process(
+            p, "Kodak Portra 400", grain=0, half_size=False, max_scale=None
+        )
+        assert out.dtype == np.uint8 and out.shape[2] == 3
+
+
+class TestFujiCompressed:
+    """Fuji lossless-compressed RAF (the default on modern X/GFX bodies):
+    spec-based synthetic encoder (tests/raw_fixtures.py::fuji_compress)
+    round-tripped through the threaded native strip decoder — the same
+    methodology as the NEF/RW2/ORF/PEF codecs. The schedule is
+    reconstructed from the format's public structure and cross-checked
+    geometrically (interpolated cells == CFA-unused cells); real-file
+    verification is pending, and a mismatch aborts cleanly (see
+    native/r2f_native.cc). Matches the reference's LibRaw ingest surface
+    (src/raw2film/raw_conversion.py:36-48)."""
+
+    @pytest.mark.parametrize("bits", [12, 14, 16])
+    def test_bayer_round_trip_exact(self, tmp_path, bits):
+        from raw_fixtures import write_raf
+
+        m = _mosaic(24, 96, bits=bits)
+        p = str(tmp_path / "b.raf")
+        write_raf(p, m, compressed=True, bits=bits, block_size=48)
+        raw = read_raw(p)
+        np.testing.assert_array_equal(raw.data.astype(np.uint16), m)
+        assert raw.cfa_pattern == "RGGB"
+        assert raw.white_level == float((1 << bits) - 1)
+
+    def test_xtrans_round_trip_exact_multistrip(self, tmp_path):
+        from raw_fixtures import write_raf
+
+        from raw2film_tpu.io.raf import XTRANS_CANONICAL
+
+        m = _mosaic(36, 240, bits=14)  # 240 = 5 strips of 48
+        p = str(tmp_path / "x.raf")
+        write_raf(
+            p, m, xtrans=XTRANS_CANONICAL, compressed=True, block_size=48
+        )
+        raw = read_raw(p)
+        np.testing.assert_array_equal(raw.data.astype(np.uint16), m)
+        assert raw.cfa_pattern == XTRANS_CANONICAL
+
+    def test_xtrans_width_not_multiple_of_six(self, tmp_path):
+        """rounded_width > width: the padded tail columns decode but are
+        cropped from the output."""
+        from raw_fixtures import write_raf
+
+        from raw2film_tpu.io.raf import XTRANS_CANONICAL
+
+        m = _mosaic(24, 56, bits=14)  # rounded to 60
+        p = str(tmp_path / "pad.raf")
+        write_raf(
+            p, m, xtrans=XTRANS_CANONICAL, compressed=True, block_size=60
+        )
+        raw = read_raw(p)
+        assert raw.data.shape == (24, 56)
+        np.testing.assert_array_equal(raw.data.astype(np.uint16), m)
+
+    def test_smooth_and_flat_scenes(self, tmp_path):
+        """Smooth gradients exercise the small-residual regime (short
+        codes, gradient-context adaptation); flat fields the zero-residual
+        fast path."""
+        from raw_fixtures import write_raf
+
+        from raw2film_tpu.io.raf import XTRANS_CANONICAL
+
+        h, w = 24, 96
+        yy, xx = np.mgrid[0:h, 0:w]
+        smooth = (2000 + 40 * xx + 25 * yy).astype(np.uint16)
+        flat = np.full((h, w), 8191, np.uint16)
+        for name, m in [("smooth", smooth), ("flat", flat)]:
+            p = str(tmp_path / f"{name}.raf")
+            write_raf(
+                p, m, xtrans=XTRANS_CANONICAL, compressed=True, block_size=96
+            )
+            raw = read_raw(p)
+            np.testing.assert_array_equal(raw.data.astype(np.uint16), m)
+
+    def test_extremes_round_trip(self, tmp_path):
+        """Alternating min/max values drive the raw-escape path (unary run
+        past the threshold) and the modular wraparound."""
+        from raw_fixtures import write_raf
+
+        m = np.zeros((12, 48), np.uint16)
+        m[::2, ::2] = 16383
+        m[1::2, 1::2] = 16383
+        p = str(tmp_path / "e.raf")
+        write_raf(p, m, compressed=True, block_size=48)
+        raw = read_raw(p)
+        np.testing.assert_array_equal(raw.data.astype(np.uint16), m)
+
+    def test_corrupt_stream_aborts_cleanly(self, tmp_path):
+        """Bit corruption must hit the code-range/consumption guards and
+        raise, never return garbage silently."""
+        from raw_fixtures import write_raf
+
+        from raw2film_tpu.io.raf import XTRANS_CANONICAL
+
+        m = _mosaic(24, 96, bits=14)
+        p = str(tmp_path / "c.raf")
+        write_raf(
+            p, m, xtrans=XTRANS_CANONICAL, compressed=True, block_size=96
+        )
+        data = bytearray(open(p, "rb").read())
+        # Stomp the middle of the strip data with 0xFF (long unary runs
+        # and out-of-range escapes).
+        data[-200:-100] = b"\xff" * 100
+        with open(p, "wb") as f:
+            f.write(data)
+        with pytest.raises((NotImplementedError, ValueError)):
+            read_raw(p)
+
+    def test_full_pipeline_from_compressed_xtrans(self, tmp_path):
+        from raw_fixtures import write_raf
+
+        from raw2film_tpu.io.raf import XTRANS_CANONICAL
+        from raw2film_tpu.pipeline.processor import Processor
+
+        m = (_mosaic(36, 96, bits=14) // 2 + 2048).astype(np.uint16)
+        p = str(tmp_path / "p.raf")
+        write_raf(
+            p, m, xtrans=XTRANS_CANONICAL, compressed=True, block_size=96
+        )
         out = Processor().process(
             p, "Kodak Portra 400", grain=0, half_size=False, max_scale=None
         )

@@ -133,6 +133,20 @@ def test_codec_stress_round_trips(tmp_path, seed):
         (a.astype(np.int64) * 8).astype(np.uint16),
     )
 
+    from raw_fixtures import write_raf
+
+    from raw2film_tpu.io.raf import XTRANS_CANONICAL
+
+    for h, w, pat, bits in [
+        (12, 44, None, 12),  # bayer, width not a strip multiple
+        (30, 132, XTRANS_CANONICAL, 14),  # xtrans, ragged last strip
+        (18, 96, XTRANS_CANONICAL, 16),
+    ]:
+        mf = rng.integers(0, 1 << bits, (h, w)).astype(np.uint16)
+        p = str(tmp_path / "s.raf")
+        write_raf(p, mf, xtrans=pat, compressed=True, bits=bits, block_size=48)
+        np.testing.assert_array_equal(read_raw(p).data.astype(np.uint16), mf)
+
 
 def test_empty_and_garbage(tmp_path):
     p = str(tmp_path / "x.raw")
