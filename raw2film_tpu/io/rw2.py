@@ -23,9 +23,10 @@ magic 85 ("IIU\\0") and Panasonic-private tags in IFD0:
 
 Payloads: RawFormat 4 decodes through the native v4 kernel
 (``native/r2f_native.cc::r2f_decode_rw2_v4``); RawFormat 5 is plain
-LSB-first bit packing in 16-byte packets (vectorized numpy); 16-bit and
-Panasonic 12-bit-packed payloads are size-inferred like the NEF/ORF
-strips. v6/v7 (newest bodies) are rejected with a clear error.
+LSB-first bit packing in 16-byte packets inside rotated 0x4000 sections,
+RawFormat 7 the same packets streamed straight (both vectorized numpy);
+16-bit and Panasonic 12-bit-packed payloads are size-inferred like the
+NEF/ORF strips. v6 (a handful of bodies) is rejected with a clear error.
 """
 
 from __future__ import annotations
@@ -65,23 +66,14 @@ def _unrotate_sections(payload: bytes, need: int) -> np.ndarray:
     ).reshape(-1)
 
 
-def decode_rw2_v5(payload: bytes, width: int, height: int, bits: int) -> np.ndarray:
-    """Panasonic v5 (RawFormat 5): plain LSB-first bit packing in 16-byte
-    packets — 10 pixels/packet at 12 bits, 9 at 14 — inside the same
-    rotated 0x4000-byte sections as v4 (the layout rawspeed's
-    PanasonicDecompressorV5 describes). Vectorized numpy unpack."""
-    if bits not in (12, 14):
-        raise NotImplementedError(f"RW2 v5 with {bits}-bit samples")
-    per = 10 if bits == 12 else 9
-    npix = width * height
-    n_packets = -(-npix // per)
-    sec = _unrotate_sections(payload, n_packets * 16)
-    packets = sec[: n_packets * 16].reshape(n_packets, 16)
-    # Each 16-byte packet as two little-endian u64 halves; pixel i occupies
-    # bits [i*bits, (i+1)*bits) of the 128-bit packet.
+def _unpack_16byte_packets(
+    packets: np.ndarray, per: int, bits: int
+) -> np.ndarray:
+    """LSB-first bit unpack of (N, 16) byte packets: pixel i occupies bits
+    [i*bits, (i+1)*bits) of each 128-bit packet (shared by v5 and v7)."""
     lo = packets[:, :8].copy().view("<u8")[:, 0]
     hi = packets[:, 8:].copy().view("<u8")[:, 0]
-    out = np.empty((n_packets, per), np.uint16)
+    out = np.empty((len(packets), per), np.uint16)
     mask = np.uint64((1 << bits) - 1)
     for i in range(per):
         start = i * bits
@@ -96,7 +88,52 @@ def decode_rw2_v5(payload: bytes, width: int, height: int, bits: int) -> np.ndar
                 | ((hi & np.uint64((1 << (bits - low_bits)) - 1)) << np.uint64(low_bits))
             ) & mask
         out[:, i] = v.astype(np.uint16)
+    return out
+
+
+def decode_rw2_v5(payload: bytes, width: int, height: int, bits: int) -> np.ndarray:
+    """Panasonic v5 (RawFormat 5): plain LSB-first bit packing in 16-byte
+    packets — 10 pixels/packet at 12 bits, 9 at 14 — inside the same
+    rotated 0x4000-byte sections as v4 (the layout rawspeed's
+    PanasonicDecompressorV5 describes). Vectorized numpy unpack."""
+    if bits not in (12, 14):
+        raise NotImplementedError(f"RW2 v5 with {bits}-bit samples")
+    per = 10 if bits == 12 else 9
+    npix = width * height
+    n_packets = -(-npix // per)
+    sec = _unrotate_sections(payload, n_packets * 16)
+    packets = sec[: n_packets * 16].reshape(n_packets, 16)
+    out = _unpack_16byte_packets(packets, per, bits)
     return out.reshape(-1)[:npix].reshape(height, width)
+
+
+def decode_rw2_v7(payload: bytes, width: int, height: int, bits: int) -> np.ndarray:
+    """Panasonic v7 (RawFormat 7, current S/G bodies): the v5 16-byte
+    LSB-first packet packing WITHOUT the 0x4000-section rotation — blocks
+    stream straight from RawDataOffset (the layout rawspeed's
+    PanasonicV7Decompressor describes). Real sensor widths divide evenly
+    into packets (e.g. 6048 = 672 x 9), so rows need no alignment padding;
+    other widths are rejected rather than guessed."""
+    if bits not in (12, 14):
+        raise NotImplementedError(f"RW2 v7 with {bits}-bit samples")
+    per = 10 if bits == 12 else 9
+    if width % per:
+        raise NotImplementedError(
+            f"RW2 v7 with width {width} not a multiple of {per} "
+            "(row alignment would be ambiguous); convert to DNG"
+        )
+    npix = width * height
+    n_packets = npix // per
+    if len(payload) < n_packets * 16:
+        raise ValueError(
+            f"RW2 v7 payload too small ({len(payload)} bytes for "
+            f"{n_packets} packets)"
+        )
+    packets = np.frombuffer(payload, np.uint8, count=n_packets * 16).reshape(
+        n_packets, 16
+    )
+    out = _unpack_16byte_packets(packets, per, bits)
+    return out.reshape(height, width)
 
 
 def read_rw2(buf: bytes, path: str) -> RawImage:
@@ -142,6 +179,10 @@ def read_rw2(buf: bytes, path: str) -> RawImage:
         data = decode_rw2_v5(bytes(payload), full_w, full_h, bits).astype(
             np.float32
         )
+    elif raw_format == 7:
+        data = decode_rw2_v7(bytes(payload), full_w, full_h, bits).astype(
+            np.float32
+        )
     elif len(payload) >= 2 * n:
         data = np.frombuffer(payload, "<u2", count=n).astype(np.float32)
         data = data.reshape(full_h, full_w)
@@ -151,7 +192,7 @@ def read_rw2(buf: bytes, path: str) -> RawImage:
         raise NotImplementedError(
             f"{path}: RW2 RawFormat {raw_format} payload "
             f"({len(payload)} bytes for {n} samples) is not supported "
-            "(v4, v5, 16-bit and 12-bit-packed are; convert v6/v7-body "
+            "(v4, v5, v7, 16-bit and 12-bit-packed are; convert v6-body "
             "files to DNG)"
         )
 

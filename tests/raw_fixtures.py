@@ -438,9 +438,9 @@ def rw2_v4_compress(mosaic: np.ndarray) -> bytes:
     return bytes(stream)
 
 
-def rw2_v5_pack(mosaic: np.ndarray, bits: int = 14) -> bytes:
-    """Inverse of io/rw2.py::decode_rw2_v5: LSB-first bit packing into
-    16-byte packets (10 px at 12-bit, 9 at 14), rotated 0x4000 sections."""
+def _rw2_pack_packets(mosaic: np.ndarray, bits: int) -> np.ndarray:
+    """LSB-first 16-byte packet packing shared by v5 and v7 (10 px at
+    12-bit, 9 at 14)."""
     per = 10 if bits == 12 else 9
     v = np.asarray(mosaic, np.uint64).ravel()
     pad = (-len(v)) % per
@@ -462,7 +462,13 @@ def rw2_v5_pack(mosaic: np.ndarray, bits: int = 14) -> bytes:
     packets = np.empty((len(v), 16), np.uint8)
     packets[:, :8] = lo.astype("<u8").view(np.uint8).reshape(-1, 8)
     packets[:, 8:] = hi.astype("<u8").view(np.uint8).reshape(-1, 8)
-    stream = packets.reshape(-1)
+    return packets.reshape(-1)
+
+
+def rw2_v5_pack(mosaic: np.ndarray, bits: int = 14) -> bytes:
+    """Inverse of io/rw2.py::decode_rw2_v5: LSB-first bit packing into
+    16-byte packets (10 px at 12-bit, 9 at 14), rotated 0x4000 sections."""
+    stream = _rw2_pack_packets(mosaic, bits)
     SECTION, SPLIT = 0x4000, 0x1FF8
     n_sec = -(-len(stream) // SECTION)
     full = np.zeros(n_sec * SECTION, np.uint8)
@@ -470,6 +476,12 @@ def rw2_v5_pack(mosaic: np.ndarray, bits: int = 14) -> bytes:
     full = full.reshape(n_sec, SECTION)
     rotated = np.concatenate([full[:, SECTION - SPLIT :], full[:, : SECTION - SPLIT]], axis=1)
     return rotated.reshape(-1).tobytes()
+
+
+def rw2_v7_pack(mosaic: np.ndarray, bits: int = 14) -> bytes:
+    """Inverse of io/rw2.py::decode_rw2_v7: the same packets, streamed
+    straight (no section rotation)."""
+    return _rw2_pack_packets(mosaic, bits).tobytes()
 
 
 def write_rw2(
@@ -490,6 +502,8 @@ def write_rw2(
         payload = rw2_v4_compress(mosaic)
     elif raw_format == 5:
         payload = rw2_v5_pack(mosaic, bits=bits)
+    elif raw_format == 7:
+        payload = rw2_v7_pack(mosaic, bits=bits)
     else:
         payload = np.asarray(mosaic).astype("<u2").tobytes()
     top, left, bottom, right = borders or (0, 0, h, w)

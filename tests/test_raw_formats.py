@@ -215,6 +215,32 @@ class TestPanasonicRW2:
         write_rw2(p, m, raw_format=5, bits=14)
         np.testing.assert_array_equal(read_raw(p).data.astype(np.uint16), m)
 
+    @pytest.mark.parametrize("bits", [12, 14])
+    def test_v7_round_trip(self, tmp_path, bits):
+        """v7 (RawFormat 7, current S/G bodies): the v5 packets streamed
+        straight, no section rotation — bit-exact at both depths."""
+        from raw_fixtures import write_rw2
+
+        per = 10 if bits == 12 else 9
+        rng = np.random.default_rng(11)
+        m = rng.integers(0, 1 << bits, (20, per * 6)).astype(np.uint16)
+        p = str(tmp_path / f"v7_{bits}.rw2")
+        write_rw2(p, m, raw_format=7, bits=bits)
+        raw = read_raw(p)
+        np.testing.assert_array_equal(raw.data.astype(np.uint16), m)
+        assert raw.white_level == float((1 << bits) - 1)
+
+    def test_v7_ambiguous_width_clear_error(self, tmp_path):
+        """Widths that don't divide into whole packets would make row
+        alignment a guess — clear error instead."""
+        from raw_fixtures import write_rw2
+
+        m = np.zeros((12, 50), np.uint16)  # 50 % 9 != 0
+        p = str(tmp_path / "v7odd.rw2")
+        write_rw2(p, m, raw_format=7, bits=14)
+        with pytest.raises(NotImplementedError, match="multiple of 9"):
+            read_raw(p)
+
     def test_uncompressed_16bit(self, tmp_path):
         from raw_fixtures import write_rw2
 
