@@ -448,8 +448,12 @@ class ViewerState:
 
 _PAGE = """<!doctype html><html><head><meta charset="utf-8">
 <title>raw2film-tpu</title><style>
-body{margin:0;background:#16181c;color:#ddd;font:13px system-ui;display:flex;height:100vh}
-#side{width:300px;padding:12px;overflow-y:auto;background:#1d2026}
+:root{--bg:#16181c;--fg:#ddd;--panel:#1d2026;--input:#2a2e36;--accent:#2a5e9e;
+ --accfg:#eee;--dim:#9ab;--hover:#262b33;--border:#3a4050;--err:#ff8080;--ok:#8fc98f}
+body.light{--bg:#eef0f3;--fg:#1c2026;--panel:#e1e4ea;--input:#fff;--accent:#3a6ea5;
+ --accfg:#fff;--dim:#5a6a7a;--hover:#d4d9e0;--border:#aab4c2;--err:#b03030;--ok:#2e7d32}
+body{margin:0;background:var(--bg);color:var(--fg);font:13px system-ui;display:flex;height:100vh}
+#side{width:300px;padding:12px;overflow-y:auto;background:var(--panel)}
 #main{flex:1;display:flex;flex-direction:column;align-items:center;overflow:auto}
 #pframe{overflow:hidden;max-width:96%;max-height:72vh;margin-top:12px;border-radius:4px}
 #preview{display:block;max-width:100%;max-height:72vh;transform-origin:0 0;cursor:grab}
@@ -460,25 +464,33 @@ body{margin:0;background:#16181c;color:#ddd;font:13px system-ui;display:flex;hei
 #strip img.msel{outline:2px dashed #ffb86b;opacity:1}
 label{display:block;margin:10px 0 2px}
 input[type=range]{width:100%}
-select{width:100%;background:#2a2e36;color:#ddd;border:0;padding:4px}
-button{background:#2a5e9e;color:#eee;border:0;border-radius:3px;padding:5px 10px;margin:4px 4px 0 0;cursor:pointer}
-#err{color:#ff8080;white-space:pre-wrap}
-#note{color:#8fc98f}
-.v{float:right;color:#9ab}
+select{width:100%;background:var(--input);color:var(--fg);border:0;padding:4px}
+button{background:var(--accent);color:var(--accfg);border:0;border-radius:3px;padding:5px 10px;margin:4px 4px 0 0;cursor:pointer}
+#err{color:var(--err);white-space:pre-wrap}
+#note{color:var(--ok)}
+.v{float:right;color:var(--dim)}
 .row{display:flex;gap:4px}
-input[type=text],input:not([type]){width:100%;background:#2a2e36;color:#ddd;border:0;padding:4px;box-sizing:border-box}
-#browser{position:fixed;inset:6vh 10vw;background:#1d2026;border:1px solid #3a4050;border-radius:6px;
+input[type=text],input:not([type]){width:100%;background:var(--input);color:var(--fg);border:0;padding:4px;box-sizing:border-box}
+#browser{position:fixed;inset:6vh 10vw;background:var(--panel);border:1px solid var(--border);border-radius:6px;
  display:none;flex-direction:column;padding:12px;z-index:10}
 #stocklist{overflow-y:auto;margin-top:8px}
 .stockrow{display:flex;gap:10px;align-items:center;padding:5px;border-radius:4px;cursor:pointer}
-.stockrow:hover{background:#262b33}
+.stockrow:hover{background:var(--hover)}
 .stockrow img{border-radius:2px}
-.stockmeta{color:#9ab;font-size:11px}
+.stockmeta{color:var(--dim);font-size:11px}
+.overlay{position:fixed;background:var(--panel);border:1px solid var(--border);border-radius:6px;
+ display:none;padding:16px;z-index:11}
 </style></head><body>
-<div id="shortcuts" style="position:fixed;inset:14vh 26vw;background:#1d2026;border:1px solid #3a4050;
- border-radius:6px;display:none;padding:16px;z-index:11">
+<div id="about" class="overlay" style="inset:22vh 30vw">
+ <h3 style="margin-top:0">raw2film-tpu</h3>
+ <div id="aboutbody" class="stockmeta" style="font-size:12px;line-height:1.6">loading&hellip;</div>
+ <p class="stockmeta">Film-emulation renderer rebuilt TPU-native (jax/XLA/Pallas);
+ feature surface follows JanLohse/raw2film.</p>
+ <button id="closeabout">close</button>
+</div>
+<div id="shortcuts" class="overlay" style="inset:14vh 26vw">
  <h3 style="margin-top:0">Keyboard shortcuts</h3>
- <table style="width:100%;color:#ccd">
+ <table style="width:100%">
   <tr><td>&larr; / &rarr;</td><td><b>previous / next image</b></td></tr>
   <tr><td>1 &ndash; 9</td><td><b>apply profile N</b></td></tr>
   <tr><td>e</td><td><b>export full-res JPEG</b></td></tr>
@@ -502,7 +514,11 @@ input[type=text],input:not([type]){width:100%;background:#2a2e36;color:#ddd;bord
  <div id="stocklist"></div>
 </div>
 <div id="side">
- <h3>raw2film-tpu</h3>
+ <h3 style="margin-bottom:4px">raw2film-tpu
+  <span style="float:right">
+   <button id="themebtn" title="toggle light/dark" style="padding:2px 7px">&#9681;</button>
+   <button id="aboutbtn" title="about" style="padding:2px 7px">i</button>
+  </span></h3>
  <label>profile <select id="profile"></select></label>
  <div class="row"><button id="saveprof">save profile</button><button id="newprof">new profile</button><button id="delprof">delete</button></div>
  <label>negative <select id="negative_film"></select></label>
@@ -667,6 +683,7 @@ async function init(){
  for(const m of info.lenses||[]) $("lenslist").append(new Option(m,m));
  document.addEventListener("keydown",e=>{
   if(e.key==="Escape"){$("browser").style.display="none";$("shortcuts").style.display="none";
+   $("about").style.display="none";
    batchSel.clear();document.querySelectorAll("#strip img.msel").forEach(el=>el.classList.remove("msel"));
    updExportAll();return;}
   if(e.target.tagName==="INPUT"||e.target.tagName==="SELECT")return;
@@ -790,6 +807,19 @@ async function init(){
  };
  $("closebr").onclick=()=>$("browser").style.display="none";
  $("q").oninput=renderStocks;$("sortby").onchange=renderStocks;
+ // --- theme + about (the reference GUI kit's css_theme / AboutDialog roles) ---
+ if(localStorage.getItem("r2f_theme")==="light")document.body.classList.add("light");
+ $("themebtn").onclick=()=>{
+  const light=document.body.classList.toggle("light");
+  localStorage.setItem("r2f_theme",light?"light":"dark");};
+ $("aboutbtn").onclick=async()=>{
+  const a=$("about");a.style.display="block";
+  const r=await (await fetch("/api/about")).json();
+  $("aboutbody").innerHTML=
+   `version <b>${r.version}</b> &middot; backend <b>${r.backend}</b><br>`+
+   `${r.stocks} film stocks &middot; ${r.lenses} lens profiles &middot; `+
+   `${r.formats} RAW formats`;};
+ $("closeabout").onclick=()=>$("about").style.display="none";
  // --- ICC softproof (viewer-only; exports stay un-proofed) ---
  $("icc_apply").onclick=async()=>{
   const r=await (await fetch("/api/icc",{method:"POST",body:JSON.stringify(
@@ -912,6 +942,25 @@ def make_handler(state: ViewerState):
                         self._send(200, png, "image/png")
                 elif u.path == "/api/icc":
                     self._json(dict(state.icc_paths, active=state._icc_transform is not None))
+                elif u.path == "/api/about":
+                    # The reference GUI kit's AboutDialog role
+                    # (spectral_film_lut gui_objects, used at gui.py:64-76).
+                    import jax
+
+                    from raw2film_tpu import __version__
+                    from raw2film_tpu.data import RAW_EXTENSIONS
+                    from raw2film_tpu.film.loader import load_film_stocks
+                    from raw2film_tpu.io.lens_db import PROFILES
+
+                    self._json(
+                        {
+                            "version": __version__,
+                            "backend": jax.default_backend(),
+                            "stocks": len(load_film_stocks()),
+                            "lenses": len(PROFILES),
+                            "formats": len(RAW_EXTENSIONS),
+                        }
+                    )
                 else:
                     self._json({"error": "not found"}, 404)
             except BrokenPipeError:

@@ -56,6 +56,17 @@ class TestViewer:
         assert "Kodak Portra 400" in doc["negatives"]
         assert doc["prints"]
 
+    def test_about_and_theme(self, server):
+        """/api/about (the reference GUI kit's AboutDialog role,
+        gui.py:64-76) and the css_theme-role light/dark variables."""
+        base, _, _ = server
+        code, _, body = _get(base + "/api/about")
+        doc = json.loads(body)
+        assert code == 200 and doc["stocks"] >= 38 and doc["lenses"] >= 50
+        assert doc["version"] and doc["backend"]
+        _, _, page = _get(base + "/")
+        assert b"body.light" in page and b"themebtn" in page
+
     def test_thumbnail(self, server):
         base, _, _ = server
         code, ctype, body = _get(base + "/api/thumb/0")
