@@ -415,6 +415,11 @@ def decode_fuji(
         codes,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
     )
+    if rc == -2:
+        raise NotImplementedError(
+            "Fuji-compressed RAF: this CFA layout is not representable by "
+            "the line coder (unused odd cell); convert to DNG"
+        )
     if rc < 0:
         raise ValueError(f"Fuji-compressed RAF: malformed parameters (code {rc})")
     if rc != 0:
