@@ -810,6 +810,8 @@ def fuji_compress(
     m = np.asarray(mosaic, np.int64)
     h, w = m.shape
     is_xtrans = len(pattern) == 36
+    if m.min() < 0 or m.max() >= (1 << bits):
+        raise ValueError(f"mosaic values must fit {bits} bits")
     if h % 6:
         raise ValueError("height must be a multiple of 6")
     if block_size % 12:
