@@ -283,6 +283,69 @@ def _stocks() -> list[FilmStock]:
     )
     s.append(
         FilmStock(
+            name="Kodak Ultramax 400",
+            manufacturer="Kodak",
+            year=1997,
+            iso=400,
+            resolution=100,
+            curve=_neg_curve(0.63, latitude=3.0, toe=0.40, sh=0.58),
+            sens=Sensitivities(peaks=(646.0, 550.0, 463.0), widths=(41.0, 40.0, 36.0)),
+            grain=GrainModel(rms=5.6),
+            mtf_model=MTFModel(f50=46.0, adj=0.26),
+            comment="Consumer 400 negative: warm, forgiving, visibly grainy.",
+        )
+    )
+    s.append(
+        FilmStock(
+            name="Kodak ColorPlus 200",
+            manufacturer="Kodak",
+            year=2007,
+            iso=200,
+            resolution=100,
+            curve=_neg_curve(0.63, dmin=(0.22, 0.66, 0.98), latitude=2.9, toe=0.38),
+            sens=Sensitivities(peaks=(644.0, 551.0, 464.0), widths=(43.0, 41.0, 37.0)),
+            grain=GrainModel(rms=5.0),
+            mtf_model=MTFModel(f50=44.0, adj=0.24),
+            comment="Budget Kodacolor-lineage emulsion: muted, vintage palette.",
+        )
+    )
+    s.append(
+        FilmStock(
+            name="Kodak Aerocolor IV 125",
+            manufacturer="Kodak",
+            year=1998,
+            iso=125,
+            resolution=125,
+            # Unmasked aerial negative (SO-250 class): near-neutral base
+            # instead of the C-41 orange mask, no masking couplers, higher
+            # native gamma than portrait films.
+            color_masking_strength=0.0,
+            curve=_neg_curve(
+                0.74, dmin=(0.14, 0.16, 0.19), latitude=2.9, toe=0.32, sh=0.5
+            ),
+            sens=Sensitivities(peaks=(648.0, 548.0, 462.0), widths=(38.0, 37.0, 34.0)),
+            grain=GrainModel(rms=3.9),
+            mtf_model=MTFModel(f50=72.0, adj=0.30),
+            alias=("Santacolor 100", "Flic Film Elektra 100"),
+            comment="Unmasked aerial color negative (the 'Santacolor' respools).",
+        )
+    )
+    s.append(
+        FilmStock(
+            name="Fuji Natura 1600",
+            manufacturer="Fujifilm",
+            year=2004,
+            iso=1600,
+            resolution=85,
+            curve=_neg_curve(0.62, latitude=3.1, toe=0.46, sh=0.60),
+            sens=Sensitivities(peaks=(648.0, 545.0, 460.0), widths=(43.0, 41.0, 37.0)),
+            grain=GrainModel(rms=8.2),
+            mtf_model=MTFModel(f50=36.0, adj=0.28),
+            comment="Highest-speed consumer color negative (Natura P mode).",
+        )
+    )
+    s.append(
+        FilmStock(
             name="Kodak Portra 160 NC",
             manufacturer="Kodak",
             year=1998,
@@ -544,6 +607,39 @@ def _stocks() -> list[FilmStock]:
             comment="Budget fast BW, HP5-adjacent with softer edge response.",
         )
     )
+    s.append(
+        FilmStock(
+            name="Ilford Pan F Plus 50",
+            manufacturer="Ilford",
+            year=1992,
+            iso=50,
+            resolution=200,
+            density_measure="bw",
+            # Datasheet: very fine grain, high acutance, notably SHORT
+            # exposure latitude for a BW negative.
+            curve=_bw_curve(0.70, dmin=0.08, latitude=2.7),
+            grain=GrainModel(rms=1.7, floor=0.14),
+            mtf_model=MTFModel(f50=110.0, adj=0.34),
+            comment="Slowest Ilford BW: finest grain, short latitude.",
+        )
+    )
+    s.append(
+        FilmStock(
+            name="Ilford XP2 Super 400",
+            manufacturer="Ilford",
+            year=1998,
+            iso=400,
+            resolution=110,
+            density_measure="bw",
+            # Chromogenic C-41 BW: dye clouds instead of silver — smoother
+            # grain than silver 400s and famously wide latitude (EI 50-800
+            # on one development).
+            curve=_bw_curve(0.60, dmin=0.10, latitude=4.0),
+            grain=GrainModel(rms=3.4, floor=0.12),
+            mtf_model=MTFModel(f50=55.0, adj=0.28),
+            comment="Chromogenic BW: dye-cloud grain, huge latitude.",
+        )
+    )
 
     # ----------------------------------------------------- reversal (slide)
     s.append(
@@ -574,6 +670,40 @@ def _stocks() -> list[FilmStock]:
             grain=GrainModel(rms=2.6),
             mtf_model=MTFModel(f50=80.0, adj=0.30),
             comment="Ultra-saturated landscape slide.",
+        )
+    )
+    s.append(
+        FilmStock(
+            name="Fuji Velvia 100",
+            manufacturer="Fujifilm",
+            year=2005,
+            iso=100,
+            film_type="positive",
+            resolution=160,
+            # One stop faster Velvia: contrast and saturation sit between
+            # Velvia 50 and Provia 100F (Fuji E-6 datasheet family).
+            curve=_slide_curve(-1.88, dmax=3.7, dmin=0.12, latitude=1.95),
+            sens=Sensitivities(peaks=(646.0, 545.0, 460.0), widths=(33.0, 33.0, 30.0)),
+            dyes=DyeSet(unwanted=(0.07, 0.11, 0.03)),
+            grain=GrainModel(rms=2.8),
+            mtf_model=MTFModel(f50=80.0, adj=0.30),
+            comment="Velvia speed update: vivid, a touch tamer than 50.",
+        )
+    )
+    s.append(
+        FilmStock(
+            name="Agfa CT Precisa 100",
+            manufacturer="Agfa",
+            year=2001,
+            iso=100,
+            film_type="positive",
+            resolution=135,
+            curve=_slide_curve(-1.75, dmax=3.4, dmin=0.13, latitude=2.0),
+            sens=Sensitivities(peaks=(650.0, 542.0, 452.0), widths=(36.0, 35.0, 32.0)),
+            dyes=DyeSet(unwanted=(0.08, 0.12, 0.04)),
+            grain=GrainModel(rms=3.2),
+            mtf_model=MTFModel(f50=64.0, adj=0.28),
+            comment="Cool-leaning consumer E-6 (the cross-process favorite).",
         )
     )
     s.append(

@@ -517,3 +517,81 @@ class TestRound3StockAnchors:
         v = STOCKS["Agfa Vista 200"]
         assert v.grain.rms > STOCKS["Kodak Portra 160"].grain.rms
         assert abs(v.grain.rms - STOCKS["Kodak Gold 200"].grain.rms) < 1.5
+
+
+class TestRound3LateStockAnchors:
+    """Published-character anchors for the eight later round-3 additions."""
+
+    def test_aerocolor_is_unmasked(self):
+        """Aerocolor IV has no masking couplers: no orange mask (near-
+        neutral dmin spread) and zero masking strength — THE property that
+        distinguishes it from every C-41 portrait stock."""
+        aero = STOCKS["Kodak Aerocolor IV 125"]
+        portra = STOCKS["Kodak Portra 400"]
+        assert aero.color_masking_strength == 0.0
+        d_aero = np.asarray(aero.curve.d_min)
+        d_portra = np.asarray(portra.curve.d_min)
+        assert d_aero.max() - d_aero.min() < 0.1  # near-neutral base
+        assert d_portra.max() - d_portra.min() > 0.4  # orange mask
+        # And an alias resolves ('Santacolor' respool).
+        assert "Santacolor 100" in aero.alias
+
+    def test_pan_f_finest_bw_and_short_latitude(self):
+        """Ilford's own ordering: Pan F Plus is the finest-grained,
+        sharpest conventional Ilford BW, with notably SHORT latitude."""
+        from raw2film_tpu.film.grain import grain_amplitude
+
+        d = np.linspace(0.3, 1.8, 32)
+
+        def amp(name):
+            return float(
+                np.mean(grain_amplitude(STOCKS[name], d, scale=200.0, bw_grain=True))
+            )
+
+        assert amp("Ilford Pan F Plus 50") < amp("Ilford Delta 100")
+        assert amp("Ilford Pan F Plus 50") < amp("Fuji Acros 100")
+        def lat(name):
+            c = STOCKS[name].curve
+            return c.x_shoulder[0] - c.x_toe[0]
+
+        assert lat("Ilford Pan F Plus 50") < lat("Ilford HP5 Plus 400")
+
+    def test_xp2_chromogenic_character(self):
+        """XP2 Super: smoother than silver 400s (dye clouds) and the
+        widest-latitude BW in the lineup (datasheet: EI 50-800)."""
+        from raw2film_tpu.film.grain import grain_amplitude
+
+        d = np.linspace(0.3, 1.8, 32)
+
+        def amp(name):
+            return float(
+                np.mean(grain_amplitude(STOCKS[name], d, scale=200.0, bw_grain=True))
+            )
+
+        assert amp("Ilford XP2 Super 400") < amp("Ilford HP5 Plus 400")
+        assert amp("Ilford XP2 Super 400") < amp("Kodak Tri-X 400")
+        lats = {
+            n: STOCKS[n].curve.x_shoulder[0] - STOCKS[n].curve.x_toe[0]
+            for n in STOCKS
+            if STOCKS[n].density_measure == "bw"
+            and STOCKS[n].stage == "camera"
+        }
+        assert max(lats, key=lats.get) == "Ilford XP2 Super 400", lats
+
+    def test_velvia_family_contrast_ordering(self):
+        """Fuji E-6 family: Velvia 50 > Velvia 100 > Provia 100F on
+        contrast/saturation (Fuji's own positioning)."""
+
+        def g(name):
+            return abs(float(np.mean(STOCKS[name].curve.gamma)))
+
+        assert g("Fuji Velvia 50") > g("Fuji Velvia 100") > g("Fuji Provia 100F")
+
+    def test_consumer_400_grain_ordering(self):
+        """Ultramax 400 (consumer) is grainier than Portra 400 (pro) but
+        finer than Natura 1600; ColorPlus sits in the Gold class."""
+        rms = lambda n: STOCKS[n].grain.rms
+        assert rms("Kodak Portra 400") < rms("Kodak Ultramax 400") < rms(
+            "Fuji Natura 1600"
+        )
+        assert abs(rms("Kodak ColorPlus 200") - rms("Kodak Gold 200")) < 1.5
