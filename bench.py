@@ -77,7 +77,30 @@ def main() -> None:
         def run(mosaic, bundle, key):
             return chain_from_mosaic(mosaic, cam_to_xyz, bundle, cfg, key)
 
-        float(jax.device_get(run(mosaic, bundle, keys[-1])))
+        try:
+            float(jax.device_get(run(mosaic, bundle, keys[-1])))
+        except Exception as e2:
+            # Last resort: the pure-XLA formulations always compile (no
+            # scoped-VMEM kernels). ~3x slower, but the benchmark reports.
+            print(
+                f"warning: separate kernels also failed ({type(e2).__name__});"
+                " falling back to XLA formulations",
+                file=sys.stderr,
+            )
+            from raw2film_tpu.ops import conv as convops
+
+            def chain_from_mosaic(mosaic, cam_to_xyz, bundle, cfg_, key):  # noqa: F811
+                with convops.force_xla():
+                    out = render_chain_from_mosaic(
+                        mosaic, cam_to_xyz, bundle, cfg_, key
+                    )
+                return jnp.sum(out[:, ::512, ::512].astype(jnp.float32))
+
+            @jax.jit
+            def run(mosaic, bundle, key):
+                return chain_from_mosaic(mosaic, cam_to_xyz, bundle, cfg, key)
+
+            float(jax.device_get(run(mosaic, bundle, keys[-1])))
 
     # The device executes dispatches FIFO; enqueue renders and force only the
     # last result. (t_many - t_one) / (ITERS - 1) cancels the fixed

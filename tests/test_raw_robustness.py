@@ -53,6 +53,12 @@ def _writers(tmp_path):
     p = str(tmp_path / "i.cr2")
     write_cr2(p, m12)
     out.append(p)
+    p = str(tmp_path / "j.raf")  # lossless-compressed payload
+    write_raf(p, m12, compressed=True, bits=12, block_size=36)
+    out.append(p)
+    p = str(tmp_path / "k.rw2")  # v7 straight-streamed packets
+    write_rw2(p, np.random.default_rng(2).integers(0, 16384, (18, 36)).astype(np.uint16), raw_format=7, bits=14)
+    out.append(p)
     return out
 
 
