@@ -130,31 +130,6 @@ def extract_metadata(buf: bytes) -> dict:
     if found is None:
         return {}
     p0, p1 = found
-    tiff = buf[p0:p1]
-    try:
-        from raw2film_tpu.io.dng import _TAGS, _read_ifd
+    from raw2film_tpu.io.dng import exif_from_tiff
 
-        endian = {b"II": "<", b"MM": ">"}.get(tiff[:2])
-        if endian is None:
-            return {}
-        (magic, first) = struct.unpack_from(endian + "HI", tiff, 2)
-        if magic != 42:
-            return {}
-        ifd0, _ = _read_ifd(tiff, first, endian)
-        meta = {}
-        for name in ("Make", "Model"):
-            if _TAGS[name] in ifd0:
-                meta[f"EXIF:{name}"] = ifd0[_TAGS[name]]
-        if _TAGS["Orientation"] in ifd0:
-            meta["EXIF:Orientation"] = int(ifd0[_TAGS["Orientation"]][0])
-        exif_ptr = ifd0.get(_TAGS["ExifIFD"])
-        if exif_ptr:
-            exif, _ = _read_ifd(tiff, int(exif_ptr[0]), endian)
-            for name in ("ExposureTime", "FNumber", "ISO", "FocalLength", "LensModel"):
-                tag = _TAGS[name]
-                if tag in exif:
-                    v = exif[tag]
-                    meta[f"EXIF:{name}"] = v[0] if isinstance(v, list) else v
-        return meta
-    except Exception:
-        return {}
+    return exif_from_tiff(buf[p0:p1])

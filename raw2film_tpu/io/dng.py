@@ -206,6 +206,64 @@ def _check_dims(w: int, h: int, path: str) -> None:
         raise ValueError(f"{path}: implausible raw dimensions {w}x{h}")
 
 
+def exif_from_tiff(tiff: bytes) -> dict:
+    """Make/Model/Orientation + the EXIF subset the pipeline uses (auto
+    exposure, lens matching, export write-back) from a standalone TIFF/EXIF
+    block — CR3's CMT1 box, a JPEG APP1 payload."""
+    try:
+        endian = {b"II": "<", b"MM": ">"}.get(tiff[:2])
+        if endian is None:
+            return {}
+        (magic, first) = struct.unpack_from(endian + "HI", tiff, 2)
+        if magic != 42:
+            return {}
+        ifd0, _ = _read_ifd(tiff, first, endian)
+        meta = {}
+        for name in ("Make", "Model"):
+            if _TAGS[name] in ifd0:
+                meta[f"EXIF:{name}"] = ifd0[_TAGS[name]]
+        if _TAGS["Orientation"] in ifd0:
+            meta["EXIF:Orientation"] = int(ifd0[_TAGS["Orientation"]][0])
+        exif_ptr = ifd0.get(_TAGS["ExifIFD"])
+        if exif_ptr:
+            exif, _ = _read_ifd(tiff, int(exif_ptr[0]), endian)
+            for name in ("ExposureTime", "FNumber", "ISO", "FocalLength", "LensModel"):
+                tag = _TAGS[name]
+                if tag in exif:
+                    v = exif[tag]
+                    meta[f"EXIF:{name}"] = v[0] if isinstance(v, list) else v
+        return meta
+    except Exception:
+        return {}
+
+
+def exif_from_jpeg(jpeg: bytes) -> dict:
+    """EXIF from a JPEG's APP1 segment. RAF keeps the shot's full EXIF only
+    inside its embedded preview JPEG (the CFA sections carry none), so this
+    is how Fuji files get ISO/FocalLength/LensModel for auto exposure and
+    lens-profile matching."""
+    try:
+        if jpeg[:2] != b"\xff\xd8":
+            return {}
+        i = 2
+        while i + 4 <= len(jpeg) and jpeg[i] == 0xFF:
+            marker = jpeg[i + 1]
+            if marker in (0x01,) or 0xD0 <= marker <= 0xD8:
+                i += 2
+                continue
+            (seglen,) = struct.unpack_from(">H", jpeg, i + 2)
+            if seglen < 2:
+                return {}
+            if marker == 0xE1 and jpeg[i + 4 : i + 10] == b"Exif\x00\x00":
+                return exif_from_tiff(jpeg[i + 10 : i + 2 + seglen])
+            if marker == 0xDA:  # start of scan: no more metadata segments
+                break
+            i += 2 + seglen
+        return {}
+    except Exception:
+        return {}
+
+
 def read_raw(path: str) -> RawImage:
     """Decode any supported RAW container (see module docstring).
 

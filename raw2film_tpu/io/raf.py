@@ -162,6 +162,24 @@ def _decode_compressed(payload: bytes, comp: dict, pattern: str, path: str):
     )
 
 
+def _base_meta(buf: bytes, model: str) -> dict:
+    """Make/Model plus the shot EXIF from the embedded preview JPEG (offset
+    table slot 0x54) — RAF's only EXIF carrier."""
+    from raw2film_tpu.io.dng import exif_from_jpeg
+
+    meta = {"EXIF:Make": "FUJIFILM"}
+    if model:
+        meta["EXIF:Model"] = model
+    try:
+        jpg_off, jpg_len = struct.unpack_from(">II", buf, 0x54)
+        if jpg_off and jpg_len:
+            meta.update(exif_from_jpeg(buf[jpg_off : jpg_off + jpg_len]))
+    except struct.error:
+        pass
+    meta.setdefault("EXIF:Make", "FUJIFILM")
+    return meta
+
+
 def read_raf(buf: bytes, path: str) -> RawImage:
     if not buf.startswith(b"FUJIFILM"):
         raise ValueError(f"{path}: not a RAF file")
@@ -208,9 +226,7 @@ def read_raf(buf: bytes, path: str) -> RawImage:
         data = _decode_compressed(payload, comp, pattern, path).astype(
             np.float32
         )
-        meta = {"EXIF:Make": "FUJIFILM"}
-        if model:
-            meta["EXIF:Model"] = model
+        meta = _base_meta(buf, model)
         return RawImage(
             data=data,
             cfa_pattern=pattern,
@@ -244,9 +260,7 @@ def read_raf(buf: bytes, path: str) -> RawImage:
         # No X-Trans record: Bayer body (GFX / X-A / early FinePix).
         cfa = "RGGB"
 
-    meta = {"EXIF:Make": "FUJIFILM"}
-    if model:
-        meta["EXIF:Model"] = model
+    meta = _base_meta(buf, model)
     return RawImage(
         data=data,
         cfa_pattern=cfa,

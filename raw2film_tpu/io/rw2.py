@@ -223,6 +223,21 @@ def read_rw2(buf: bytes, path: str) -> RawImage:
         meta["EXIF:Orientation"] = int(ifd[0x0112][0])
     if 0x0017 in ifd:
         meta["EXIF:ISO"] = int(ifd[0x0017][0])
+    # Shot EXIF (exposure/aperture/lens) from the standard ExifIFD — feeds
+    # auto exposure and lens-profile matching like the DNG path.
+    exif_ptr = ifd.get(0x8769)
+    if exif_ptr:
+        try:
+            exif, _ = _read_ifd(buf, int(exif_ptr[0]), endian)
+        except (ValueError, struct.error):
+            exif = {}
+        from raw2film_tpu.io.dng import _TAGS
+
+        for name in ("ExposureTime", "FNumber", "ISO", "FocalLength", "LensModel"):
+            tag = _TAGS[name]
+            if tag in exif and f"EXIF:{name}" not in meta:
+                v = exif[tag]
+                meta[f"EXIF:{name}"] = v[0] if isinstance(v, list) else v
 
     return RawImage(
         data=data,

@@ -493,6 +493,7 @@ def write_rw2(
     model="DC-GH5",
     cfa=1,
     bits=12,
+    exif: dict | None = None,
 ):
     """RW2 skeleton: magic-85 TIFF, Panasonic tag dialect (sensor dims +
     active-area borders + per-channel blacks + RawDataOffset), v4-compressed
@@ -526,7 +527,20 @@ def write_rw2(
     ifd0.add(0x0110, 2, model)
     ifd0.add(0x0112, 3, [1])
     ifd0.add(0x0118, 4, ("blob", 0))
-    blob = _serialize([ifd0], [payload], magic=0x55)
+    ifds = [ifd0]
+    if exif:
+        sub = _Ifd()
+        if "ExposureTime" in exif:
+            sub.add(33434, 5, [exif["ExposureTime"]])
+        if "FNumber" in exif:
+            sub.add(33437, 5, [exif["FNumber"]])
+        if "FocalLength" in exif:
+            sub.add(37386, 5, [exif["FocalLength"]])
+        if "LensModel" in exif:
+            sub.add(42036, 2, exif["LensModel"])
+        ifd0.add(0x8769, 4, ("ifd", 1))
+        ifds.append(sub)
+    blob = _serialize(ifds, [payload], magic=0x55)
     with open(path, "wb") as f:
         f.write(blob)
 
@@ -543,6 +557,35 @@ def rw2_walk_mosaic(h: int, w: int, seed: int = 0) -> np.ndarray:
     return m.astype(np.uint16)
 
 
+def exif_jpeg(
+    make="FUJIFILM",
+    model="X-T5",
+    iso=800,
+    focal=35.0,
+    fnumber=2.0,
+    lens="XF35mmF2 R WR",
+    exposure=(1, 125),
+) -> bytes:
+    """Minimal JPEG carrying a real APP1 Exif segment (SOI + APP1 + EOI) —
+    the way RAF embeds the shot's EXIF in its preview JPEG."""
+    ifd0 = _Ifd()
+    ifd0.add(271, 2, make)
+    ifd0.add(272, 2, model)
+    ifd0.add(274, 3, [1])
+    ifd0.add(34665, 4, ("ifd", 1))
+    exif = _Ifd()
+    exif.add(33434, 5, [exposure])
+    exif.add(33437, 5, [(int(fnumber * 10), 10)])
+    exif.add(34855, 3, [iso])
+    exif.add(37386, 5, [(int(focal * 10), 10)])
+    exif.add(42036, 2, lens)
+    tiff = _serialize([ifd0, exif], [])
+    app1 = b"Exif\x00\x00" + tiff
+    return (
+        b"\xff\xd8\xff\xe1" + struct.pack(">H", len(app1) + 2) + app1 + b"\xff\xd9"
+    )
+
+
 def write_raf(
     path,
     mosaic,
@@ -553,6 +596,7 @@ def write_raf(
     compressed: bool = False,
     bits: int = 14,
     block_size: int = 96,
+    preview_jpeg: bytes | None = None,
 ):
     """RAF skeleton: FUJIFILM header + offset table + CFA-header records
     (0x0100 dims, 0x0131 X-Trans layout) + CFA data as either an embedded
@@ -599,14 +643,16 @@ def write_raf(
     header += b"0100"  # dir version
     header += b"\0" * 20
     assert len(header) == 0x54
-    cfa_hdr_off = 0x6C
+    jpeg = preview_jpeg or b""
+    jpeg_off = 0x6C if jpeg else 0
+    cfa_hdr_off = 0x6C + len(jpeg)
     cfa_off = cfa_hdr_off + len(cfa_hdr)
-    header += struct.pack(">II", 0, 0)  # JPEG offset/len (none)
+    header += struct.pack(">II", jpeg_off, len(jpeg))
     header += struct.pack(">II", cfa_hdr_off, len(cfa_hdr))
     header += struct.pack(">II", cfa_off, len(cfa_data))
     assert len(header) == 0x6C
     with open(path, "wb") as f:
-        f.write(bytes(header) + cfa_hdr + cfa_data)
+        f.write(bytes(header) + jpeg + cfa_hdr + cfa_data)
 
 
 # --- Fuji lossless compression (inverse of native r2f_decode_fuji) -------

@@ -230,6 +230,30 @@ class TestPanasonicRW2:
         np.testing.assert_array_equal(raw.data.astype(np.uint16), m)
         assert raw.white_level == float((1 << bits) - 1)
 
+    def test_exif_subifd_flows(self, tmp_path):
+        """RW2's standard ExifIFD (exposure/aperture/lens) must reach the
+        metadata dict alongside the Panasonic-private tags."""
+        from raw_fixtures import rw2_walk_mosaic, write_rw2
+
+        m = rw2_walk_mosaic(20, 28)
+        p = str(tmp_path / "ex.rw2")
+        write_rw2(
+            p,
+            m,
+            exif={
+                "ExposureTime": (1, 60),
+                "FNumber": (28, 10),
+                "FocalLength": (250, 10),
+                "LensModel": "LUMIX G 25/F1.7",
+            },
+        )
+        md = read_raw(p).metadata
+        assert abs(md["EXIF:ExposureTime"] - 1 / 60) < 1e-9
+        assert abs(md["EXIF:FNumber"] - 2.8) < 1e-9
+        assert abs(md["EXIF:FocalLength"] - 25.0) < 1e-9
+        assert md["EXIF:LensModel"] == "LUMIX G 25/F1.7"
+        assert md["EXIF:ISO"] == 200  # private tag 0x0017 still wins
+
     def test_v7_ambiguous_width_clear_error(self, tmp_path):
         """Widths that don't divide into whole packets would make row
         alignment a guess — clear error instead."""
@@ -624,6 +648,30 @@ class TestFujiRAF:
             raw = read_raw(p)
             np.testing.assert_array_equal(raw.data.astype(np.uint16), m)
             assert raw.cfa_pattern == XTRANS_CANONICAL
+
+    def test_exif_from_embedded_preview_jpeg(self, tmp_path):
+        """RAF carries the shot EXIF only inside its preview JPEG's APP1
+        segment — ISO/FocalLength/LensModel must flow into metadata (they
+        feed auto exposure and lens-profile matching)."""
+        from raw_fixtures import exif_jpeg, write_raf
+
+        m = _mosaic(24, 36, bits=14)
+        p = str(tmp_path / "e.raf")
+        write_raf(
+            p,
+            m,
+            model="X-T5",
+            preview_jpeg=exif_jpeg(
+                iso=1600, focal=56.0, fnumber=1.2, lens="XF56mmF1.2 R"
+            ),
+        )
+        raw = read_raw(p)
+        md = raw.metadata
+        assert md["EXIF:ISO"] == 1600
+        assert abs(md["EXIF:FocalLength"] - 56.0) < 1e-6
+        assert abs(md["EXIF:FNumber"] - 1.2) < 1e-6
+        assert md["EXIF:LensModel"] == "XF56mmF1.2 R"
+        assert md["EXIF:Model"] == "X-T5"
 
     def test_xtrans_masked_demosaic_accuracy(self):
         """On a smooth per-channel gradient scene the masked interpolation
