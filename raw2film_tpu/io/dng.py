@@ -294,6 +294,12 @@ def _read_raw(path: str) -> RawImage:
             "convert to DNG. Embedded previews + EXIF still serve browsing "
             "(io/cr3.py feeds the viewer's thumbnails)"
         )
+    if len(buf) >= 14 and buf[6:14] == b"HEAPCCDR":
+        raise NotImplementedError(
+            f"{path}: CRW raw payloads (Canon CIFF codec) are not "
+            "supported; convert to DNG. Embedded thumbnails + "
+            "identification still serve browsing (io/crw.py)"
+        )
     return _read_tiff_raw(buf, path)
 
 

@@ -39,6 +39,22 @@ def extract_thumb(src: str, max_edge: int = 256) -> np.ndarray:
         except Exception:
             pass
 
+    # 0a) CRW: the CIFF heap's JPEG thumbnail (tag 0x2007) — raw decode is
+    # unsupported but browsing works, like CR3.
+    if str(src).lower().endswith(".crw"):
+        try:
+            from raw2film_tpu.io import crw
+
+            with open(src, "rb") as f:
+                buf = f.read()
+            jpg = crw.extract_preview(buf)
+            if jpg:
+                with Image.open(_io.BytesIO(jpg)) as im:
+                    im.thumbnail((max_edge, max_edge))
+                    return np.asarray(im.convert("RGB"))
+        except Exception:
+            pass
+
     # 0b) RAF: the preview JPEG at offset-table slot 0x54 (PIL cannot open
     # the RAF container itself).
     if str(src).lower().endswith(".raf"):

@@ -1301,6 +1301,52 @@ def _bmff_box(btype: bytes, payload: bytes, usertype: bytes | None = None) -> by
     return struct.pack(">I", 8 + len(body)) + btype + body
 
 
+def write_crw(
+    path,
+    thumb_jpeg: bytes,
+    make="Canon",
+    model="Canon EOS D60",
+    timestamp=1021334400,
+):
+    """CRW (CIFF) skeleton: 26-byte header + heap whose directory sits at
+    the heap END (last 4 bytes = directory offset). Records: 0x080a
+    make+model, 0x2007 JPEG thumbnail, a 0x300a sub-heap holding 0x180e
+    capture time, and an inline (0x4000-flag) record — the browsing
+    surfaces io/crw.py reads."""
+    heap_start = 26
+
+    def heap(records, inline=()):
+        """records: list of (type, payload) stored in the heap body;
+        inline: list of (type, 8-byte value) stored in the record itself."""
+        body = bytearray()
+        placed = []
+        for typ, payload in records:
+            placed.append((typ, len(payload), len(body)))
+            body += payload
+            if len(body) % 2:
+                body += b"\0"
+        dir_off = len(body)
+        out = bytearray(body)
+        out += struct.pack("<H", len(placed) + len(inline))
+        for typ, length, off in placed:
+            out += struct.pack("<HII", typ, length, off)
+        for typ, value in inline:
+            out += struct.pack("<H", typ | 0x4000) + value
+        out += struct.pack("<I", dir_off)
+        return bytes(out)
+
+    sub = heap([(0x180E, struct.pack("<II", timestamp, 0))])
+    mm = make.encode() + b"\0" + model.encode() + b"\0"
+    main = heap(
+        [(0x080A, mm), (0x2007, thumb_jpeg), (0x300A, sub)],
+        inline=[(0x1810, struct.pack("<II", 640, 480))],
+    )
+    header = b"II" + struct.pack("<I", heap_start) + b"HEAPCCDR" + b"\0" * 12
+    assert len(header) == 26
+    with open(path, "wb") as f:
+        f.write(header + main)
+
+
 def write_cr3(path, preview_jpeg: bytes, make="Canon", model="Canon EOS R6"):
     """CR3 skeleton: ISO-BMFF with Canon's moov uuid (CMT1 EXIF TIFF +
     THMB) and the top-level PRVW uuid — the browsing surfaces io/cr3.py

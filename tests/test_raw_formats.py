@@ -852,6 +852,62 @@ class TestFujiCompressed:
         assert out.dtype == np.uint8 and out.shape[2] == 3
 
 
+class TestCRWContainer:
+    """CRW (CIFF) browsing: thumbnail + identification from the heap, raw
+    decode stays a clear error — the CR3 treatment for Canon's pre-CR2
+    container. Matches the reference's LibRaw ingest surface
+    (src/raw2film/raw_conversion.py:36-48, extension list data.py:87-102)."""
+
+    def _jpeg(self):
+        from PIL import Image
+        import io as _io
+
+        im = Image.new("RGB", (32, 24), (180, 90, 40))
+        b = _io.BytesIO()
+        im.save(b, "JPEG")
+        return b.getvalue()
+
+    def test_browse_and_clear_error(self, tmp_path):
+        from raw_fixtures import write_crw
+
+        from raw2film_tpu.io import crw
+
+        p = str(tmp_path / "d60.crw")
+        write_crw(p, self._jpeg(), model="Canon EOS D60")
+        buf = open(p, "rb").read()
+        assert crw.is_crw(buf)
+        jpg = crw.extract_preview(buf)
+        assert jpg and jpg[:2] == b"\xff\xd8"
+        meta = crw.extract_metadata(buf)
+        assert meta["EXIF:Make"] == "Canon"
+        assert meta["EXIF:Model"] == "Canon EOS D60"
+        assert meta["EXIF:DateTimeOriginal"].startswith("2002:")
+        with pytest.raises(NotImplementedError, match="CRW"):
+            read_raw(p)
+
+    def test_thumbnail_from_crw(self, tmp_path):
+        from raw_fixtures import write_crw
+
+        from raw2film_tpu.io.thumbnail import extract_thumb
+
+        p = str(tmp_path / "t.crw")
+        write_crw(p, self._jpeg())
+        th = extract_thumb(p)
+        assert th.ndim == 3 and th.shape[2] == 3 and th.shape[0] <= 256
+
+    def test_truncated_heap_safe(self, tmp_path):
+        from raw_fixtures import write_crw
+
+        from raw2film_tpu.io import crw
+
+        p = str(tmp_path / "x.crw")
+        write_crw(p, self._jpeg())
+        buf = open(p, "rb").read()
+        for cut in (10, 20, 40, len(buf) - 3):
+            assert crw.extract_metadata(buf[:cut]) is not None  # no crash
+            crw.extract_preview(buf[:cut])
+
+
 class TestNikonCompressed:
     """Lossless Nikon-compressed NEF (Compression 34713): spec-based
     synthetic encoder (tests/raw_fixtures.py::nef_compress_lossless) round-
