@@ -163,8 +163,17 @@ class ViewerState:
         return sorted({p.model for p in lens_mod.load_profiles()})
 
     def request(
-        self, index: int, params: dict, full: bool, half: bool = False
+        self,
+        index: int,
+        params: dict,
+        full: bool,
+        half: bool = False,
+        render: bool = True,
     ) -> None:
+        """Merge+persist params for an image; render unless ``render`` is
+        False (multi-select editing stores the edit for the other selected
+        images without re-rendering each — the reference's image-bar
+        multi-select, src/raw2film/image_bar.py + docs/2_usage.md)."""
         src = self.files[index]
         name = os.path.basename(src)
         with self._state_lock:
@@ -176,6 +185,8 @@ class ViewerState:
             # handler thread must not interleave between the merge above and
             # the param resolution, or the frame renders from torn state.
             kwargs = self._render_kwargs(name)
+        if not render:
+            return
         # half: the reference's "Half res. preview" speed toggle
         # (src/raw2film/gui.py:425-428) — halve the preview scale only.
         self.engine.request(
@@ -497,7 +508,7 @@ input[type=text],input:not([type]){width:100%;background:var(--input);color:var(
   <tr><td>s</td><td><b>take snapshot</b></td></tr>
   <tr><td>b (hold)</td><td><b>compare with snapshot</b></td></tr>
   <tr><td>wheel / drag / double-click</td><td><b>zoom / pan / reset</b></td></tr>
-  <tr><td>ctrl/&#8984;-click thumbnail</td><td><b>toggle batch-export selection</b></td></tr>
+  <tr><td>ctrl/&#8984;-click thumbnail</td><td><b>multi-select (group edit + batch export)</b></td></tr>
   <tr><td>Esc</td><td><b>close overlays / deselect all</b></td></tr>
   <tr><td>?</td><td><b>this help</b></td></tr>
  </table>
@@ -603,8 +614,15 @@ function currentParams(){
  return p;
 }
 function post(){
+ const p=currentParams();
  fetch("/api/params",{method:"POST",body:JSON.stringify(
-  {i:cur,params:currentParams(),full:$("full").checked,half:$("halfres").checked})});
+  {i:cur,params:p,full:$("full").checked,half:$("halfres").checked})});
+ // Multi-select editing (the reference's image bar: edits apply to every
+ // selected image): store the same params for the other selected images
+ // without re-rendering each.
+ if(batchSel.size>1&&batchSel.has(cur))
+  for(const j of batchSel) if(j!==cur)
+   fetch("/api/params",{method:"POST",body:JSON.stringify({i:j,params:p,norender:true})});
 }
 function applyParams(p){
  for(const [n] of [...SLIDERS,...CANVAS_SLIDERS,...ADV_SLIDERS])
@@ -982,6 +1000,7 @@ def make_handler(state: ViewerState):
                         dict(doc.get("params") or {}),
                         bool(doc.get("full", False)),
                         half=bool(doc.get("half", False)),
+                        render=not bool(doc.get("norender", False)),
                     )
                     self._json({"ok": True})
                 elif u.path == "/api/profile":

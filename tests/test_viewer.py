@@ -56,6 +56,15 @@ class TestViewer:
         assert "Kodak Portra 400" in doc["negatives"]
         assert doc["prints"]
 
+    def test_multi_select_group_edit(self, server):
+        """norender param store: multi-select editing persists the edit on
+        the other selected images without rendering each (the reference's
+        image-bar multi-select, docs/2_usage.md)."""
+        base, state, _ = server
+        _post(base + "/api/params", {"i": 1, "params": {"exp_comp": 1.5}, "norender": True})
+        code, _, body = _get(base + "/api/params?i=1")
+        assert json.loads(body)["exp_comp"] == 1.5
+
     def test_about_and_theme(self, server):
         """/api/about (the reference GUI kit's AboutDialog role,
         gui.py:64-76) and the css_theme-role light/dark variables."""
