@@ -683,9 +683,13 @@ async function init(){
  $("print_film").value=info.default_print||"None";
  const mk=(el,list)=>{for(const [n,lo,hi,st,dv] of list){
   el.insertAdjacentHTML("beforeend",
-   `<label>${n}<span class="v" id="v_${n}">${dv}</span>
+   `<label title="double-click to reset">${n}<span class="v" id="v_${n}">${dv}</span>
     <input type="range" id="${n}" min="${lo}" max="${hi}" step="${st}" value="${dv}"></label>`);
-  $(n).oninput=debounce;}};
+  $(n).oninput=debounce;
+  // Double-click the label resets to default (reference: docs/2_usage.md).
+  $(n).parentElement.ondblclick=e=>{
+   if(e.target.tagName==="INPUT")return;
+   $(n).value=dv;$("v_"+n).textContent=dv;post();};}};
  mk($("sliders"),SLIDERS); mk($("canvas_sliders"),CANVAS_SLIDERS); mk($("adv_sliders"),ADV_SLIDERS);
  for(const [n,dv] of ADV_CHECKS){
   $("adv_checks").insertAdjacentHTML("beforeend",
