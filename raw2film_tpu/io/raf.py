@@ -162,20 +162,31 @@ def _decode_compressed(payload: bytes, comp: dict, pattern: str, path: str):
     )
 
 
+def extract_preview(buf: bytes) -> bytes | None:
+    """The embedded preview JPEG (offset-table slot 0x54) — RAF's only
+    EXIF carrier, and the thumbnail source (io/thumbnail.py)."""
+    if not buf.startswith(b"FUJIFILM"):
+        return None
+    try:
+        jpg_off, jpg_len = struct.unpack_from(">II", buf, 0x54)
+    except struct.error:
+        return None
+    if not jpg_off or not jpg_len or jpg_off + jpg_len > len(buf):
+        return None
+    jpg = buf[jpg_off : jpg_off + jpg_len]
+    return jpg if jpg[:2] == b"\xff\xd8" else None
+
+
 def _base_meta(buf: bytes, model: str) -> dict:
-    """Make/Model plus the shot EXIF from the embedded preview JPEG (offset
-    table slot 0x54) — RAF's only EXIF carrier."""
+    """Make/Model plus the shot EXIF from the embedded preview JPEG."""
     from raw2film_tpu.io.dng import exif_from_jpeg
 
     meta = {"EXIF:Make": "FUJIFILM"}
     if model:
         meta["EXIF:Model"] = model
-    try:
-        jpg_off, jpg_len = struct.unpack_from(">II", buf, 0x54)
-        if jpg_off and jpg_len:
-            meta.update(exif_from_jpeg(buf[jpg_off : jpg_off + jpg_len]))
-    except struct.error:
-        pass
+    jpg = extract_preview(buf)
+    if jpg:
+        meta.update(exif_from_jpeg(jpg))
     meta.setdefault("EXIF:Make", "FUJIFILM")
     return meta
 

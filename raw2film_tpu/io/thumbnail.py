@@ -55,23 +55,22 @@ def extract_thumb(src: str, max_edge: int = 256) -> np.ndarray:
         except Exception:
             pass
 
-    # 0b) RAF: the preview JPEG at offset-table slot 0x54 (PIL cannot open
-    # the RAF container itself).
+    # 0b) RAF: the embedded preview JPEG (PIL cannot open the RAF
+    # container itself).
     if str(src).lower().endswith(".raf"):
         try:
-            import struct
-
             from PIL import ImageOps
+
+            from raw2film_tpu.io import raf
 
             with open(src, "rb") as f:
                 buf = f.read()
-            if buf.startswith(b"FUJIFILM"):
-                off, ln = struct.unpack_from(">II", buf, 0x54)
-                if off and ln:
-                    with Image.open(_io.BytesIO(buf[off : off + ln])) as im:
-                        im = ImageOps.exif_transpose(im)
-                        im.thumbnail((max_edge, max_edge))
-                        return np.asarray(im.convert("RGB"))
+            jpg = raf.extract_preview(buf)
+            if jpg:
+                with Image.open(_io.BytesIO(jpg)) as im:
+                    im = ImageOps.exif_transpose(im)
+                    im.thumbnail((max_edge, max_edge))
+                    return np.asarray(im.convert("RGB"))
         except Exception:
             pass
 

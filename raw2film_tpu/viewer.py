@@ -180,13 +180,13 @@ class ViewerState:
             merged = {**self.image_params.get(name, {}), **params}
             self.image_params[name] = merged
             self._persist()
+            if not render:
+                return
             # Snapshot the render kwargs inside the same critical section: a
             # concurrent copy_settings_to_all/save_profile from another
             # handler thread must not interleave between the merge above and
             # the param resolution, or the frame renders from torn state.
             kwargs = self._render_kwargs(name)
-        if not render:
-            return
         # half: the reference's "Half res. preview" speed toggle
         # (src/raw2film/gui.py:425-428) — halve the preview scale only.
         self.engine.request(
@@ -613,16 +613,23 @@ function currentParams(){
  p.lens=$("lens").value.trim();
  return p;
 }
+let lastP=null; // params as of the previous post for the CURRENT image
 function post(){
  const p=currentParams();
  fetch("/api/params",{method:"POST",body:JSON.stringify(
   {i:cur,params:p,full:$("full").checked,half:$("halfres").checked})});
  // Multi-select editing (the reference's image bar: edits apply to every
- // selected image): store the same params for the other selected images
- // without re-rendering each.
- if(batchSel.size>1&&batchSel.has(cur))
-  for(const j of batchSel) if(j!==cur)
-   fetch("/api/params",{method:"POST",body:JSON.stringify({i:j,params:p,norender:true})});
+ // selected image): propagate only the fields the user just CHANGED —
+ // never the full param set (which would erase the other images' own
+ // settings) and never on mere navigation (lastP is reset there).
+ if(batchSel.size>1&&batchSel.has(cur)&&lastP){
+  const delta={};
+  for(const k in p) if(JSON.stringify(p[k])!==JSON.stringify(lastP[k]))delta[k]=p[k];
+  if(Object.keys(delta).length)
+   for(const j of batchSel) if(j!==cur)
+    fetch("/api/params",{method:"POST",body:JSON.stringify({i:j,params:delta,norender:true})});
+ }
+ lastP=p;
 }
 function applyParams(p){
  for(const [n] of [...SLIDERS,...CANVAS_SLIDERS,...ADV_SLIDERS])
@@ -644,7 +651,9 @@ async function selectImage(i){
  cur=i;
  document.querySelectorAll("#strip img").forEach((e,k)=>e.classList.toggle("sel",k===i));
  const p=await (await fetch("/api/params?i="+i)).json();
- applyParams(p); post();
+ applyParams(p);
+ lastP=null; // navigation is not an edit: nothing propagates to the selection
+ post();
 }
 async function loop(){
  for(;;){

@@ -64,6 +64,11 @@ class TestViewer:
         _post(base + "/api/params", {"i": 1, "params": {"exp_comp": 1.5}, "norender": True})
         code, _, body = _get(base + "/api/params?i=1")
         assert json.loads(body)["exp_comp"] == 1.5
+        # The client propagates only the CHANGED fields and resets its
+        # baseline on navigation (a full-params propagation would clobber
+        # the other selected images' settings; review finding, Aug 18).
+        _, _, page = _get(base + "/")
+        assert b"delta[k]=p[k]" in page and b"lastP=null" in page
 
     def test_about_and_theme(self, server):
         """/api/about (the reference GUI kit's AboutDialog role,
