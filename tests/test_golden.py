@@ -87,6 +87,44 @@ def proc():
     return Processor()
 
 
+def test_golden_raf_end_to_end(proc, tmp_path):
+    """Sixth golden: a full FILE-to-print render from a deterministic
+    compressed X-Trans RAF — pins the container parse, native strip decode,
+    masked demosaic and auto-exposure alongside the chain (the five XYZ
+    goldens start after decode)."""
+    from raw_fixtures import write_raf
+
+    from raw2film_tpu.io.raf import XTRANS_CANONICAL
+
+    h, w = 66, 96
+    yy, xx = np.mgrid[0:h, 0:w]
+    rng = np.random.default_rng(7)
+    m = np.clip(
+        1400 + 9000 * (xx / w) * (0.4 + 0.6 * yy / h) + rng.integers(0, 120, (h, w)),
+        0,
+        16383,
+    ).astype(np.uint16)
+    p = str(tmp_path / "g.raf")
+    write_raf(p, m, xtrans=XTRANS_CANONICAL, compressed=True, block_size=96)
+    out = proc.process(
+        p,
+        negative_film="Kodak Portra 400",
+        print_film="Fuji Crystal Archive Maxima",
+        **COMMON,
+    )
+    path = os.path.join(GOLDEN_DIR, "raf_xtrans.npy")
+    if REGEN:
+        np.save(path, out)
+        pytest.skip(f"regenerated {path}")
+    assert os.path.exists(path), (
+        f"golden {path} missing — generate with R2F_REGEN_GOLDEN=1"
+    )
+    want = np.load(path)
+    assert out.shape == want.shape and out.dtype == np.uint8
+    diff = np.abs(out.astype(np.int32) - want.astype(np.int32))
+    assert diff.max() <= 1, f"raf golden drift max {diff.max()} codes"
+
+
 @pytest.mark.parametrize("name", sorted(CASES))
 def test_golden_render(name, proc):
     path = os.path.join(GOLDEN_DIR, f"{name}.npy")
