@@ -202,6 +202,30 @@ class TestCLI:
         img = Image.open(dst)
         assert img.size[0] > 0
 
+    def test_mixed_folder_isolates_unsupported(self, tmp_path, capsys):
+        """A folder mixing a decodable DNG with an unsupported-payload CR3
+        must export the DNG and report (not crash on) the CR3 — the
+        reference's batch keeps going past failed files."""
+        from raw_fixtures import write_cr3
+
+        from raw2film_tpu.cli import main
+
+        _write_fixture_dng(tmp_path / "good.dng")
+        from PIL import Image
+        import io as _io
+
+        im = Image.new("RGB", (16, 12), (90, 60, 30))
+        b = _io.BytesIO()
+        im.save(b, "JPEG")
+        write_cr3(str(tmp_path / "bad.cr3"), b.getvalue())
+        out_dir = str(tmp_path / "out")
+        rc = main([str(tmp_path), "-o", out_dir, "--grain", "0", "--print-film", "None"])
+        assert os.path.exists(os.path.join(out_dir, "good.jpg"))
+        assert not os.path.exists(os.path.join(out_dir, "bad.jpg"))
+        assert rc != 0  # at least one failure is reflected in the exit code
+        err = capsys.readouterr()
+        assert "CRX" in err.err + err.out or "CR3" in err.err + err.out
+
     def test_export_nef_and_arw(self, tmp_path):
         """Vendor TIFF dialects flow through the full CLI export
         (reference ingest surface: src/raw2film/data.py:87-102)."""
