@@ -814,6 +814,30 @@ class TestFujiCompressed:
         raw = read_raw(p)
         np.testing.assert_array_equal(raw.data.astype(np.uint16), m)
 
+    def test_concurrent_decodes_are_independent(self, tmp_path):
+        """The BatchRunner decode pool calls the native decoder from
+        several worker threads at once (the ctypes call releases the GIL
+        and the decoder threads internally) — concurrent results must
+        match serial ones bit-exactly."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        from raw_fixtures import write_raf
+
+        from raw2film_tpu.io.raf import XTRANS_CANONICAL
+
+        rng = np.random.default_rng(13)
+        paths, wants = [], []
+        for k in range(4):
+            m = rng.integers(0, 1 << 14, (24, 96)).astype(np.uint16)
+            p = str(tmp_path / f"c{k}.raf")
+            write_raf(p, m, xtrans=XTRANS_CANONICAL, compressed=True, block_size=48)
+            paths.append(p)
+            wants.append(m)
+        with ThreadPoolExecutor(4) as ex:
+            got = list(ex.map(lambda p: read_raw(p).data.astype(np.uint16), paths))
+        for g, w in zip(got, wants):
+            np.testing.assert_array_equal(g, w)
+
     def test_corrupt_stream_aborts_cleanly(self, tmp_path):
         """Bit corruption must hit the code-range/consumption guards and
         raise, never return garbage silently."""
