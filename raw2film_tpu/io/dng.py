@@ -39,13 +39,14 @@ Containers handled by :func:`read_raw`:
   via the native kernel; detected by tag 65536 or (as real bodies write
   it) an undersized Compression=1 strip.
 
-* **Panasonic RW2** — the v4 bitstream via the native kernel and the v5
-  LSB-first 16-byte packet layout (12/14-bit) via vectorized numpy
-  (:mod:`raw2film_tpu.io.rw2`), plus 16-bit and 12-bit-packed layouts.
+* **Panasonic RW2** — the v4 bitstream via the native kernel, the v5/v7
+  LSB-first 16-byte packet layouts (12/14-bit) and the v6 differential
+  block code via vectorized numpy (:mod:`raw2film_tpu.io.rw2`), plus
+  16-bit and 12-bit-packed layouts.
 
-Remaining vendor-compressed bitstreams (Panasonic v6/v7, Fuji-compressed
-RAF, CR3-CRX/CRW payloads) are rejected with a clear error — converting
-to DNG is the documented ingest path for those. CR3 containers still get
+Remaining vendor-compressed bitstreams (CR3-CRX/CRW payloads) are
+rejected with a clear error — converting to DNG is the documented
+ingest path for those. CR3 containers still get
 browsing support (PRVW/THMB previews + CMT1 EXIF, :mod:`raw2film_tpu.io.cr3`).
 
 Also parsed: CFAPattern, BlackLevel/WhiteLevel, ColorMatrix1, AsShotNeutral,

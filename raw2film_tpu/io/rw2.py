@@ -24,9 +24,10 @@ magic 85 ("IIU\\0") and Panasonic-private tags in IFD0:
 Payloads: RawFormat 4 decodes through the native v4 kernel
 (``native/r2f_native.cc::r2f_decode_rw2_v4``); RawFormat 5 is plain
 LSB-first bit packing in 16-byte packets inside rotated 0x4000 sections,
-RawFormat 7 the same packets streamed straight (both vectorized numpy);
+RawFormat 7 the same packets streamed straight, RawFormat 6 (full-frame
+S bodies) the differential 11-pixel block code (all vectorized numpy);
 16-bit and Panasonic 12-bit-packed payloads are size-inferred like the
-NEF/ORF strips. v6 (a handful of bodies) is rejected with a clear error.
+NEF/ORF strips.
 """
 
 from __future__ import annotations
@@ -136,6 +137,102 @@ def decode_rw2_v7(payload: bytes, width: int, height: int, bits: int) -> np.ndar
     return out.reshape(height, width)
 
 
+# RW2 v6 block layout: each 16-byte block is a 128-bit little-endian
+# integer packing 14 fields MSB-first: two 14-bit seed pixels, then three
+# groups of [2-bit scale base + three 10-bit coded pixels].  Field order
+# == consumption order.  NOT fully contiguous: 2 unused bits sit between
+# the last base group's first pixel and the final two fields (bits
+# [22,24)) and 2 more pad the bottom (bits [0,2)) — the layout LibRaw's
+# pana_cs6_page_decoder byte expressions encode (pinned by
+# tests/test_raw_formats.py::test_v6_field_layout_matches_libraw_byte_expressions).
+_V6_WIDTHS = (14, 14, 2, 10, 10, 10, 2, 10, 10, 10, 2, 10, 10, 10)
+_V6_STARTS = (114, 100, 98, 88, 78, 68, 66, 56, 46, 36, 34, 24, 12, 2)
+
+
+def _v6_extract_fields(packets: np.ndarray) -> np.ndarray:
+    """(N, 16) uint8 blocks -> (N, 14) uint16 fields (order as consumed)."""
+    lo = packets[:, :8].copy().view("<u8")[:, 0]
+    hi = packets[:, 8:].copy().view("<u8")[:, 0]
+    out = np.empty((len(packets), 14), np.uint16)
+    for i, (start, bits) in enumerate(zip(_V6_STARTS, _V6_WIDTHS)):
+        mask = np.uint64((1 << bits) - 1)
+        if start + bits <= 64:
+            v = (lo >> np.uint64(start)) & mask
+        elif start >= 64:
+            v = (hi >> np.uint64(start - 64)) & mask
+        else:
+            low_bits = 64 - start
+            v = (
+                (lo >> np.uint64(start))
+                | ((hi & np.uint64((1 << (bits - low_bits)) - 1)) << np.uint64(low_bits))
+            ) & mask
+        out[:, i] = v.astype(np.uint16)
+    return out
+
+
+def decode_rw2_v6(payload: bytes, width: int, height: int, bits: int) -> np.ndarray:
+    """Panasonic v6 (RawFormat 6, full-frame S / late G bodies): 16-byte
+    blocks of 11 pixels — two raw 14-bit seeds, then 10-bit values scaled
+    by a per-triple 2-bit base (pmul = 1<<base, base 3 meaning 4) and
+    accumulated differentially per Bayer parity (the scheme LibRaw's
+    panasonicC6_load_raw / rawspeed's PanasonicV6Decompressor implement).
+    Blocks are independent, so the reconstruction vectorizes across blocks
+    with one pass over the 11 in-block positions."""
+    if bits != 14:
+        raise NotImplementedError(
+            f"RW2 v6 with {bits}-bit samples (only the 14-bit block code "
+            "is supported); convert to DNG"
+        )
+    if width % 11:
+        raise NotImplementedError(
+            f"RW2 v6 with width {width} not a multiple of 11 "
+            "(row alignment would be ambiguous); convert to DNG"
+        )
+    n_blocks = width * height // 11
+    if len(payload) < n_blocks * 16:
+        raise ValueError(
+            f"RW2 v6 payload too small ({len(payload)} bytes for "
+            f"{n_blocks} blocks)"
+        )
+    packets = np.frombuffer(payload, np.uint8, count=n_blocks * 16).reshape(
+        n_blocks, 16
+    )
+    f = _v6_extract_fields(packets).astype(np.int64)
+
+    out = np.empty((n_blocks, 11), np.uint16)
+    oddeven = [np.zeros(n_blocks, np.int64), np.zeros(n_blocks, np.int64)]
+    nonzero = [np.zeros(n_blocks, np.int64), np.zeros(n_blocks, np.int64)]
+    pmul = np.zeros(n_blocks, np.int64)
+    pixel_base = np.zeros(n_blocks, np.int64)
+    field = 0
+    for pix in range(11):
+        if pix % 3 == 2:
+            base = f[:, field]
+            field += 1
+            base = np.where(base == 3, 4, base)
+            pixel_base = np.int64(0x200) << base
+            pmul = np.int64(1) << base
+        epixel = f[:, field]
+        field += 1
+        par = pix & 1
+        first = oddeven[par] == 0
+        # Continuation branch: scale by pmul, add the running predictor's
+        # offset above pixel_base (skipped at the largest base).
+        cont = epixel * pmul + np.where(
+            (pixel_base < 0x2000) & (nonzero[par] > pixel_base),
+            nonzero[par] - pixel_base,
+            0,
+        )
+        nonzero[par] = np.where(first, np.where(epixel != 0, epixel, nonzero[par]), cont)
+        value = np.where(first, np.where(epixel != 0, epixel, nonzero[par]), cont)
+        oddeven[par] = np.where(first, epixel, oddeven[par])
+        spix = value - 0xF
+        out[:, pix] = np.where(
+            spix <= 0xFFFF, spix & 0xFFFF, np.where(value >= 0x1000F, 0x3FFF, 0)
+        ).astype(np.uint16)
+    return out.reshape(height, width)
+
+
 def read_rw2(buf: bytes, path: str) -> RawImage:
     endian = "<"
     (first_ifd,) = struct.unpack_from(endian + "I", buf, 4)
@@ -179,6 +276,10 @@ def read_rw2(buf: bytes, path: str) -> RawImage:
         data = decode_rw2_v5(bytes(payload), full_w, full_h, bits).astype(
             np.float32
         )
+    elif raw_format == 6:
+        data = decode_rw2_v6(bytes(payload), full_w, full_h, bits).astype(
+            np.float32
+        )
     elif raw_format == 7:
         data = decode_rw2_v7(bytes(payload), full_w, full_h, bits).astype(
             np.float32
@@ -192,8 +293,7 @@ def read_rw2(buf: bytes, path: str) -> RawImage:
         raise NotImplementedError(
             f"{path}: RW2 RawFormat {raw_format} payload "
             f"({len(payload)} bytes for {n} samples) is not supported "
-            "(v4, v5, v7, 16-bit and 12-bit-packed are; convert v6-body "
-            "files to DNG)"
+            "(v4, v5, v6, v7, 16-bit and 12-bit-packed are; convert to DNG)"
         )
 
     # Active-area crop (even Bayer phase, like the Canon SensorInfo path).
@@ -212,8 +312,11 @@ def read_rw2(buf: bytes, path: str) -> RawImage:
     cfa = _CFA.get(int(tag(0x0009, [1])[0]), "RGGB")
     # Per-channel blacks (tags store the value minus the +15 pedestal that
     # LibRaw/rawspeed add back); collapse to the mean like the DNG path.
+    # The v6 block code subtracts the pedestal in-stream (value - 0xf), so
+    # its tag blacks apply directly.
     blacks = [int(tag(t, [0])[0]) for t in (0x001C, 0x001D, 0x001E)]
-    black = float(np.mean(blacks)) + 15.0 if any(blacks) else 15.0
+    pedestal = 0.0 if raw_format == 6 else 15.0
+    black = float(np.mean(blacks)) + pedestal if any(blacks) else pedestal
     white = float((1 << bits) - 1)
 
     for name, t in (("Make", 0x010F), ("Model", 0x0110)):

@@ -484,6 +484,60 @@ def rw2_v7_pack(mosaic: np.ndarray, bits: int = 14) -> bytes:
     return _rw2_pack_packets(mosaic, bits).tobytes()
 
 
+_V6_WIDTHS = (14, 14, 2, 10, 10, 10, 2, 10, 10, 10, 2, 10, 10, 10)
+_V6_STARTS = (114, 100, 98, 88, 78, 68, 66, 56, 46, 36, 34, 24, 12, 2)
+
+
+def _rw2_v6_pack_block(fields) -> bytes:
+    """Pack the 14 v6 fields into a 128-bit LE block (MSB-first with the
+    2-bit skip at [22,24) and 2 pad bits at the bottom — LibRaw's
+    pana_cs6 layout)."""
+    v = 0
+    for val, start, width in zip(fields, _V6_STARTS, _V6_WIDTHS):
+        v |= (int(val) & ((1 << width) - 1)) << start
+    return v.to_bytes(16, "little")
+
+
+def rw2_v6_encode(mosaic: np.ndarray, base: int = 0) -> bytes:
+    """Inverse of io/rw2.py::decode_rw2_v6: 11-pixel blocks, two 14-bit
+    parity seeds + 10-bit codes scaled by ``base`` (0 is lossless for
+    random-walk data; base>0 quantizes by 1<<base). Requires width % 11
+    == 0 and same-parity deltas representable at the chosen base."""
+    m = np.asarray(mosaic, np.int64)
+    h, w = m.shape
+    assert w % 11 == 0
+    eb = 4 if base == 3 else base
+    pmul, pixel_base = 1 << eb, 0x200 << eb
+    out = bytearray()
+    for row in range(h):
+        for b0 in range(0, w, 11):
+            fields = []
+            nonzero = [0, 0]
+            seeded = [False, False]
+            for pix in range(11):
+                if pix % 3 == 2:
+                    fields.append(base)
+                t = int(m[row, b0 + pix]) + 0xF
+                par = pix & 1
+                if not seeded[par]:
+                    assert 0 < t <= 0x3FFF, "v6 seed out of 14-bit range"
+                    fields.append(t)
+                    seeded[par] = True
+                    nonzero[par] = t
+                else:
+                    offset = (
+                        nonzero[par] - pixel_base
+                        if pixel_base < 0x2000 and nonzero[par] > pixel_base
+                        else 0
+                    )
+                    s = (t - offset) // pmul
+                    assert 0 <= s <= 0x3FF, "delta out of v6 fixture range"
+                    fields.append(s)
+                    nonzero[par] = s * pmul + offset
+            out += _rw2_v6_pack_block(fields)
+    return bytes(out)
+
+
 def write_rw2(
     path,
     mosaic,
@@ -503,6 +557,8 @@ def write_rw2(
         payload = rw2_v4_compress(mosaic)
     elif raw_format == 5:
         payload = rw2_v5_pack(mosaic, bits=bits)
+    elif raw_format == 6:
+        payload = rw2_v6_encode(mosaic)
     elif raw_format == 7:
         payload = rw2_v7_pack(mosaic, bits=bits)
     else:

@@ -230,6 +230,90 @@ class TestPanasonicRW2:
         np.testing.assert_array_equal(raw.data.astype(np.uint16), m)
         assert raw.white_level == float((1 << bits) - 1)
 
+    @staticmethod
+    def _v6_walk(h, w, seed=0):
+        """Random walk inside the v6 base-0 regime: 14-bit values well
+        above pixel_base (0x200) with same-parity deltas < 0x200."""
+        rng = np.random.default_rng(seed)
+        m = 0x1800 + np.cumsum(rng.integers(-120, 121, (h, w)), axis=1)
+        lo, hi = 0x400, 0x3000
+        m = lo + np.abs((m - lo) % (2 * (hi - lo)) - (hi - lo))
+        return m.astype(np.uint16)
+
+    def test_v6_round_trip_exact(self, tmp_path):
+        """v6 (RawFormat 6, full-frame S bodies): 11-pixel differential
+        block code — base-0 blocks round-trip bit-exactly, and the
+        in-stream pedestal means the tag black applies without +15."""
+        from raw_fixtures import write_rw2
+
+        m = self._v6_walk(20, 11 * 8, seed=21)
+        p = str(tmp_path / "v6.rw2")
+        write_rw2(p, m, raw_format=6, bits=14)
+        raw = read_raw(p)
+        np.testing.assert_array_equal(raw.data.astype(np.uint16), m)
+        assert raw.white_level == float((1 << 14) - 1)
+        assert raw.black_level == 128.0  # no +15 pedestal re-add for v6
+
+    def test_v6_quantized_base_bounded_error(self, tmp_path):
+        """base=2 blocks quantize deltas by 4: seeds stay exact, every
+        other pixel lands within the quantization step, and the error
+        does not accumulate along the row (the coder tracks the decoded
+        value, not the target)."""
+        from raw_fixtures import rw2_v6_encode
+
+        from raw2film_tpu.io.rw2 import decode_rw2_v6
+
+        m = self._v6_walk(8, 11 * 30, seed=22).astype(np.int64) + 0x1000
+        payload = rw2_v6_encode(m, base=2)
+        out = decode_rw2_v6(payload, m.shape[1], m.shape[0], 14).astype(np.int64)
+        # Seeds (first sample of each parity per 11-block) are exact.
+        seeds = np.zeros(m.shape[1], bool)
+        seeds[0::11] = seeds[1::11] = True
+        np.testing.assert_array_equal(out[:, seeds], m[:, seeds])
+        err = np.abs(out - m)
+        assert err.max() < 4
+
+    def test_v6_field_layout_matches_libraw_byte_expressions(self):
+        """Anti-circularity pin: the 128-bit MSB-first field extraction
+        must reproduce the literal per-byte expressions of LibRaw's
+        pana_cs6_page_decoder::read_page (the independently recorded
+        form of the layout)."""
+        from raw2film_tpu.io.rw2 import _v6_extract_fields
+
+        rng = np.random.default_rng(23)
+        blocks = rng.integers(0, 256, (64, 16)).astype(np.uint8)
+        got = _v6_extract_fields(blocks)
+        b = blocks.astype(np.uint32)
+        expect = np.stack(
+            [
+                (b[:, 15] << 6) | (b[:, 14] >> 2),
+                (((b[:, 14] & 0x3) << 12) | (b[:, 13] << 4) | (b[:, 12] >> 4))
+                & 0x3FFF,
+                (b[:, 12] >> 2) & 0x3,
+                ((b[:, 12] & 0x3) << 8) | b[:, 11],
+                ((b[:, 10] << 2) | (b[:, 9] >> 6)) & 0x3FF,
+                ((b[:, 9] & 0x3F) << 4) | (b[:, 8] >> 4),
+                (b[:, 8] >> 2) & 0x3,
+                ((b[:, 8] & 0x3) << 8) | b[:, 7],
+                ((b[:, 6] << 2) | (b[:, 5] >> 6)) & 0x3FF,
+                ((b[:, 5] << 4) | (b[:, 4] >> 4)) & 0x3FF,
+                (b[:, 4] >> 2) & 0x3,
+                ((b[:, 4] & 0x3) << 8) | b[:, 3],
+                ((b[:, 2] << 4) | (b[:, 1] >> 4)) & 0x3FF,
+                ((b[:, 1] & 0xF) << 6) | (b[:, 0] >> 2),
+            ],
+            axis=1,
+        )
+        np.testing.assert_array_equal(got.astype(np.uint32), expect)
+
+    def test_v6_ambiguous_width_clear_error(self, tmp_path):
+        from raw2film_tpu.io.rw2 import decode_rw2_v6
+
+        with pytest.raises(NotImplementedError, match="multiple of 11"):
+            decode_rw2_v6(b"\0" * 1024, 50, 4, 14)
+        with pytest.raises(NotImplementedError, match="14-bit"):
+            decode_rw2_v6(b"\0" * 1024, 44, 4, 12)
+
     def test_exif_subifd_flows(self, tmp_path):
         """RW2's standard ExifIFD (exposure/aperture/lens) must reach the
         metadata dict alongside the Panasonic-private tags."""

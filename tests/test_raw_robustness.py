@@ -59,6 +59,13 @@ def _writers(tmp_path):
     p = str(tmp_path / "k.rw2")  # v7 straight-streamed packets
     write_rw2(p, np.random.default_rng(2).integers(0, 16384, (18, 36)).astype(np.uint16), raw_format=7, bits=14)
     out.append(p)
+    p = str(tmp_path / "l.rw2")  # v6 differential block code
+    walk = 0x1800 + np.cumsum(
+        np.random.default_rng(3).integers(-120, 121, (12, 33)), axis=1
+    )
+    walk = 0x400 + np.abs((walk - 0x400) % (2 * 0x2C00) - 0x2C00)
+    write_rw2(p, walk.astype(np.uint16), raw_format=6, bits=14)
+    out.append(p)
     return out
 
 
