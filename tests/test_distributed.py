@@ -32,6 +32,12 @@ def test_two_process_pod_matches_single(tmp_path):
         for k, v in os.environ.items()
         if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "JAX_NUM_CPU_DEVICES")
     }
+    # The workers must import raw2film_tpu regardless of how this process
+    # found it (editable install, cwd, conftest path hack).
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in (repo_root, env.get("PYTHONPATH")) if p
+    )
     procs = [
         subprocess.Popen(
             [sys.executable, worker, str(pid), "2", str(port), str(tmp_path)],
