@@ -75,6 +75,11 @@ def main():
         (72, 128, True),
         (72, 256, False),
     ]
+    if len(sys.argv) > 1:  # e.g. "48:256:1,72:256:1" to trim tunnel time
+        variants = [
+            (int(t), int(c), bool(int(m)))
+            for t, c, m in (s.split(":") for s in sys.argv[1].split(","))
+        ]
     for tile_h, chunk, merge in variants:
         from functools import partial
 

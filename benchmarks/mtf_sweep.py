@@ -57,6 +57,11 @@ def main():
         (72, 128, True),
         (96, 256, True),
     ]
+    if len(sys.argv) > 1:  # e.g. "32:512:1,48:512:1" to trim tunnel time
+        variants = [
+            (int(t), int(c), bool(int(m)))
+            for t, c, m in (s.split(":") for s in sys.argv[1].split(","))
+        ]
     for tile_h, chunk, merge in variants:
         from functools import partial
 
