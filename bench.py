@@ -68,14 +68,31 @@ def main() -> None:
 
         print(
             f"warning: fused chain failed to compile ({type(e).__name__}); "
-            "falling back to separate kernels",
+            "falling back to conservative kernel tiles",
             file=sys.stderr,
         )
-        cfg = dataclasses.replace(cfg, fusion=False)
+        try:
+            cfg = dataclasses.replace(cfg, conservative_tiles=True)
+        except TypeError:  # older RenderConfig without the field
+            cfg = dataclasses.replace(cfg, fusion=False)
 
         @jax.jit
         def run(mosaic, bundle, key):
             return chain_from_mosaic(mosaic, cam_to_xyz, bundle, cfg, key)
+
+        try:
+            float(jax.device_get(run(mosaic, bundle, keys[-1])))
+        except Exception:
+            print(
+                "warning: conservative tiles also failed; "
+                "falling back to separate kernels",
+                file=sys.stderr,
+            )
+            cfg = dataclasses.replace(cfg, fusion=False)
+
+            @jax.jit
+            def run(mosaic, bundle, key):
+                return chain_from_mosaic(mosaic, cam_to_xyz, bundle, cfg, key)
 
         try:
             float(jax.device_get(run(mosaic, bundle, keys[-1])))

@@ -191,12 +191,14 @@ def halation_combined_fused(
     factors: jnp.ndarray,
     interpret: bool = False,
     develop: jnp.ndarray | None = None,
+    conservative: bool = False,
 ) -> jnp.ndarray | None:
     """The whole halation stage — full-res ranks + /4 pyramid upsample +
     per-channel combine — in ONE streaming pallas kernel
     (ops/pallas_halation.py). ``factors``: traced (3,) color factors.
     ``develop``: optional f32[19] H&D vector (see halation_mega) to also
     develop to density in-kernel (identity-masking fast path).
+    ``conservative``: proven-safe tile budget (see halation_mega).
 
     Returns None when the mixture tier doesn't apply or the shape can't be
     served; the caller falls back to halation_blur + elementwise combine.
@@ -218,7 +220,7 @@ def halation_combined_fused(
     )
     return pallas_halation.halation_mega(
         img, list(us), list(vs), small_rows_up, factors,
-        interpret=interpret, develop=develop,
+        interpret=interpret, develop=develop, conservative=conservative,
     )
 
 

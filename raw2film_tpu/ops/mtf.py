@@ -120,6 +120,7 @@ def film_sharpness_grain_from_key(
     grain_sigma_px: float,
     grain_prm,
     interpret: bool = False,
+    conservative: bool = False,
 ) -> jnp.ndarray | None:
     """MTF sharpness with the film-grain apply fused as an in-kernel epilogue
     (the density never returns to HBM between the two stages). Returns None

@@ -215,13 +215,19 @@ def _mega_kernel(
         o_ref[0, :, c0 : c0 + cw] = combined
 
 
-def _mega_vmem_ok(th, w, chunk, nr, rh, rw, budget=13_000_000):
+def _mega_vmem_ok(th, w, chunk, nr, rh, rw, budget=18_100_000):
     """Scoped-VMEM estimate for a (th, chunk) mega-kernel configuration.
 
-    Mosaic's accounting varies at the margin (see memory/BENCHMARKS.md):
-    keep >=3MB headroom below the ~16MB ceiling. Double-buffered: current
-    band, halo bands, pyramid rows, output. Single: constant band matrices,
-    scratch."""
+    The model assumes double-buffering of the grid-mapped arrays (current
+    band, halo bands, pyramid rows, output) plus single-buffered constant
+    band matrices and scratch. It overcounts relative to Mosaic's actual
+    accounting: measured on a v5e at 45MP, (96, 256) compiles and is the
+    fastest variant at an 18.0M model estimate while (96, 512) ~22.4M and
+    (144, 256) ~25M hard-fail — so the default budget is calibrated to
+    18.1M, just above the measured-good point. The conservative budget
+    (13M, see halation_mega) reproduces the old always-safe (48, 256)
+    choice; the Processor's downgrade ladder falls back to it if Mosaic's
+    margin accounting flips on a given day."""
     ew = chunk + 2 * rw
     cur = th * w * 4 * 2
     halos = 2 * max(rh, 1) * w * 4 * 2
@@ -246,6 +252,7 @@ def halation_mega(
     interpret: bool = False,
     develop: jnp.ndarray | None = None,
     colmerge: bool = True,
+    conservative: bool = False,
 ) -> jnp.ndarray | None:
     """(C, H, W) exposure + (C, H, W/4) row-upsampled pyramid blur ->
     halation-combined exposure, in one pallas pass. ``u``/``v``: shared
@@ -264,6 +271,10 @@ def halation_mega(
     ``chunk`` "auto" picks 256: the row-conv band matmul's zero fraction
     (support 2*rw+1 of chunk+2*rw columns) dominates the kernel's FLOPs, and
     256 measured fastest across tile sizes at 45MP (see BENCHMARKS.md).
+    ``conservative``: choose tiles under the proven-safe 13M VMEM budget
+    (tile 48 at 45MP) instead of the measured-fastest 18.1M one (tile 96,
+    11.2 vs 14.3 ms) — the Processor's first downgrade rung when Mosaic's
+    margin accounting rejects the large tile.
 
     Returns None when the shape can't be served (caller falls back to the
     separate-kernel path): needs H % tile == 0 with 4 | W, W > 2*chunk, and
@@ -277,13 +288,14 @@ def halation_mega(
     if chunk == "auto":
         chunk = 256
     if tile_h == "auto":
+        budget = 13_000_000 if conservative else 18_100_000
         tile_h = next(
             (
                 t
                 for t in (96, 88, 80, 72, 64, 56, 48, 40, 32)
                 if h % t == 0
                 and h > 2 * t
-                and _mega_vmem_ok(t, w, chunk, len(u), rh_max, rw_max)
+                and _mega_vmem_ok(t, w, chunk, len(u), rh_max, rw_max, budget)
             ),
             next((t for t in (48, 40, 32) if h % t == 0), 48),
         )

@@ -145,12 +145,13 @@ class Processor:
         self._bundle = None
         self._d_ref_green = 1.0
         self._icc_cache: dict = {}
-        # (cfg, image shape) keys whose fused mega-kernels failed a Mosaic
-        # scoped-VMEM compile. JAX does not cache failed compiles, so without
+        # (cfg, image shape) -> downgrade level for fused mega-kernels that
+        # failed a Mosaic scoped-VMEM compile: 1 = conservative tiles,
+        # 2 = fusion off. JAX does not cache failed compiles, so without
         # this latch every image in a batch would re-attempt the failing
         # fused compile (minutes each over a remote-compile tunnel) before
         # falling back.
-        self._fusion_bad: set = set()
+        self._fusion_bad: dict = {}
         self.last_metadata: dict = {}
 
     def register_lens(self, name: str) -> bool:
@@ -167,6 +168,44 @@ class Processor:
                 self.lenses[name] = p
                 return True
         return False
+
+    def _vmem_ladder(self, fusion_key, cfg, attempt):
+        """Run ``attempt(cfg)``, walking the Mosaic scoped-VMEM downgrade
+        ladder on compile failure: large-tile fused -> conservative tiles
+        (halation tile 48 / MTF tile 32, ~3 ms slower at 45MP) -> fusion
+        off (~3x slower). Mosaic's VMEM accounting varies run to run at
+        the margin, so a mega-kernel that compiled for dozens of sessions
+        can fail on another; each rung is a distinct jit key. Downgrades
+        latch in ``_fusion_bad`` keyed by the ORIGINAL config so later
+        images in a batch skip the failing compile attempts."""
+        import dataclasses as _dc
+        import warnings
+
+        level = self._fusion_bad.get(fusion_key, 0)
+        if level >= 1:
+            cfg = _dc.replace(cfg, conservative_tiles=True)
+        if level >= 2:
+            cfg = _dc.replace(cfg, fusion=False)
+        while True:
+            try:
+                return attempt(cfg)
+            except Exception as e:
+                if not cfg.fusion or "vmem" not in str(e).lower():
+                    raise
+                if not cfg.conservative_tiles:
+                    level = 1
+                    cfg = _dc.replace(cfg, conservative_tiles=True)
+                    what = "conservative kernel tiles"
+                else:
+                    level = 2
+                    cfg = _dc.replace(cfg, fusion=False)
+                    what = "fusion disabled"
+                warnings.warn(
+                    f"fused render failed to compile ({type(e).__name__}); "
+                    f"retrying with {what}",
+                    stacklevel=3,
+                )
+                self._fusion_bad[fusion_key] = level
 
     # ------------------------------------------------------------ image
 
@@ -482,35 +521,14 @@ class Processor:
         cfg = build_render_config(negative_film, print_film, prt_mode, scale, merged)
         bundle, cfg = self._attach_icc(bundle, cfg, icc_transform)
 
-        import dataclasses as _dc
-
         fusion_key = (cfg, tuple(xyz.shape))
-        if cfg.fusion and fusion_key in self._fusion_bad:
-            cfg = _dc.replace(cfg, fusion=False)
-
         # fold_in(base, position): the same derivation process_batch uses, so
         # a single render equals the batch render of the same image at
         # position 0 bit-for-bit, grain included.
         key = jax.random.fold_in(jax.random.PRNGKey(seed), 0)
-        try:
-            out = render_jit(xyz, bundle, cfg, key)  # (3, H, W) uint8
-        except Exception as e:
-            # Mosaic's scoped-VMEM accounting varies run to run at the
-            # margin; if a fused mega-kernel fails to compile, retry once
-            # with fusion off (a distinct jit key) — the separate-kernel
-            # structure is ~15% slower but always serves.
-            if not cfg.fusion or "vmem" not in str(e).lower():
-                raise
-            import warnings
-
-            warnings.warn(
-                f"fused render failed to compile ({type(e).__name__}); "
-                "retrying with fusion disabled",
-                stacklevel=2,
-            )
-            self._fusion_bad.add(fusion_key)
-            cfg = _dc.replace(cfg, fusion=False)
-            out = render_jit(xyz, bundle, cfg, key)
+        out = self._vmem_ladder(
+            fusion_key, cfg, lambda c: render_jit(xyz, bundle, c, key)
+        )  # (3, H, W) uint8
 
         image = self._finish(np.asarray(out), None, canvas_mode,
                              canvas_scale, canvas_ratio, orig_resolution)
@@ -747,15 +765,19 @@ class Processor:
             if icc_transform is not None:
                 cfg = _dc.replace(cfg, icc=True)
             fusion_key = (cfg, ("xyz-batch", shape))
-            if cfg.fusion and fusion_key in self._fusion_bad:
-                cfg = _dc.replace(cfg, fusion=False)
+
             # One jit wrapper per bucket (not per group): every group of the
-            # same shape reuses the compiled program.
-            fn = (
-                sharded_batch_render(mesh, cfg)
-                if mesh is not None
-                else _jax.jit(batch_render_fn(cfg))
-            )
+            # same shape reuses the compiled program. The VMEM ladder may
+            # swap in a downgraded cfg mid-bucket; cache wrappers per cfg so
+            # later groups reuse the downgraded program too.
+            fns: dict = {}
+
+            def make_fn(c):
+                return (
+                    sharded_batch_render(mesh, c)
+                    if mesh is not None
+                    else _jax.jit(batch_render_fn(c))
+                )
             # Sub-batch so a bucket of 100x45MP frames never tries to stack
             # into one HBM array (~2GB of f32 inputs per group).
             img_bytes = int(np.prod(shape)) * 4
@@ -787,27 +809,13 @@ class Processor:
                             return np.asarray(fn(batch, bundle, keys))[:b]
                     return np.asarray(fn(batch, bundle, keys))
 
-                try:
-                    out = _run(fn, batch, keys)
-                except Exception as e:
-                    # Same Mosaic scoped-VMEM retry + latch as process().
-                    if not cfg.fusion or "vmem" not in str(e).lower():
-                        raise
-                    import warnings
+                def attempt(c, batch=batch, keys=keys, _run=_run):
+                    if c not in fns:
+                        fns[c] = make_fn(c)
+                    return _run(fns[c], batch, keys)
 
-                    warnings.warn(
-                        f"fused batch render failed to compile "
-                        f"({type(e).__name__}); retrying with fusion disabled",
-                        stacklevel=2,
-                    )
-                    self._fusion_bad.add(fusion_key)
-                    cfg = _dc.replace(cfg, fusion=False)
-                    fn = (
-                        sharded_batch_render(mesh, cfg)
-                        if mesh is not None
-                        else _jax.jit(batch_render_fn(cfg))
-                    )
-                    out = _run(fn, batch, keys)
+                # Mosaic scoped-VMEM downgrade ladder, latched as process().
+                out = self._vmem_ladder(fusion_key, cfg, attempt)
                 for (idx, _, orig_res), img in zip(part, out):
                     results[idx] = self._finish(
                         img, orig_resolution=orig_res, **finish_kw
@@ -826,11 +834,12 @@ class Processor:
             if icc_transform is not None:
                 cfg = _dc.replace(cfg, icc=True)
             fusion_key = (cfg, ("mosaic", shape, pattern, crop))
-            if cfg.fusion and fusion_key in self._fusion_bad:
-                cfg = _dc.replace(cfg, fusion=False)
             img_bytes = int(np.prod(shape)) * 4 * 3
             group = max(1, int(2e9 // max(img_bytes, 1)))
-            fn = _jax.jit(batch_mosaic_render_fn(cfg, pattern, crop))
+            fns: dict = {}
+
+            def make_fn(c, pattern=pattern, crop=crop):
+                return _jax.jit(batch_mosaic_render_fn(c, pattern, crop))
             for g0 in range(0, len(items), group):
                 part = items[g0 : g0 + group]
                 mosaics = jnp.asarray(np.stack([m for _, m, _, _ in part]))
@@ -839,23 +848,13 @@ class Processor:
                 keys = jnp.stack(
                     [_jax.random.fold_in(base_key, idx) for idx, *_ in part]
                 )
-                try:
-                    out = np.asarray(fn(mosaics, cams, gains, bundle, keys))
-                except Exception as e:
-                    # Same Mosaic scoped-VMEM retry + latch as process().
-                    if not cfg.fusion or "vmem" not in str(e).lower():
-                        raise
-                    import warnings
+                def attempt(c, mosaics=mosaics, cams=cams, gains=gains, keys=keys):
+                    if c not in fns:
+                        fns[c] = make_fn(c)
+                    return np.asarray(fns[c](mosaics, cams, gains, bundle, keys))
 
-                    warnings.warn(
-                        f"fused batch render failed to compile "
-                        f"({type(e).__name__}); retrying with fusion disabled",
-                        stacklevel=2,
-                    )
-                    self._fusion_bad.add(fusion_key)
-                    cfg = _dc.replace(cfg, fusion=False)
-                    fn = _jax.jit(batch_mosaic_render_fn(cfg, pattern, crop))
-                    out = np.asarray(fn(mosaics, cams, gains, bundle, keys))
+                # Mosaic scoped-VMEM downgrade ladder, latched as process().
+                out = self._vmem_ladder(fusion_key, cfg, attempt)
                 for (idx, *_), img in zip(part, out):
                     results[idx] = self._finish(
                         img, orig_resolution=None, **finish_kw

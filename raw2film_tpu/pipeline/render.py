@@ -78,6 +78,10 @@ class RenderConfig:
     # development is per-channel and may fuse into the halation kernel
     fusion: bool = True  # False: skip the mega-kernels (Mosaic scoped-VMEM
     # accounting varies at the margin; Processor retries with fusion off)
+    conservative_tiles: bool = False  # True: cap the mega-kernels' row-band
+    # tiles at the proven-safe sizes (halation 48, MTF 32) instead of the
+    # faster large-M tiles that sit nearer the scoped-VMEM ceiling. First
+    # rung of the Processor's downgrade ladder — far cheaper than fusion off.
     quantize: bool = True  # False: return the encoded float image instead
     # of uint8 — the fidelity gates compare in float, where a rounding
     # boundary can't alias f32-vs-f64 epsilon into a full 8-bit code
@@ -234,7 +238,8 @@ def render_chain(
             )
         combined = (
             hal_ops.halation_combined_fused(
-                jnp.stack(ep), cfg.scale, cfg.halation_size, factors, develop=devvec
+                jnp.stack(ep), cfg.scale, cfg.halation_size, factors,
+                develop=devvec, conservative=cfg.conservative_tiles,
             )
             if cfg.fusion
             else None
@@ -305,6 +310,7 @@ def render_chain(
             seed,
             grain_ops.correlation_sigma_px(cfg.scale, cfg.grain_size_mm, cfg.grain_sigma),
             jnp.stack([jnp.asarray(p, jnp.float32).reshape(()) for p in grain_prm]),
+            conservative=cfg.conservative_tiles,
         )
         if fused is not None:
             d = fused
