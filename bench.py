@@ -46,78 +46,61 @@ def main() -> None:
     mosaic = jnp.asarray(np.clip(row * col, 0.0, 1.0))
     cam_to_xyz = jnp.asarray(REC709_TO_XYZ, jnp.float32)
 
-    def chain_from_mosaic(mosaic, cam_to_xyz, bundle, cfg, key):
-        out = render_chain_from_mosaic(mosaic, cam_to_xyz, bundle, cfg, key)
-        return jnp.sum(out[:, ::512, ::512].astype(jnp.float32))
-
-    @jax.jit
-    def run(mosaic, bundle, key):
-        return chain_from_mosaic(mosaic, cam_to_xyz, bundle, cfg, key)
-
     keys = [jax.random.PRNGKey(i) for i in range(ITERS + 1)]
     # Compile + warm-up. Safety net: Mosaic's scoped-VMEM accounting varies
     # run to run at the margin (observed: a kernel that compiled at ~15.9M
     # for dozens of runs flipped to a 19.06M hard OOM after an unrelated
-    # upstream change). If the fully-fused chain fails to compile, fall back
-    # to the separate-kernel structure so the benchmark always reports.
-    try:
-        float(jax.device_get(run(mosaic, bundle, keys[-1])))
-    except Exception as e:
-        import dataclasses
-        import sys
+    # upstream change). Walk the downgrade ladder — fused -> conservative
+    # tiles -> fusion off -> pure-XLA formulations (always compiles, no
+    # scoped-VMEM kernels) — so the benchmark always reports. Each rung is
+    # a DISTINCT program: rungs whose cfg equals the one that just failed
+    # are skipped instead of re-paying the same failing compile.
+    import dataclasses
+    import sys
 
-        print(
-            f"warning: fused chain failed to compile ({type(e).__name__}); "
-            "falling back to conservative kernel tiles",
-            file=sys.stderr,
-        )
+    def rungs(cfg):
+        yield cfg, None  # fully fused, measured-fastest tiles
         try:
-            cfg = dataclasses.replace(cfg, conservative_tiles=True)
+            c1 = dataclasses.replace(cfg, conservative_tiles=True)
+            yield c1, "conservative kernel tiles"
         except TypeError:  # older RenderConfig without the field
-            cfg = dataclasses.replace(cfg, fusion=False)
+            c1 = cfg
+        c2 = dataclasses.replace(c1, fusion=False)
+        if c2 != c1:
+            yield c2, "separate kernels (fusion off)"
+        yield c2, "XLA formulations"
 
-        @jax.jit
-        def run(mosaic, bundle, key):
-            return chain_from_mosaic(mosaic, cam_to_xyz, bundle, cfg, key)
+    def make_run(cfg_try, use_xla):
+        def chain(mosaic, bundle, key):
+            if use_xla:
+                from raw2film_tpu.ops import conv as convops
 
-        try:
-            float(jax.device_get(run(mosaic, bundle, keys[-1])))
-        except Exception:
-            print(
-                "warning: conservative tiles also failed; "
-                "falling back to separate kernels",
-                file=sys.stderr,
-            )
-            cfg = dataclasses.replace(cfg, fusion=False)
-
-            @jax.jit
-            def run(mosaic, bundle, key):
-                return chain_from_mosaic(mosaic, cam_to_xyz, bundle, cfg, key)
-
-        try:
-            float(jax.device_get(run(mosaic, bundle, keys[-1])))
-        except Exception as e2:
-            # Last resort: the pure-XLA formulations always compile (no
-            # scoped-VMEM kernels). ~3x slower, but the benchmark reports.
-            print(
-                f"warning: separate kernels also failed ({type(e2).__name__});"
-                " falling back to XLA formulations",
-                file=sys.stderr,
-            )
-            from raw2film_tpu.ops import conv as convops
-
-            def chain_from_mosaic(mosaic, cam_to_xyz, bundle, cfg_, key):  # noqa: F811
                 with convops.force_xla():
                     out = render_chain_from_mosaic(
-                        mosaic, cam_to_xyz, bundle, cfg_, key
+                        mosaic, cam_to_xyz, bundle, cfg_try, key
                     )
-                return jnp.sum(out[:, ::512, ::512].astype(jnp.float32))
+            else:
+                out = render_chain_from_mosaic(
+                    mosaic, cam_to_xyz, bundle, cfg_try, key
+                )
+            return jnp.sum(out[:, ::512, ::512].astype(jnp.float32))
 
-            @jax.jit
-            def run(mosaic, bundle, key):
-                return chain_from_mosaic(mosaic, cam_to_xyz, bundle, cfg, key)
+        return jax.jit(chain)
 
+    for cfg_try, label in rungs(cfg):
+        use_xla = label == "XLA formulations"
+        run = make_run(cfg_try, use_xla)
+        try:
             float(jax.device_get(run(mosaic, bundle, keys[-1])))
+            break
+        except Exception as e:
+            if use_xla:  # last rung: nothing left to fall back to
+                raise
+            print(
+                f"warning: compile failed ({type(e).__name__}); "
+                "falling back to the next ladder rung",
+                file=sys.stderr,
+            )
 
     # The device executes dispatches FIFO; enqueue renders and force only the
     # last result. (t_many - t_one) / (ITERS - 1) cancels the fixed

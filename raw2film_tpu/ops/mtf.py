@@ -148,7 +148,11 @@ def film_sharpness_grain_from_key(
     # 48 is excluded: with the grain epilogue it is the configuration that
     # hit the 19.06M scoped-VMEM compile OOM, and the Processor-level retry
     # would mask the failure at the cost of a wasted multi-minute compile.
-    tile = next((t for t in (32, 40) if h % t == 0), 32)
+    # The downgrade ladder's ``conservative`` rung pins tile 32 outright
+    # (skipping the 40 candidate) so a rung-1 recompile is a genuinely
+    # smaller program than the one that just failed.
+    cands = (32,) if conservative else (32, 40)
+    tile = next((t for t in cands if h % t == 0), 32)
     return pallas_conv2.fused_sep_rank_mxu(
         img, u3, v3, precision="dc", tile_h=tile,
         grain=(grain_seed, grain_prm, float(grain_sigma_px)),

@@ -274,7 +274,11 @@ def halation_mega(
     ``conservative``: choose tiles under the proven-safe 13M VMEM budget
     (tile 48 at 45MP) instead of the measured-fastest 18.1M one (tile 96,
     11.2 vs 14.3 ms) — the Processor's first downgrade rung when Mosaic's
-    margin accounting rejects the large tile.
+    margin accounting rejects the large tile. The 18.1M default sits 0.1M
+    under a measured compile at the margin, so it assumes a ladder-equipped
+    caller (Processor/bench) that catches a VMEM compile failure and
+    retries; direct callers without a retry path should pass
+    ``conservative=True``.
 
     Returns None when the shape can't be served (caller falls back to the
     separate-kernel path): needs H % tile == 0 with 4 | W, W > 2*chunk, and

@@ -477,10 +477,21 @@ class TestAutoTileChooser:
         assert _auto_tile(2448, 3672, u, u, 512, 13, 13) == 48
 
     def test_halation_mega_45mp_budget_gate(self):
-        """The mega chooser's taller candidates (72 divides 5472) must stay
-        rejected by the 13MB scoped-VMEM budget at W=8208 until an on-chip
-        record proves them: the shipped 45MP configuration is tile 48."""
+        """Pin the mega chooser's VMEM gate to the on-chip record (v5e,
+        45MP, round 3): (96, 256) measured fastest at an 18.0M model
+        estimate, so the default 18.1M budget admits 96 and 72; the
+        13M conservative budget (the downgrade-ladder rung) reproduces
+        the always-safe tile 48; (96, 512) ~22.4M and (144, 256) ~25M
+        hard-failed compilation and must stay rejected by both."""
         from raw2film_tpu.ops.pallas_halation import _mega_vmem_ok
 
-        assert not _mega_vmem_ok(72, 8208, 256, 4, 13, 13)
+        # default (measured 18.1M) budget
+        assert _mega_vmem_ok(96, 8208, 256, 4, 13, 13)
+        assert _mega_vmem_ok(72, 8208, 256, 4, 13, 13)
         assert _mega_vmem_ok(48, 8208, 256, 4, 13, 13)
+        assert not _mega_vmem_ok(96, 8208, 512, 4, 13, 13)
+        assert not _mega_vmem_ok(144, 8208, 256, 4, 13, 13)
+        # conservative (13M) rung: only the proven-safe tile 48 passes
+        assert _mega_vmem_ok(48, 8208, 256, 4, 13, 13, budget=13_000_000)
+        assert not _mega_vmem_ok(72, 8208, 256, 4, 13, 13, budget=13_000_000)
+        assert not _mega_vmem_ok(96, 8208, 256, 4, 13, 13, budget=13_000_000)

@@ -638,7 +638,8 @@ class TestRenderFromMosaic:
 class TestFusionCompileFallback:
     def test_processor_retries_with_fusion_off(self, monkeypatch):
         """A Mosaic scoped-VMEM compile failure on the fused chain must not
-        surface to the user: Processor retries once with fusion=False."""
+        surface to the user: Processor walks the 3-rung downgrade ladder
+        (fused -> conservative tiles -> fusion off)."""
         import numpy as np
 
         from raw2film_tpu.pipeline import processor as proc_mod
@@ -648,7 +649,7 @@ class TestFusionCompileFallback:
         real = proc_mod.render_jit
 
         def flaky(xyz, bundle, cfg, key):
-            calls.append(cfg.fusion)
+            calls.append((cfg.fusion, cfg.conservative_tiles))
             if cfg.fusion:
                 raise RuntimeError(
                     "Ran out of memory in memory space vmem while allocating"
@@ -666,15 +667,18 @@ class TestFusionCompileFallback:
                 halation=False, sharpness=False, half_size=False, max_scale=None,
             )
         assert out.shape == (48, 72, 3)
-        assert calls == [True, False]
+        # 3 rungs: fused -> conservative tiles (still fused) -> fusion off
+        assert calls == [(True, False), (True, True), (False, True)]
         # The failure is latched on the Processor: a second image with the
-        # same config/shape goes straight to fusion=False instead of paying
-        # the failing fused compile again (JAX does not cache failed
-        # compiles, so without the latch every image in a batch would
-        # re-attempt it — minutes each over a remote-compile tunnel).
+        # same config/shape goes straight to the fusion=False rung instead
+        # of paying the failing fused compiles again (JAX does not cache
+        # failed compiles, so without the latch every image in a batch
+        # would re-attempt them — minutes each over a remote-compile
+        # tunnel).
         out2 = proc.process(
             img, "Kodak Portra 400", print_film=None, grain=0,
             halation=False, sharpness=False, half_size=False, max_scale=None,
         )
         assert out2.shape == (48, 72, 3)
-        assert calls == [True, False, False]
+        assert calls[3] == (False, True)
+        assert len(calls) == 4
