@@ -1,4 +1,4 @@
-"""Canon CRW (CIFF) container support for browsing.
+"""Canon CRW (CIFF) container support: browsing + raw payload decode.
 
 The reference ingests CRW via LibRaw (reference:
 src/raw2film/raw_conversion.py:36-48; extension list
@@ -13,17 +13,20 @@ Record semantics (CIFF spec): the type's high bits select storage —
 ``0x28xx``/``0x30xx`` records are nested sub-heaps. Tags used here:
 ``0x2007`` embedded JPEG thumbnail, ``0x080a`` make+model strings
 (NUL-separated), ``0x080b`` firmware, ``0x0810`` owner, ``0x180e``
-capture time (u32 unix), ``0x1810`` image width/height.
+capture time (u32 unix), ``0x1810`` image width/height, ``0x1031``
+SensorInfo (raw dims + active-area borders), ``0x1835`` DecoderTable.
 
-The compressed raw payload (tag 0x2005, the old 10-bit Canon Huffman
-codec) is NOT decoded — viewers get thumbnails + identification, and
-``read_raw`` raises the documented clear error pointing at DNG
-conversion. This mirrors the CR3/CRX treatment (io/cr3.py).
+The compressed raw payload (the old 10-bit Canon Huffman codec) decodes
+through the native kernel (:func:`raw2film_tpu.native.decode_crw`) —
+fixed-offset layout per the codec: an optional 2-bit low-bits plane at
+file offset 26, the byte-stuffed Huffman stream at 540 (+ plane size).
 """
 
 from __future__ import annotations
 
 import struct
+
+import numpy as np
 
 _HEAP_MAGIC = b"HEAPCCDR"
 
@@ -104,3 +107,93 @@ def extract_metadata(buf: bytes) -> dict:
             dt = datetime.datetime.fromtimestamp(t, datetime.timezone.utc)
             meta["EXIF:DateTimeOriginal"] = dt.strftime("%Y:%m:%d %H:%M:%S")
     return meta
+
+
+def _has_lowbits(buf: bytes) -> bool:
+    """Probe for the 2-bit low-bits plane (12-bit bodies) at offset 26.
+
+    Codec property the probe exploits: a byte-stuffed Huffman stream never
+    contains 0xFF followed by a nonzero byte, while the unconstrained
+    low-bits plane almost surely does. Scan the first 16 KiB from offset
+    540: 0xFF+nonzero proves a plane is present (the region is plane
+    data); 0xFF+0x00 with no such proof means the stream itself starts at
+    540 (no plane). No 0xFF at all defaults to plane-present.
+    """
+    window = buf[540 : 0x4000]
+    ret = True
+    for i in range(len(window) - 1):
+        if window[i] == 0xFF:
+            if window[i + 1]:
+                return True
+            ret = False
+    return ret
+
+
+def read_raw_payload(buf: bytes, path: str):
+    """Decode the CRW compressed raw payload -> RawImage.
+
+    Layout (fixed by the codec, not by heap offsets): low-bits plane at
+    file offset 26 when present (``width*height/4`` bytes), Huffman
+    bitstream at ``540 + plane_size``. Sensor dims + active-area crop come
+    from CIFF SensorInfo (0x1031: u16s [1]=width [2]=height [5]=left
+    [6]=top [7]=right [8]=bottom), the Huffman table choice from
+    DecoderTable (0x1835, first u32). Matches the reference's LibRaw
+    ingest semantics (reference: src/raw2film/raw_conversion.py:36-48).
+    """
+    from raw2film_tpu import native
+    from raw2film_tpu.io.dng import RawImage
+
+    recs, endian = _records(buf)
+    sensor = recs.get(0x1031)
+    if not sensor or len(sensor) < 6:
+        raise ValueError(f"{path}: CRW heap has no SensorInfo (0x1031) record")
+    vals = struct.unpack_from(endian + "H" * (len(sensor) // 2), sensor, 0)
+    width, height = vals[1], vals[2]
+    if not (0 < width <= 8192 and 0 < height <= 8192 and width % 8 == 0):
+        raise ValueError(f"{path}: implausible CRW sensor dims {width}x{height}")
+    table = 0
+    dt = recs.get(0x1835)
+    if dt and len(dt) >= 4:
+        table = struct.unpack_from(endian + "I", dt, 0)[0]
+
+    lowbits = _has_lowbits(buf)
+    plane = None
+    stream_off = 540
+    if lowbits:
+        plane_len = width * height // 4
+        plane = bytes(buf[26 : 26 + plane_len])
+        if len(plane) < plane_len:
+            raise ValueError(f"{path}: CRW low-bits plane truncated")
+        stream_off += plane_len
+    if stream_off >= len(buf):
+        raise ValueError(f"{path}: CRW bitstream missing (file too short)")
+    data = native.decode_crw(
+        bytes(buf[stream_off:]), plane, table, width, height
+    ).astype(np.float32)
+    white = 4095.0 if lowbits else 1023.0
+
+    meta = extract_metadata(buf)
+    pattern = "RGGB"  # every CIFF-era Canon sensor; crop keeps even phase
+    black = 0.0
+    if len(vals) >= 9:
+        left, top, right, bottom = vals[5], vals[6], vals[7], vals[8]
+        if 0 <= top < bottom < height and 0 <= left < right < width:
+            left += left % 2
+            top += top % 2
+            # Optically black columns left of the active area give the
+            # black level (dcraw's canon black strip); need a few masked
+            # columns to be meaningful.
+            if left >= 4:
+                black = float(np.median(data[top : bottom + 1, : left - 1]))
+            data = data[top : bottom + 1, left : right + 1]
+            meta["EXIF:SensorLeftBorder"] = left
+            meta["EXIF:SensorTopBorder"] = top
+    return RawImage(
+        data=data,
+        cfa_pattern=pattern,
+        black_level=black,
+        white_level=white,
+        color_matrix=None,
+        as_shot_neutral=None,
+        metadata=meta,
+    )

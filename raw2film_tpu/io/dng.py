@@ -296,11 +296,9 @@ def _read_raw(path: str) -> RawImage:
             "(io/cr3.py feeds the viewer's thumbnails)"
         )
     if len(buf) >= 14 and buf[6:14] == b"HEAPCCDR":
-        raise NotImplementedError(
-            f"{path}: CRW raw payloads (Canon CIFF codec) are not "
-            "supported; convert to DNG. Embedded thumbnails + "
-            "identification still serve browsing (io/crw.py)"
-        )
+        from raw2film_tpu.io.crw import read_raw_payload
+
+        return read_raw_payload(buf, path)
     return _read_tiff_raw(buf, path)
 
 

@@ -45,7 +45,7 @@ def _build() -> bool:
         return False
 
 
-_ABI = 8
+_ABI = 9
 
 
 def get_lib():
@@ -173,6 +173,17 @@ def _bind(lib):
         ctypes.c_int,  # total_lines
         ctypes.POINTER(ctypes.c_uint32),  # strip sizes
         ctypes.c_char_p,  # CFA pattern codes (36 or 4)
+        ctypes.POINTER(ctypes.c_uint16),  # out
+    ]
+    lib.r2f_decode_crw.restype = ctypes.c_int
+    lib.r2f_decode_crw.argtypes = [
+        ctypes.c_char_p,  # huffman stream
+        ctypes.c_long,
+        ctypes.c_char_p,  # lowbits plane (nullable)
+        ctypes.c_long,
+        ctypes.c_int,  # decoder table index
+        ctypes.c_int,  # width
+        ctypes.c_int,  # height
         ctypes.POINTER(ctypes.c_uint16),  # out
     ]
     lib.r2f_remap_bilinear.restype = None
@@ -461,6 +472,47 @@ def remap_bilinear(
         out.ctypes.data_as(fp),
     )
     return out
+
+
+def decode_crw(
+    stream: bytes,
+    lowbits: bytes | None,
+    table: int,
+    width: int,
+    height: int,
+) -> np.ndarray:
+    """Decode a Canon CRW compressed payload -> (h, w) uint16 sensor mosaic.
+
+    ``stream``: the Huffman bitstream (file offset 540 + lowbits*H*W/4
+    onward); ``lowbits``: the 2-bit plane from file offset 26, or None;
+    ``table``: CIFF DecoderTable index (tag 0x1835). Values are 12-bit when
+    a low-bits plane is present, 10-bit otherwise."""
+    lib = get_lib()
+    if lib is None:
+        raise NotImplementedError(
+            "Canon CRW needs the native decoder; g++ was unavailable to "
+            "build raw2film_tpu/native/libr2f_native.so"
+        )
+    out = np.empty(height * width, np.uint16)
+    rc = lib.r2f_decode_crw(
+        stream,
+        len(stream),
+        lowbits,
+        len(lowbits) if lowbits is not None else 0,
+        int(table),
+        int(width),
+        int(height),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+    )
+    if rc == -2 or rc == -3:
+        raise NotImplementedError(
+            f"Canon CRW bitstream did not decode cleanly (code {rc}); the "
+            "fixed Huffman tables are reproduced from format knowledge and "
+            "this file may use a variant — convert to DNG"
+        )
+    if rc != 0:
+        raise ValueError(f"Canon CRW: malformed parameters (code {rc})")
+    return out.reshape(height, width)
 
 
 def unpack_normalize(

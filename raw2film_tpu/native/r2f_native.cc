@@ -1199,6 +1199,189 @@ int r2f_decode_fuji(const uint8_t* src, long len, int raw_bits, int is_xtrans,
   return 0;
 }
 
-int r2f_abi_version() { return 8; }
+// ---------------------------------------------------------------------------
+// Canon CRW (CIFF) compressed raw: the pre-CR2 10-bit Huffman codec.
+//
+// The reference ingests CRW via LibRaw (reference:
+// src/raw2film/raw_conversion.py:36-48; extension list src/raw2film/
+// data.py:87-102). Semantics mirror dcraw's canon_compressed_load_raw:
+// 64-pixel blocks of Huffman-coded differences (first symbol from a DC
+// tree, the rest from an AC tree; symbol = run<<4 | ssss, 0x00 = end of
+// block, 0xff = no-op), a DC carry that chains across every block of the
+// image, per-row base[2] accumulators reset to 512 at each row start
+// (even/odd pixel interleave), and an optional 2-bit low-bits plane that
+// widens 10-bit values to 12. The three fixed code tables are published
+// dcraw constants (selected by CIFF DecoderTable tag 0x1835), reproduced
+// from format knowledge; the synthetic-encoder round trips in
+// tests/test_raw_formats.py pin the codec structure, and decode aborts on
+// 10-bit overflows (the signal a wrong table produces immediately).
+namespace {
+
+// Direct-lookup Huffman decoder matching dcraw's make_decoder: canonical
+// codes assigned in (length, order-of-appearance) order, materialized as a
+// 2^max table of (len<<8 | value) entries. Codes past the 2^max space are
+// silently dropped (the published tables overfill length 16; real streams
+// never use the dropped tail).
+struct CrwHuff {
+  std::vector<uint16_t> lut;  // (len << 8) | value; 0 = invalid
+  int maxlen = 0;
+
+  void build(const uint8_t* counts16, const uint8_t* vals) {
+    int max = 16;
+    while (max && !counts16[max - 1]) --max;
+    maxlen = max;
+    lut.assign(size_t(1) << max, 0);
+    size_t h = 0;
+    const uint8_t* v = vals;
+    for (int len = 1; len <= max; ++len)
+      for (int i = 0; i < counts16[len - 1]; ++i, ++v)
+        for (int j = 0; j < (1 << (max - len)); ++j)
+          if (h < lut.size()) lut[h++] = uint16_t(len << 8 | *v);
+  }
+
+  // Returns the symbol, or -1 on an invalid code.
+  inline int decode(BitReader& br) const {
+    uint16_t e = lut[br.peek(maxlen)];
+    if (!(e >> 8)) return -1;
+    br.consume(e >> 8);
+    return e & 0xff;
+  }
+};
+
+// dcraw crw_init_tables constants: {counts[16], values...}; the values
+// are run<<4|ssss symbols, 0x00 = EOB, 0xff = no-op.
+static const uint8_t kCrwFirstTree[3][29] = {
+    {0, 1, 4, 2, 3, 1, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+     0x04, 0x03, 0x05, 0x06, 0x02, 0x07, 0x01, 0x08, 0x09, 0x00, 0x0a, 0x0b,
+     0xff},
+    {0, 2, 2, 3, 1, 1, 1, 1, 2, 0, 0, 0, 0, 0, 0, 0,
+     0x03, 0x02, 0x04, 0x01, 0x05, 0x00, 0x06, 0x07, 0x09, 0x08, 0x0a, 0x0b,
+     0xff},
+    {0, 0, 6, 3, 1, 1, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+     0x06, 0x05, 0x07, 0x04, 0x08, 0x03, 0x09, 0x02, 0x00, 0x0a, 0x01, 0x0b,
+     0xff},
+};
+
+static const uint8_t kCrwSecondTree[3][180] = {
+    {0, 2, 2, 2, 1, 4, 2, 1, 2, 5, 1, 1, 0, 0, 0, 139,
+     0x03, 0x04, 0x02, 0x05, 0x01, 0x06, 0x07, 0x08,
+     0x12, 0x13, 0x11, 0x14, 0x09, 0x15, 0x22, 0x00, 0x21, 0x16, 0x0a, 0xf0,
+     0x23, 0x17, 0x24, 0x31, 0x32, 0x18, 0x19, 0x33, 0x25, 0x41, 0x34, 0x42,
+     0x35, 0x51, 0x36, 0x37, 0x38, 0x29, 0x79, 0x26, 0x1a, 0x39, 0x56, 0x57,
+     0x28, 0x27, 0x52, 0x55, 0x58, 0x43, 0x76, 0x59, 0x77, 0x54, 0x61, 0xf9,
+     0x71, 0x78, 0x75, 0x96, 0x97, 0x49, 0xb7, 0x53, 0xd7, 0x74, 0xb6, 0x98,
+     0x47, 0x48, 0x95, 0x69, 0x99, 0x91, 0xfa, 0xb8, 0x68, 0xb5, 0xb9, 0xd6,
+     0xf7, 0xd8, 0x67, 0x46, 0x45, 0x94, 0x89, 0xf8, 0x81, 0xd5, 0xf6, 0xb4,
+     0x88, 0xb1, 0x2a, 0x44, 0x72, 0xd9, 0x87, 0x66, 0xd4, 0xf5, 0x3a, 0xa7,
+     0x73, 0xa9, 0xa8, 0x86, 0x62, 0xc7, 0x65, 0xc8, 0xc9, 0xa1, 0xf4, 0xd1,
+     0xe9, 0x5a, 0x92, 0x85, 0xa6, 0xe7, 0x93, 0xe8, 0xc1, 0xc6, 0x7a, 0x64,
+     0xe1, 0x4a, 0x6a, 0xe6, 0xb3, 0xf1, 0xd3, 0xa5, 0x8a, 0xb2, 0x9a, 0xba,
+     0x84, 0xa4, 0x63, 0xe5, 0xc5, 0xf3, 0xd2, 0xc4, 0x82, 0xaa, 0xda, 0xe4,
+     0xf2, 0xca, 0x83, 0xa3, 0xa2, 0xc3, 0xea, 0xc2, 0xe2, 0xe3, 0xff, 0xff},
+    {0, 2, 2, 1, 4, 1, 4, 1, 3, 3, 1, 0, 0, 0, 0, 140,
+     0x02, 0x03, 0x01, 0x04, 0x05, 0x12, 0x11, 0x06,
+     0x13, 0x07, 0x08, 0x14, 0x22, 0x09, 0x21, 0x00, 0x23, 0x15, 0x31, 0x32,
+     0x0a, 0x16, 0xf0, 0x24, 0x33, 0x41, 0x42, 0x19, 0x17, 0x25, 0x18, 0x51,
+     0x34, 0x43, 0x52, 0x29, 0x35, 0x61, 0x39, 0x71, 0x62, 0x36, 0x53, 0x26,
+     0x38, 0x1a, 0x37, 0x81, 0x27, 0x91, 0x79, 0x55, 0x45, 0x28, 0x72, 0x59,
+     0xa1, 0xb1, 0x44, 0x69, 0x54, 0x58, 0xd1, 0xfa, 0x57, 0xe1, 0xf1, 0xb9,
+     0x49, 0x47, 0x63, 0x6a, 0xf9, 0x56, 0x46, 0xa8, 0x2a, 0x4a, 0x78, 0x99,
+     0x3a, 0x75, 0x74, 0x86, 0x65, 0xc1, 0x76, 0xb6, 0x96, 0xd6, 0x89, 0x85,
+     0xc9, 0xf5, 0x95, 0xb4, 0xc7, 0xf7, 0x8a, 0x97, 0xb8, 0x73, 0xb7, 0xd8,
+     0xd9, 0x87, 0xa7, 0x7a, 0x48, 0x82, 0x84, 0xea, 0xf4, 0xa6, 0xc5, 0x5a,
+     0x94, 0xa4, 0xc6, 0x92, 0xc3, 0x68, 0xb5, 0xc8, 0xe4, 0xe5, 0xe6, 0xe9,
+     0xa2, 0xa3, 0xe3, 0xc2, 0x66, 0x67, 0x93, 0xaa, 0xd4, 0xd5, 0xe7, 0xf8,
+     0x88, 0x9a, 0xd7, 0x77, 0xc4, 0x64, 0xe2, 0x98, 0xa5, 0xca, 0xda, 0xe8,
+     0xf3, 0xf6, 0xa9, 0xb2, 0xb3, 0xf2, 0xd2, 0x83, 0xba, 0xd3, 0xff, 0xff},
+    {0, 0, 6, 2, 1, 3, 3, 2, 5, 1, 2, 2, 8, 10, 0, 117,
+     0x04, 0x05, 0x03, 0x06, 0x02, 0x07, 0x01, 0x08,
+     0x09, 0x12, 0x13, 0x14, 0x11, 0x15, 0x0a, 0x16, 0x17, 0xf0, 0x00, 0x22,
+     0x21, 0x18, 0x23, 0x19, 0x24, 0x32, 0x31, 0x25, 0x33, 0x38, 0x37, 0x34,
+     0x35, 0x36, 0x39, 0x79, 0x57, 0x58, 0x59, 0x28, 0x56, 0x78, 0x27, 0x41,
+     0x29, 0x77, 0x26, 0x42, 0x76, 0x99, 0x1a, 0x55, 0x98, 0x97, 0xf9, 0x48,
+     0x54, 0x96, 0x89, 0x47, 0xb7, 0x49, 0xfa, 0x75, 0x68, 0xb6, 0x67, 0x69,
+     0xb9, 0xb8, 0xd8, 0x52, 0xd7, 0x88, 0xb5, 0x74, 0x51, 0x46, 0xd9, 0xf8,
+     0x3a, 0xd6, 0x87, 0x45, 0x7a, 0x95, 0xd5, 0xf6, 0x86, 0xb4, 0xa9, 0x94,
+     0x53, 0x2a, 0xa8, 0x43, 0xf5, 0xf7, 0xd4, 0x66, 0xa7, 0x5a, 0x44, 0x8a,
+     0xc9, 0xe8, 0xc8, 0xe7, 0x9a, 0x6a, 0x73, 0x4a, 0x61, 0xc7, 0xf4, 0xc6,
+     0x65, 0xe9, 0x72, 0xe6, 0x71, 0x91, 0x93, 0xa6, 0xda, 0x92, 0x85, 0x62,
+     0xf3, 0xc5, 0xb2, 0xa4, 0x84, 0xba, 0x64, 0xa5, 0xb3, 0xd2, 0x81, 0xe5,
+     0xd3, 0xaa, 0xc4, 0xca, 0xf2, 0xb1, 0xe4, 0xd1, 0x83, 0x63, 0xea, 0xc3,
+     0xe2, 0x82, 0xf1, 0xa3, 0xc2, 0xa1, 0xc1, 0xe3, 0xa2, 0xe1, 0xff, 0xff},
+};
+
+}  // namespace
+
+// Decode the CRW compressed raw payload. `stream`: the Huffman bitstream
+// (file offset 540 + lowbits*H*W/4 onward); `lowbits`: the 2-bit plane at
+// file offset 26 (NULL when the file has no low-bits section); `table`:
+// CIFF DecoderTable index (clamped to 0..2). Output is `height*width`
+// uint16 sensor values (12-bit with lowbits, 10-bit without). Returns 0,
+// or <0 on malformed input: -1 bad args, -2 invalid Huffman code, -3
+// value overflow (wrong table / corrupt stream), -4 lowbits plane short.
+int r2f_decode_crw(const uint8_t* stream, long stream_len,
+                   const uint8_t* lowbits, long lowbits_len, int table,
+                   int width, int height, uint16_t* out) {
+  if (!stream || !out || width <= 0 || height <= 0 || width % 8 ||
+      stream_len <= 0)
+    return -1;
+  if (lowbits && lowbits_len < long(width) * height / 4) return -4;
+  if (table < 0) table = 0;
+  if (table > 2) table = 2;
+
+  CrwHuff first, second;
+  first.build(kCrwFirstTree[table], kCrwFirstTree[table] + 16);
+  second.build(kCrwSecondTree[table], kCrwSecondTree[table] + 16);
+
+  BitReader br(stream, size_t(stream_len));
+  int carry = 0;
+  long pnum = 0;
+  int base[2] = {0, 0};
+  long overflows = 0;
+  for (int row = 0; row < height; row += 8) {
+    uint16_t* pixel = out + long(row) * width;
+    long nblocks = long(std::min(8, height - row)) * width >> 6;
+    for (long block = 0; block < nblocks; ++block) {
+      int diffbuf[64] = {0};
+      for (int i = 0; i < 64; ++i) {
+        int leaf = (i ? second : first).decode(br);
+        if (leaf < 0) return -2;
+        if (leaf == 0 && i) break;
+        if (leaf == 0xff) continue;
+        i += leaf >> 4;
+        int len = leaf & 15;
+        if (len == 0) continue;
+        int diff = int(br.peek(len));
+        br.consume(len);
+        if ((diff & (1 << (len - 1))) == 0) diff -= (1 << len) - 1;
+        if (i < 64) diffbuf[i] = diff;
+      }
+      diffbuf[0] += carry;
+      carry = diffbuf[0];
+      for (int i = 0; i < 64; ++i) {
+        if (pnum++ % width == 0) base[0] = base[1] = 512;
+        int val = (base[i & 1] += diffbuf[i]);
+        pixel[(block << 6) + i] = uint16_t(val);
+        if (val >> 10) ++overflows;
+      }
+    }
+  }
+  // A handful of overflows can be sensor hot pixels in a genuine stream;
+  // a wrong Huffman table overflows almost everywhere immediately.
+  if (overflows > long(width) * height / 64) return -3;
+
+  if (lowbits) {
+    long n = long(width) * height;
+    for (long j = 0; j < n; ++j) {
+      int val = (out[j] << 2) | ((lowbits[j >> 2] >> ((j & 3) * 2)) & 3);
+      // dcraw's canon_compressed_load_raw quirk for the 2672-wide sensor.
+      if (width == 2672 && val < 512) val += 2;
+      out[j] = uint16_t(val);
+    }
+  }
+  return 0;
+}
+
+int r2f_abi_version() { return 9; }
 
 }  // extern "C"

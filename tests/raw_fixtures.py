@@ -1403,6 +1403,233 @@ def write_crw(
         f.write(header + main)
 
 
+# Canon CRW codec tables (published dcraw crw_init_tables constants, also
+# embedded in native/r2f_native.cc): 16 canonical code counts + symbol
+# values per table; symbols are run<<4|ssss, 0x00 = EOB, 0xff = skip-one.
+_CRW_FIRST = [
+    bytes.fromhex(
+        "00010402030102000000000000000000040305060207010809000a0bff"
+    ),
+    bytes.fromhex(
+        "00020203010101010200000000000000030204010500060709080a0bff"
+    ),
+    bytes.fromhex(
+        "000006030101020000000000000000000605070408030902000a010bff"
+    ),
+]
+_CRW_SECOND = [
+    bytes.fromhex(
+        "0002020201040201020501010000008b0304020501060708121311140915"
+        "220021160af023172431321819332541344235513637382979261a395657"
+        "2827525558437659775461f9717875969749b753d774b698474895699991"
+        "fab868b5b9d6f7d86746459489f881d5f6b488b12a4472d98766d4f53aa7"
+        "73a9a88662c765c8c9a1f4d1e95a9285a6e793e8c1c67a64e14a6ae6b3f1"
+        "d3a58ab29aba84a463e5c5f3d2c482aadae4f2ca83a3a2c3eac2e2e3ffff"
+    ),
+    bytes.fromhex(
+        "0002020104010401030301000000008c0203010405121106130708142209"
+        "2100231531320a16f0243341421917251851344352293561397162365326"
+        "381a37812791795545287259a1b144695458d1fa57e1f1b94947636af956"
+        "46a82a4a78993a75748665c176b696d68985c9f595b4c7f78a97b873b7d8"
+        "d987a77a488284eaf4a6c55a94a4c692c368b5c8e4e5e6e9a2a3e3c26667"
+        "93aad4d5e7f8889ad777c464e298a5cadae8f3f6a9b2b3f2d283bad3ffff"
+    ),
+    bytes.fromhex(
+        "000006020103030205010202080a00750405030602070108091213141115"
+        "0a1617f00022211823192432312533383734353639795758592856782741"
+        "2977264276991a559897f94854968947b749fa7568b66769b9b8d852d788"
+        "b5745146d9f83ad687457a95d5f686b4a994532aa843f5f7d466a75a448a"
+        "c9e8c8e79a6a734a61c7f4c665e972e6719193a6da928562f3c5b2a484ba"
+        "64a5b3d281e5d3aac4caf2b1e4d18363eac3e282f1a3c2a1c1e3a2e1ffff"
+    ),
+]
+
+
+def _crw_codes(table: bytes) -> dict:
+    """Canonical Huffman codes matching dcraw's make_decoder: symbols get
+    codes in (length, order-of-appearance) order; returns sym -> (code, len)."""
+    counts, values = table[:16], table[16:]
+    maxlen = 16
+    while maxlen and not counts[maxlen - 1]:
+        maxlen -= 1
+    codes: dict = {}
+    h = 0
+    vi = 0
+    for ln in range(1, maxlen + 1):
+        for _ in range(counts[ln - 1]):
+            if h >= (1 << maxlen):
+                return codes
+            sym = values[vi]
+            vi += 1
+            codes.setdefault(sym, (h >> (maxlen - ln), ln))
+            h += 1 << (maxlen - ln)
+    return codes
+
+
+class _CrwBitWriter:
+    """MSB-first bit packer with JPEG-style 0xFF 0x00 byte stuffing."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, ln: int):
+        self.acc = (self.acc << ln) | (code & ((1 << ln) - 1))
+        self.n += ln
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.n -= 8
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0)
+
+    def done(self) -> bytes:
+        if self.n:
+            b = (self.acc << (8 - self.n)) & 0xFF
+            self.n = 0
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0)
+        return bytes(self.buf)
+
+
+def _crw_encode_stream(values10, width: int, height: int, table: int) -> bytes:
+    """Encode 10-bit sensor values with the Canon CRW block codec: 64-pixel
+    blocks of Huffman-coded diffs (DC tree for the first, AC run/size tree
+    after), cross-block DC carry, per-row base[2]=512 resets."""
+    first = _crw_codes(_CRW_FIRST[table])
+    second = _crw_codes(_CRW_SECOND[table])
+    bw = _CrwBitWriter()
+
+    def amplitude(d: int) -> tuple[int, int]:
+        ln = abs(d).bit_length()
+        return (d if d > 0 else d + (1 << ln) - 1, ln)
+
+    v = values10.reshape(-1)
+    carry = 0
+    base = [0, 0]
+    pnum = 0
+    idx = 0
+    for row in range(0, height, 8):
+        nblocks = min(8, height - row) * width >> 6
+        for _ in range(nblocks):
+            diff = [0] * 64
+            for i in range(64):
+                if pnum % width == 0:
+                    base[0] = base[1] = 512
+                pnum += 1
+                t = int(v[idx])
+                idx += 1
+                diff[i] = t - base[i & 1]
+                base[i & 1] = t
+            applied0 = diff[0]
+            diff[0] = applied0 - carry
+            carry = applied0
+
+            bits, ln = amplitude(diff[0])
+            bw.put(*first[ln])
+            if ln:
+                bw.put(bits, ln)
+            pos = 1
+            while pos < 64:
+                nz = next((k for k in range(pos, 64) if diff[k]), None)
+                if nz is None:
+                    bw.put(*second[0x00])  # EOB
+                    break
+                run = nz - pos
+                while run >= 16:
+                    bw.put(*second[0xF0])
+                    run -= 16
+                bits, ln = amplitude(diff[nz])
+                while run and (run << 4 | ln) not in second:
+                    bw.put(*second[0xFF])  # skip-one fallback
+                    run -= 1
+                bw.put(*second[run << 4 | ln])
+                bw.put(bits, ln)
+                pos = nz + 1
+    return bw.done()
+
+
+def write_crw_raw(
+    path,
+    mosaic,
+    table=0,
+    lowbits=True,
+    borders=None,
+    make="Canon",
+    model="Canon EOS D60",
+):
+    """Full CRW file with a compressed raw payload at the codec's fixed
+    offsets (2-bit low-bits plane at 26 when ``lowbits``, byte-stuffed
+    Huffman stream at 540 + plane size), plus the CIFF heap records the
+    reader consumes (0x1031 SensorInfo, 0x1835 DecoderTable, 0x080a
+    make/model, 0x2005 raw). ``mosaic``: (H, W) uint16, 12-bit when
+    ``lowbits`` else 10-bit; ``borders``: optional (left, top, right,
+    bottom) active area. Returns the mosaic actually encoded (the
+    low-bits plane gets a deterministic 0xFF+nonzero marker so the
+    lowbits probe always resolves, mirroring real plane statistics)."""
+    import numpy as np
+
+    mosaic = np.array(mosaic, np.uint16, copy=True)
+    h, w = mosaic.shape
+    assert w % 8 == 0 and (8 * w) % 64 == 0
+    assert mosaic.max() < (4096 if lowbits else 1024)
+
+    plane = b""
+    if lowbits:
+        # Deterministic probe marker: plane byte 520 (file offset 546) =
+        # 0xFF, byte 521 nonzero — the _has_lowbits scan needs one
+        # 0xFF+nonzero pair past file offset 540.
+        if h * w >= 4 * 522:
+            mosaic.flat[520 * 4 : 521 * 4] |= 3
+            mosaic.flat[521 * 4] |= 1
+        lo = (mosaic.reshape(-1) & 3).astype(np.uint8)
+        lo = lo.reshape(-1, 4)
+        plane_arr = lo[:, 0] | (lo[:, 1] << 2) | (lo[:, 2] << 4) | (lo[:, 3] << 6)
+        plane = plane_arr.astype(np.uint8).tobytes()
+        values10 = mosaic >> 2
+    else:
+        values10 = mosaic
+    stream = _crw_encode_stream(values10, w, h, table)
+
+    heap = bytearray()
+    heap += plane
+    heap += b"\0" * (514 + len(plane) - len(heap))  # stream at file 540+plane
+    if lowbits and h * w < 4 * 522:
+        # Plane too short to reach the probe window (file offset >= 540):
+        # put the 0xFF+nonzero marker in the padding instead — the probe
+        # scans it, the reader's plane slice never includes it.
+        heap[514:516] = b"\xff\x01"
+    raw_off = len(heap)
+    heap += stream
+    if len(heap) % 2:
+        heap += b"\0"
+
+    if borders is None:
+        borders = (0, 0, w - 1, h - 1)
+    left, top, right, bottom = borders
+    sensor = struct.pack("<9H", 9, w, h, 0, 0, left, top, right, bottom)
+    mm = make.encode() + b"\0" + model.encode() + b"\0"
+    placed = []
+    for typ, payload in ((0x1031, sensor), (0x1835, struct.pack("<II", table, 0)), (0x080A, mm)):
+        placed.append((typ, len(payload), len(heap)))
+        heap += payload
+        if len(heap) % 2:
+            heap += b"\0"
+    placed.append((0x2005, len(stream), raw_off))
+    dir_off = len(heap)
+    heap += struct.pack("<H", len(placed))
+    for typ, length, off in placed:
+        heap += struct.pack("<HII", typ, length, off)
+    heap += struct.pack("<I", dir_off)
+
+    header = b"II" + struct.pack("<I", 26) + b"HEAPCCDR" + b"\0" * 12
+    with open(path, "wb") as f:
+        f.write(header + heap)
+    return mosaic
+
+
 def write_cr3(path, preview_jpeg: bytes, make="Canon", model="Canon EOS R6"):
     """CR3 skeleton: ISO-BMFF with Canon's moov uuid (CMT1 EXIF TIFF +
     THMB) and the top-level PRVW uuid — the browsing surfaces io/cr3.py

@@ -961,10 +961,10 @@ class TestFujiCompressed:
 
 
 class TestCRWContainer:
-    """CRW (CIFF) browsing: thumbnail + identification from the heap, raw
-    decode stays a clear error — the CR3 treatment for Canon's pre-CR2
-    container. Matches the reference's LibRaw ingest surface
-    (src/raw2film/raw_conversion.py:36-48, extension list data.py:87-102)."""
+    """CRW (CIFF) browsing: thumbnail + identification from the heap;
+    payload decode is covered by TestCRWDecode. Matches the reference's
+    LibRaw ingest surface (src/raw2film/raw_conversion.py:36-48,
+    extension list data.py:87-102)."""
 
     def _jpeg(self):
         from PIL import Image
@@ -975,7 +975,7 @@ class TestCRWContainer:
         im.save(b, "JPEG")
         return b.getvalue()
 
-    def test_browse_and_clear_error(self, tmp_path):
+    def test_browse_and_clear_error_without_payload(self, tmp_path):
         from raw_fixtures import write_crw
 
         from raw2film_tpu.io import crw
@@ -990,7 +990,9 @@ class TestCRWContainer:
         assert meta["EXIF:Make"] == "Canon"
         assert meta["EXIF:Model"] == "Canon EOS D60"
         assert meta["EXIF:DateTimeOriginal"].startswith("2002:")
-        with pytest.raises(NotImplementedError, match="CRW"):
+        # Browse-only fixture has no SensorInfo/payload: clean ValueError,
+        # not a deep parser crash.
+        with pytest.raises(ValueError, match="SensorInfo"):
             read_raw(p)
 
     def test_thumbnail_from_crw(self, tmp_path):
@@ -1014,6 +1016,92 @@ class TestCRWContainer:
         for cut in (10, 20, 40, len(buf) - 3):
             assert crw.extract_metadata(buf[:cut]) is not None  # no crash
             crw.extract_preview(buf[:cut])
+
+
+class TestCRWDecode:
+    """Canon CRW compressed-raw decode: spec-based synthetic encoder
+    (tests/raw_fixtures.py::write_crw_raw pins the codec structure — the
+    64-pixel Huffman diff blocks, DC carry, per-row 512 bases, 0xFF byte
+    stuffing, 2-bit low-bits plane) round-trips bit-exactly through the
+    native decoder. Parity target: the reference ingests CRW via LibRaw
+    (src/raw2film/raw_conversion.py:36-48)."""
+
+    def _mosaic(self, h, w, bits, seed=0):
+        rng = np.random.default_rng(seed)
+        # Smooth ramp + noise: realistic diff statistics (short runs,
+        # mixed symbol sizes) without saturating the ssss range.
+        ramp = (
+            np.linspace(200, (1 << bits) - 300, w)[None, :]
+            + np.linspace(0, 80, h)[:, None]
+        )
+        noise = rng.normal(0, 25, (h, w))
+        return np.clip(ramp + noise, 0, (1 << bits) - 1).astype(np.uint16)
+
+    @pytest.mark.parametrize("table", [0, 1, 2])
+    def test_lowbits_roundtrip_all_tables(self, tmp_path, table):
+        from raw_fixtures import write_crw_raw
+
+        p = str(tmp_path / f"t{table}.crw")
+        truth = write_crw_raw(p, self._mosaic(128, 128, 12, seed=table), table=table)
+        raw = read_raw(p)
+        assert raw.cfa_pattern == "RGGB"
+        assert raw.white_level == 4095.0
+        np.testing.assert_array_equal(raw.data.astype(np.uint16), truth)
+
+    def test_10bit_no_lowbits_roundtrip(self, tmp_path):
+        from raw_fixtures import write_crw_raw
+
+        p = str(tmp_path / "g1.crw")
+        truth = write_crw_raw(
+            p, self._mosaic(256, 256, 10, seed=7), table=1, lowbits=False
+        )
+        raw = read_raw(p)
+        assert raw.white_level == 1023.0
+        np.testing.assert_array_equal(raw.data.astype(np.uint16), truth)
+
+    def test_active_area_crop_and_masked_black(self, tmp_path):
+        from raw_fixtures import write_crw_raw
+
+        h, w = 64, 160
+        mosaic = self._mosaic(h, w, 12, seed=3)
+        mosaic[:, :8] = 130  # optically black columns
+        p = str(tmp_path / "crop.crw")
+        truth = write_crw_raw(p, mosaic, borders=(8, 2, w - 1, h - 3))
+        raw = read_raw(p)
+        assert raw.data.shape == (h - 4, w - 8)
+        np.testing.assert_array_equal(
+            raw.data.astype(np.uint16), truth[2 : h - 2, 8:w]
+        )
+        assert raw.black_level == 130.0
+        assert raw.metadata["EXIF:SensorLeftBorder"] == 8
+
+    def test_corrupt_stream_clear_error(self, tmp_path):
+        from raw_fixtures import write_crw_raw
+
+        p = str(tmp_path / "bad.crw")
+        write_crw_raw(p, self._mosaic(128, 128, 12), table=0)
+        buf = bytearray(open(p, "rb").read())
+        # Clobber the Huffman stream (past the low-bits plane) with noise
+        # that decodes to overflowing values under any table.
+        off = 540 + 128 * 128 // 4
+        rng = np.random.default_rng(11)
+        buf[off : off + 2000] = rng.integers(0, 255, 2000, np.uint8).tobytes()
+        p2 = str(tmp_path / "bad2.crw")
+        open(p2, "wb").write(bytes(buf))
+        with pytest.raises((NotImplementedError, ValueError)):
+            read_raw(p2)
+
+    def test_crw_to_print_smoke(self, tmp_path):
+        from raw_fixtures import write_crw_raw
+
+        from raw2film_tpu.pipeline.processor import Processor
+
+        p = str(tmp_path / "shot.crw")
+        write_crw_raw(p, self._mosaic(96, 128, 12, seed=5))
+        out = Processor().process(
+            p, "Kodak Portra 400", grain=0, half_size=False, max_scale=None
+        )
+        assert out.dtype == np.uint8 and out.shape[2] == 3
 
 
 class TestNikonCompressed:

@@ -66,6 +66,11 @@ def _writers(tmp_path):
     walk = 0x400 + np.abs((walk - 0x400) % (2 * 0x2C00) - 0x2C00)
     write_rw2(p, walk.astype(np.uint16), raw_format=6, bits=14)
     out.append(p)
+    p = str(tmp_path / "m.crw")  # Canon CIFF compressed payload
+    from raw_fixtures import write_crw_raw
+
+    write_crw_raw(p, m12[:24, :32] % 4096)
+    out.append(p)
     return out
 
 
@@ -159,6 +164,24 @@ def test_codec_stress_round_trips(tmp_path, seed):
         p = str(tmp_path / "s.raf")
         write_raf(p, mf, xtrans=pat, compressed=True, bits=bits, block_size=48)
         np.testing.assert_array_equal(read_raw(p).data.astype(np.uint16), mf)
+
+    from raw_fixtures import write_crw_raw
+
+    # CRW: uniform-random 12-bit (every run-0 symbol), a short tail band
+    # (h % 8 != 0 with (h%8)*w % 64 == 0), and 10-bit impulses over a
+    # constant field (long zero runs + max-ssss diffs — exercises the
+    # 0xFF skip-one fallback for (run, ssss) pairs absent from the table).
+    for table, (h, w) in [(0, (32, 40)), (1, (20, 32)), (2, (16, 48))]:
+        mc = rng.integers(0, 4096, (h, w)).astype(np.uint16)
+        p = str(tmp_path / "s.crw")
+        truth = write_crw_raw(p, mc, table=table)
+        np.testing.assert_array_equal(read_raw(p).data.astype(np.uint16), truth)
+    imp = np.full((24, 64), 512, np.uint16)
+    pos = rng.integers(0, imp.size, 40)
+    imp.flat[pos] = rng.integers(0, 1024, 40)
+    p = str(tmp_path / "imp.crw")
+    truth = write_crw_raw(p, imp, table=seed % 3, lowbits=False)
+    np.testing.assert_array_equal(read_raw(p).data.astype(np.uint16), truth)
 
 
 def test_empty_and_garbage(tmp_path):
