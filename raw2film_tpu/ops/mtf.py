@@ -110,6 +110,45 @@ def film_sharpness_from_key(
     return convops.conv2d_svd(img, u3, v3)
 
 
+def _grain_vmem_ok(th, w, chunk, nr, rh, rw, budget=17_000_000):
+    """Scoped-VMEM estimate for a (th, chunk) MTF+grain mega-kernel config
+    (pallas_conv2.fused_sep_rank_mxu with the grain epilogue): grid-mapped
+    arrays double-buffered, constant bands + scratch single, plus the grain
+    hash/noise temporaries. Calibrated against v5e measurements at 45MP
+    (W=8208, per-channel rank 4, rh=rw=13): (96, 256) estimates 16.6M,
+    compiles, and is the fastest variant (5.7 vs 14.5 ms for the shipped
+    (32, 512)); the default budget 17M sits just above it. NOT in the model:
+    whatever pushed the historical (48, 512) configuration to a 19.06M
+    Mosaic OOM (estimate here 13.3M) — so (48, 512) stays excluded from the
+    candidate ladder and wide chunks are only used at tile 32."""
+    cur_out = 2 * th * w * 4 * 2
+    halos = 2 * max(rh, 1) * w * 4 * 2
+    bands = nr * (chunk + 2 * rw) * chunk * 4
+    colband = nr * th * (th + 2 * rh) * 4
+    win = (th + 2 * rh) * (chunk + 2 * rw) * 4
+    tmp = nr * th * (chunk + 2 * rw) * 4
+    grain_tmp = 4 * th * chunk * 4
+    return cur_out + halos + bands + colband + win + tmp + grain_tmp <= budget
+
+
+def _grain_mega_tile(h, w, nr, rh, rw, conservative=False):
+    """(tile_h, chunk) for the MTF+grain mega-kernel.
+
+    Measured ladder on a v5e at 45MP (benchmarks/mtf_sweep.py, colmerge on):
+    (96,256) 5.68 ms · (72,256) 7.15 ms · (48,512) excluded (historical
+    19.06M OOM) · (48,256) 12.6 ms · (32,512) 14.5 ms. Tall tiles win on MXU
+    row utilization exactly as in the halation mega-kernel; the VMEM gate
+    keeps unmeasured (tile, W) combinations from compiling at the cliff.
+    The ``conservative`` rung pins the long-proven (32, 512) so a
+    downgrade-ladder recompile is a genuinely smaller program."""
+    if conservative:
+        return 32, 512
+    for t, c in ((96, 256), (72, 256), (64, 256), (56, 256), (48, 256), (40, 512)):
+        if h % t == 0 and h > 2 * t + 1 and _grain_vmem_ok(t, w, c, nr, rh, rw):
+            return t, c
+    return 32, 512
+
+
 def film_sharpness_grain_from_key(
     img: jnp.ndarray,
     mtf_key: tuple,
@@ -139,22 +178,13 @@ def film_sharpness_grain_from_key(
     )
     tol, max_rank = (1e-4, 6) if k.shape[-1] <= 15 else (2e-3, 4)
     u3, v3 = _svd_stack(k, tol=tol, max_rank=max_rank)
-    # tile 32 (not the auto 48): the grain epilogue's hash/noise temps push
-    # this kernel to the 16MB scoped-VMEM cliff at tile 48 with per-channel
-    # rank-4 bands (observed 19.06M compile OOM — Mosaic's scheduling
-    # varies run to run at the margin). M=32 costs ~1 ms of MXU utilization;
-    # the fusion still nets positive.
-    h = img.shape[-2]
-    # 48 is excluded: with the grain epilogue it is the configuration that
-    # hit the 19.06M scoped-VMEM compile OOM, and the Processor-level retry
-    # would mask the failure at the cost of a wasted multi-minute compile.
-    # The downgrade ladder's ``conservative`` rung pins tile 32 outright
-    # (skipping the 40 candidate) so a rung-1 recompile is a genuinely
-    # smaller program than the one that just failed.
-    cands = (32,) if conservative else (32, 40)
-    tile = next((t for t in cands if h % t == 0), 32)
+    h, w = img.shape[-2:]
+    tile, chunk = _grain_mega_tile(
+        h, w, u3.shape[1], u3.shape[2] // 2, v3.shape[2] // 2,
+        conservative=conservative,
+    )
     return pallas_conv2.fused_sep_rank_mxu(
-        img, u3, v3, precision="dc", tile_h=tile,
+        img, u3, v3, precision="dc", tile_h=tile, chunk=chunk,
         grain=(grain_seed, grain_prm, float(grain_sigma_px)),
         interpret=interpret,
     )

@@ -85,8 +85,12 @@ def space_halo_rows(cfg: RenderConfig, h: int, w: int) -> int:
     if cfg.highlight_burn:
         import math
 
+        # Blur support in low-res cells (sigma=3 trunc=2 -> radius ~7) plus
+        # one bilinear cell, plus one cell of slack for the global-grid
+        # alignment slice (ops/burn.py::_aligned_slice drops a partial cell
+        # at the strip bottom).
         f = math.ceil(min(h, w) / cfg.burn_scale)
-        halo += 6.0 * f
+        halo += 9.0 * f
     return int(-(-halo // 8) * 8)
 
 
@@ -102,18 +106,27 @@ def sharded_batch_render(mesh: Mesh, cfg: RenderConfig, space_mode: str = "halo"
       FULL chain locally — Pallas mega-kernels included — and crops the
       halo. Measured on v5e: the alternative XLA formulations cost 7x at
       6MP, 26x at 11MP and fail to compile (HBM OOM) at >=24MP, exactly the
-      frame sizes the space axis exists for. Boundary semantics: interior
-      shard seams are exact for the conv stages AND for grain (the hash
-      rows shift to global coordinates via render_chain's
-      grain_row_offset, so every shard evaluates the same stateless
-      field); frame edges replicate the edge row into the pad (a
-      cascaded-clamp approximation); highlight burn's low-res blur can
-      misalign by one low-res cell at seams. See tests/test_parallel.py
+      frame sizes the space axis exists for. When the overlap exceeds a
+      shard's height (large halation radii over a tall space axis) the
+      exchange chains multiple ppermute hops instead of truncating. Boundary
+      semantics: interior shard seams are exact for the conv stages AND for
+      grain (the hash rows shift to global coordinates via render_chain's
+      grain_row_offset, so every shard evaluates the same stateless field)
+      AND for highlight burn (the low-res glow grid is aligned to the global
+      frame via the same offset); frame edges replicate the edge row into
+      the pad (a cascaded-clamp approximation). See tests/test_parallel.py
       for the measured gates.
     * ``"spmd"`` — delegate to XLA's SPMD partitioner with the XLA conv
       formulations (exact halos, but unusable at export sizes — kept for
       small frames and cross-checking).
     """
+    # A sharded export program is the most expensive compile in the system
+    # (minutes through a remote-compile tunnel): make sure it lands in the
+    # persistent cache so a mesh/shape recurrence pays file-read, not XLA.
+    from raw2film_tpu.config import enable_persistent_jit_cache
+
+    enable_persistent_jit_cache()
+
     try:
         from jax import shard_map as _sm
 
@@ -144,20 +157,65 @@ def sharded_batch_render(mesh: Mesh, cfg: RenderConfig, space_mode: str = "halo"
             # xyz: local (B_loc, 3, h_loc, w) row shard.
             h_loc, w = xyz.shape[-2:]
             halo = space_halo_rows(cfg, h_loc * space, w)
-            halo = min(halo, h_loc)  # ppermute sends at most a full shard
             idx = jax.lax.axis_index("space")
-            # Bottom rows of shard i -> top halo of shard i+1, and back.
-            fwd = [(i, i + 1) for i in range(space - 1)]
-            bwd = [(i + 1, i) for i in range(space - 1)]
-            top = jax.lax.ppermute(xyz[:, :, -halo:, :], "space", fwd)
-            bot = jax.lax.ppermute(xyz[:, :, :halo, :], "space", bwd)
-            # Edge shards got zeros: replicate the frame edge row instead
-            # (approximates the conv kernels' clamp-to-edge behavior).
-            top_rep = jnp.broadcast_to(xyz[:, :, :1, :], top.shape)
-            bot_rep = jnp.broadcast_to(xyz[:, :, -1:, :], bot.shape)
-            top = jnp.where(idx == 0, top_rep, top)
-            bot = jnp.where(idx == space - 1, bot_rep, bot)
-            padded = jnp.concatenate([top, xyz, bot], axis=2)
+            if halo <= h_loc:
+                # Fast path: one hop each way.
+                fwd = [(i, i + 1) for i in range(space - 1)]
+                bwd = [(i + 1, i) for i in range(space - 1)]
+                top = jax.lax.ppermute(xyz[:, :, -halo:, :], "space", fwd)
+                bot = jax.lax.ppermute(xyz[:, :, :halo, :], "space", bwd)
+                # Edge shards got zeros: replicate the frame edge row instead
+                # (approximates the conv kernels' clamp-to-edge behavior).
+                top_rep = jnp.broadcast_to(xyz[:, :, :1, :], top.shape)
+                bot_rep = jnp.broadcast_to(xyz[:, :, -1:, :], bot.shape)
+                top = jnp.where(idx == 0, top_rep, top)
+                bot = jnp.where(idx == space - 1, bot_rep, bot)
+                padded = jnp.concatenate([top, xyz, bot], axis=2)
+            else:
+                # The required overlap exceeds one shard (large halation at
+                # export scale over a tall space axis): chain ppermutes so
+                # hop k delivers the needed rows of shard idx∓k — the halo is
+                # assembled in full rather than silently truncated. Rows that
+                # would come from beyond the frame (including hops past the
+                # mesh edge) are edge-replicated afterwards via a clamped
+                # row gather, matching the one-hop path's frame-edge
+                # semantics.
+                hops = -(-halo // h_loc)
+                top_parts, bot_parts = [], []
+                for k in range(1, hops + 1):
+                    rows_k = min(h_loc, halo - (k - 1) * h_loc)
+                    if k < space:
+                        fwd = [(i, i + k) for i in range(space - k)]
+                        bwd = [(i + k, i) for i in range(space - k)]
+                        top_parts.append(
+                            jax.lax.ppermute(xyz[:, :, -rows_k:, :], "space", fwd)
+                        )
+                        bot_parts.append(
+                            jax.lax.ppermute(xyz[:, :, :rows_k, :], "space", bwd)
+                        )
+                    else:
+                        # No source shard exists at this distance for ANY
+                        # device: the gather below edge-fills these rows.
+                        shape = xyz.shape[:2] + (rows_k,) + xyz.shape[3:]
+                        zeros = jnp.zeros(shape, xyz.dtype)
+                        top_parts.append(zeros)
+                        bot_parts.append(zeros)
+                # Farthest hop first on top so rows run in global order.
+                padded = jnp.concatenate(
+                    top_parts[::-1] + [xyz] + bot_parts, axis=2
+                )
+                # Clamp every padded row to the frame interior: padded row r
+                # is global row idx*h_loc - halo + r; global row 0 sits at
+                # padded row halo - idx*h_loc, the last at that + space*h_loc
+                # - 1. Interior shards clamp to nothing (bounds outside the
+                # array); edge shards replicate the frame edge rows.
+                r = jnp.arange(padded.shape[2])
+                lo = halo - idx * h_loc
+                hi = lo + space * h_loc - 1
+                gather = jnp.clip(r, lo, hi)
+                padded = jnp.take_along_axis(
+                    padded, gather[None, None, :, None], axis=2
+                )
             # Grain hash rows in GLOBAL image coordinates (padded row 0 is
             # global row idx*h_loc - halo) so seams are grain-exact; burn's
             # blur factor pinned to the GLOBAL frame size so every shard

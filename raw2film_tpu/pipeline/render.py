@@ -367,16 +367,21 @@ def render_chain(
     # never touches HBM), the density image is read once, and only the uint8
     # leaves. Fallbacks: staged burn() + the XLA planes tail.
     tail_pallas = cfg.fusion and not cfg.icc and _use_pallas()
+    # Row-sharded renders (burn_ref_hw set) align the burn's low-res grid to
+    # the GLOBAL frame via the shard's global row offset — same value the
+    # grain hash uses — so seams carry no one-cell glow misalignment.
+    burn_row = grain_row_offset if burn_ref_hw is not None else None
     burn_args = None
     if cfg.highlight_burn:
         if tail_pallas:
             burn_args = burn_ops.burn_smallmap(
-                d, bundle["d_ref_green"], cfg.burn_scale, ref_hw=burn_ref_hw
+                d, bundle["d_ref_green"], cfg.burn_scale, ref_hw=burn_ref_hw,
+                row_offset=burn_row,
             )
         if burn_args is None:
             d = burn_ops.burn(
                 d, bundle["d_ref_green"], bundle["highlight_burn"],
-                cfg.burn_scale, ref_hw=burn_ref_hw,
+                cfg.burn_scale, ref_hw=burn_ref_hw, row_offset=burn_row,
             )
     if tail_pallas:
         from raw2film_tpu.ops.pallas_print import (
@@ -400,7 +405,7 @@ def render_chain(
             # Tail kernel declined the shape after all: run the staged burn.
             d = burn_ops.burn(
                 d, bundle["d_ref_green"], bundle["highlight_burn"],
-                cfg.burn_scale, ref_hw=burn_ref_hw,
+                cfg.burn_scale, ref_hw=burn_ref_hw, row_offset=burn_row,
             )
     return _print_tail(d, bundle, cfg)
 

@@ -495,3 +495,24 @@ class TestAutoTileChooser:
         assert _mega_vmem_ok(48, 8208, 256, 4, 13, 13, budget=13_000_000)
         assert not _mega_vmem_ok(72, 8208, 256, 4, 13, 13, budget=13_000_000)
         assert not _mega_vmem_ok(96, 8208, 256, 4, 13, 13, budget=13_000_000)
+
+    def test_mtf_grain_mega_45mp_tile_record(self):
+        """Pin the MTF+grain mega chooser to the round-4 on-chip sweep
+        (v5e, 45MP, benchmarks/mtf_sweep.py): (96, 256) measured 5.68 ms
+        vs 14.45 for the previously shipped (32, 512) — the halo row-band
+        refactor freed the VMEM that used to cap this kernel at tile 32.
+        The conservative rung keeps the long-proven (32, 512), and the
+        historical OOM configuration (48, 512) must never be chosen."""
+        from raw2film_tpu.ops.mtf import _grain_mega_tile, _grain_vmem_ok
+
+        # 45MP production shape (5472 % 96 == 0): the measured-fastest pick.
+        assert _grain_mega_tile(5472, 8208, 4, 13, 13) == (96, 256)
+        # conservative downgrade rung: the proven-safe config.
+        assert _grain_mega_tile(5472, 8208, 4, 13, 13, conservative=True) == (32, 512)
+        # 24MP-class heights not divisible by the tall tiles fall through
+        # to a measured smaller config, never (48, 512).
+        t, c = _grain_mega_tile(4000, 6000, 4, 13, 13)
+        assert (t, c) != (48, 512)
+        # The VMEM gate rejects unmeasured growth past the calibration point.
+        assert _grain_vmem_ok(96, 8208, 256, 4, 13, 13)
+        assert not _grain_vmem_ok(96, 12000, 256, 4, 13, 13)

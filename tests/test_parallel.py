@@ -130,6 +130,64 @@ class TestSharding:
         # And specifically the seam band at h/2.
         assert dh[:, :, h // 2 - 6 : h // 2 + 6, :].max() <= 1
 
+    def test_halo_multi_hop_when_overlap_exceeds_shard(self):
+        """When the required halo exceeds a shard's height (production
+        halation radii over a tall space axis) the exchange must chain
+        ppermute hops rather than truncate: interior rows stay within one
+        code of the unsharded render even with halo > h_loc."""
+        from raw2film_tpu.parallel.mesh import space_halo_rows
+
+        # The halo scales with px/mm, so at test-size frames a large
+        # halation_size + burn stands in for the production 45MP case where
+        # halation_size 2.0 alone pushes the overlap past a shard.
+        bundle, cfg = _setup(
+            h=64, w=96, halation=True, sharpness=True, halation_size=24.0,
+            highlight_burn=0.3,
+        )
+        b, h, w = 2, 64, 96
+        h_loc = h // 4
+        halo = space_halo_rows(cfg, h, w)
+        assert halo > 2 * h_loc, (halo, h_loc)  # must exercise >=3 hops
+        xyz = jnp.asarray(
+            np.abs(np.random.default_rng(7).normal(0.25, 0.1, (b, 3, h, w))).astype(
+                np.float32
+            )
+        )
+        keys = jax.random.split(jax.random.PRNGKey(7), b)
+        single = jax.jit(batch_render_fn(cfg))(xyz, bundle, keys)
+        mesh = make_mesh(8, batch=2, space=4)
+        with mesh:
+            halo_out = sharded_batch_render(mesh, cfg, space_mode="halo")(
+                xyz, bundle, keys
+            )
+        dh = np.abs(np.asarray(single).astype(int) - np.asarray(halo_out).astype(int))
+        margin = 12
+        assert dh[:, :, margin:-margin, :].max() <= 1, dh[:, :, margin:-margin].max()
+
+    def test_halo_burn_grid_aligned_at_seams(self):
+        """The burn glow's low-res grid aligns to the GLOBAL frame under the
+        halo path: seam rows agree with the unsharded render within one code
+        (previously the per-shard grid could misalign by one low-res cell)."""
+        bundle, cfg = _setup(
+            h=96, w=96, halation=True, sharpness=True, highlight_burn=0.6
+        )
+        b, h, w = 4, 96, 96
+        xyz = jnp.asarray(
+            np.abs(np.random.default_rng(9).normal(0.3, 0.15, (b, 3, h, w))).astype(
+                np.float32
+            )
+        )
+        keys = jax.random.split(jax.random.PRNGKey(9), b)
+        single = jax.jit(batch_render_fn(cfg))(xyz, bundle, keys)
+        mesh = make_mesh(8, batch=4, space=2)
+        with mesh:
+            halo_out = sharded_batch_render(mesh, cfg, space_mode="halo")(
+                xyz, bundle, keys
+            )
+        dh = np.abs(np.asarray(single).astype(int) - np.asarray(halo_out).astype(int))
+        mid = dh[:, :, h // 2 - 8 : h // 2 + 8, :]
+        assert mid.max() <= 1, mid.max()
+
     def test_mesh_shapes(self):
         mesh = make_mesh(8)
         assert mesh.shape == {"batch": 8, "space": 1}
