@@ -1,10 +1,9 @@
 """Canon CR3 container (ISO-BMFF) — preview + metadata extraction.
 
-The CR3 raw payload is Canon's CRX codec (wavelet/Rice), which stays
-unsupported (read_raw raises with a clear message; DNG conversion is the
-documented ingest path, matching the scope note in io/dng.py). The
-CONTAINER, however, is plain ISO base media: this module walks the boxes
-to give CR3 files first-class browsing support —
+The CR3 raw payload (Canon's CRX codec) decodes through
+:mod:`raw2film_tpu.io.crx` (lossless path; see that module for the
+compatibility contract). This module walks the ISO base media boxes for
+the browsing surfaces —
 
 * **metadata** from the ``CMT1`` box (a complete little-endian TIFF/EXIF
   block inside Canon's ``moov``-level uuid 85c0b687-820f-11e0-8111-

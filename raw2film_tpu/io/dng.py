@@ -44,10 +44,14 @@ Containers handled by :func:`read_raw`:
   block code via vectorized numpy (:mod:`raw2film_tpu.io.rw2`), plus
   16-bit and 12-bit-packed layouts.
 
-Remaining vendor-compressed bitstreams (CR3-CRX/CRW payloads) are
-rejected with a clear error — converting to DNG is the documented
-ingest path for those. CR3 containers still get
-browsing support (PRVW/THMB previews + CMT1 EXIF, :mod:`raw2film_tpu.io.cr3`).
+* **Canon CRW** — the pre-CR2 CIFF compressed payload via the native
+  kernel (:mod:`raw2film_tpu.io.crw`).
+
+* **Canon CR3** — the CRX lossless payload (CRAW track + CMP1, subplane /
+  wavelet / Golomb-Rice decode, :mod:`raw2film_tpu.io.crx`); lossy CRAW
+  raises a clear error (convert to DNG), and containers without a raw
+  track still get browsing support (PRVW/THMB previews + CMT1 EXIF,
+  :mod:`raw2film_tpu.io.cr3`).
 
 Also parsed: CFAPattern, BlackLevel/WhiteLevel, ColorMatrix1, AsShotNeutral,
 core EXIF (ISO, exposure time, f-number, focal length, make/model/lens).
@@ -290,11 +294,9 @@ def _read_raw(path: str) -> RawImage:
 
         return read_raf(buf, path)
     if len(buf) >= 8 and buf[4:8] == b"ftyp":
-        raise NotImplementedError(
-            f"{path}: CR3 raw payloads (Canon CRX codec) are not supported; "
-            "convert to DNG. Embedded previews + EXIF still serve browsing "
-            "(io/cr3.py feeds the viewer's thumbnails)"
-        )
+        from raw2film_tpu.io.crx import read_raw_payload as read_crx
+
+        return read_crx(buf, path)
     if len(buf) >= 14 and buf[6:14] == b"HEAPCCDR":
         from raw2film_tpu.io.crw import read_raw_payload
 

@@ -45,7 +45,7 @@ def _build() -> bool:
         return False
 
 
-_ABI = 9
+_ABI = 10
 
 
 def get_lib():
@@ -185,6 +185,16 @@ def _bind(lib):
         ctypes.c_int,  # width
         ctypes.c_int,  # height
         ctypes.POINTER(ctypes.c_uint16),  # out
+    ]
+    lib.r2f_decode_crx_band.restype = ctypes.c_int
+    lib.r2f_decode_crx_band.argtypes = [
+        ctypes.c_char_p,  # band bitstream
+        ctypes.c_long,
+        ctypes.c_int,  # width
+        ctypes.c_int,  # height
+        ctypes.c_int,  # nbits
+        ctypes.c_int,  # dpcm (1 = LL/level-0, 0 = HF band)
+        ctypes.POINTER(ctypes.c_int32),  # out
     ]
     lib.r2f_remap_bilinear.restype = None
     lib.r2f_remap_bilinear.argtypes = [
@@ -512,6 +522,50 @@ def decode_crw(
         )
     if rc != 0:
         raise ValueError(f"Canon CRW: malformed parameters (code {rc})")
+    return out.reshape(height, width)
+
+
+def decode_crx_band(
+    data: bytes, width: int, height: int, n_bits: int, dpcm: bool
+) -> np.ndarray:
+    """Decode one CRX subband -> (height, width) int32.
+
+    ``dpcm`` selects the LL/level-0 coding (top-line-predicted sensor
+    values) vs the high-frequency band coding (signed coefficients with the
+    zero-run mode). Entropy rules are normative in io/crx.py's docstring;
+    the decoder cross-checks that the stream consumed exactly the record's
+    bytes — a mismatch means the file uses a coding variant this
+    reconstruction doesn't cover, reported as NotImplementedError with the
+    DNG-conversion remedy (same contract as decode_crw)."""
+    lib = get_lib()
+    if lib is None:
+        raise NotImplementedError(
+            "Canon CR3 (CRX) needs the native decoder; g++ was unavailable "
+            "to build raw2film_tpu/native/libr2f_native.so"
+        )
+    out = np.empty(height * width, np.int32)
+    rc = lib.r2f_decode_crx_band(
+        data,
+        len(data),
+        int(width),
+        int(height),
+        int(n_bits),
+        1 if dpcm else 0,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if rc == -2:
+        raise NotImplementedError(
+            "CRX subband did not decode cleanly; the entropy-coding "
+            "constants are reconstructed from format knowledge and this "
+            "file may use a variant — convert to DNG"
+        )
+    if rc < 0:
+        raise ValueError(f"CRX subband: malformed parameters (code {rc})")
+    if rc != len(data):
+        raise NotImplementedError(
+            f"CRX subband consumed {rc} of {len(data)} record bytes; "
+            "layout variant not covered — convert to DNG"
+        )
     return out.reshape(height, width)
 
 

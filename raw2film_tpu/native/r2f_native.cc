@@ -1382,6 +1382,181 @@ int r2f_decode_crw(const uint8_t* stream, long stream_len,
   return 0;
 }
 
-int r2f_abi_version() { return 9; }
+// ---------------------------------------------------------------------------
+// Canon CR3 (CRX codec) subband entropy decode.
+//
+// The reference ingests CR3 via LibRaw (reference:
+// src/raw2film/raw_conversion.py:36-48; src/raw2film/data.py:92). The CRX
+// architecture (subplane decomposition, optional LeGall 5/3 wavelet,
+// adaptive Golomb-Rice with a zero-run mode) follows the public
+// reverse-engineering; the exact bit-level constants here are r2f's
+// reconstruction — see raw2film_tpu/io/crx.py for the normative rules this
+// decoder shares with the synthetic test encoder, and the guards that turn
+// any mismatch with a real camera stream into a clean abort:
+//   * unary prefixes are capped at 41 (the escape length) — longer is -2;
+//   * reading more than 8 bytes past the record is -2;
+//   * DPCM samples outside [0, 2^nBits) are -2;
+//   * the caller cross-checks consumed bytes against the record size.
+// Returns consumed bytes (>= 0) or a negative error.
+
+namespace {
+
+struct CrxIn {
+  const uint8_t* base;
+  const uint8_t* p;
+  const uint8_t* end;
+  uint64_t acc = 0;
+  int n = 0;
+  long pad = 0;  // zero bytes synthesized past the record end
+
+  CrxIn(const uint8_t* d, size_t len) : base(d), p(d), end(d + len) {}
+
+  inline void fill() {
+    while (n <= 56) {
+      uint8_t b = 0;
+      if (p < end) {
+        b = *p++;
+      } else {
+        ++pad;
+        ++p;  // keep the consumed-bytes accounting uniform
+      }
+      acc |= uint64_t(b) << (56 - n);
+      n += 8;
+    }
+  }
+
+  inline uint32_t get(int k) {
+    if (!k) return 0;
+    fill();
+    uint32_t v = uint32_t(acc >> (64 - k));
+    acc <<= k;
+    n -= k;
+    return v;
+  }
+
+  // Count of 0 bits before (and consuming) the terminating 1. Returns
+  // cap+1 as the corrupt-stream signal if no 1 arrives in time.
+  inline int unary(int cap) {
+    int q = 0;
+    for (;;) {
+      fill();
+      if (acc == 0) {
+        q += n;
+        n = 0;
+        if (q > cap) return cap + 1;
+        continue;
+      }
+      int lead = __builtin_clzll(acc);
+      if (lead >= n) {
+        q += n;
+        acc = 0;
+        n = 0;
+        if (q > cap) return cap + 1;
+        continue;
+      }
+      q += lead;
+      acc <<= lead + 1;
+      n -= lead + 1;
+      return q <= cap ? q : cap + 1;
+    }
+  }
+
+  inline long consumed_bytes() const {
+    long bits = long(p - base) * 8 - n;
+    return (bits + 7) / 8;
+  }
+};
+
+static inline int crx_adapt(int k, uint32_t u) {
+  k += int((u >> k) > 2) + int((u >> k) > 5) - int((2ull * u) < (1ull << k));
+  if (k < 0) k = 0;
+  if (k > 21) k = 21;
+  return k;
+}
+
+// Rice(u; k) with the 41-zeros escape to a 21-bit raw value; adapts k.
+static inline long crx_rice(CrxIn& in, int* k, bool* ok) {
+  int q = in.unary(41);
+  if (q > 41) {
+    *ok = false;
+    return 0;
+  }
+  uint32_t u;
+  if (q == 41) {
+    u = in.get(21);
+  } else {
+    u = (uint32_t(q) << *k) | in.get(*k);
+  }
+  *k = crx_adapt(*k, u);
+  return long(u);
+}
+
+}  // namespace
+
+// DPCM band (LL / level-0 plane): values in [0, 2^nbits), line 0 left-
+// predicted, later lines top-predicted, zigzag residuals, k0 = 4.
+// HF band (dpcm == 0): signed coefficients, zigzag, zero-run mode, k0 = 1,
+// s0 = 1.
+int r2f_decode_crx_band(const uint8_t* data, long len, int width, int height,
+                        int nbits, int dpcm, int32_t* out) {
+  // nbits up to 20: wavelet LL bands carry 4 bits of headroom + a bias
+  // over the sensor depth (io/crx.py).
+  if (width <= 0 || height <= 0 || nbits < 8 || nbits > 20 || len < 0)
+    return -1;
+  CrxIn in(data, size_t(len));
+  bool ok = true;
+  if (dpcm) {
+    int k = 4;
+    const long maxv = (1L << nbits) - 1;
+    for (int y = 0; y < height; ++y) {
+      int32_t* row = out + long(y) * width;
+      const int32_t* top = row - width;
+      for (int x = 0; x < width; ++x) {
+        long pred = y ? top[x] : (x ? row[x - 1] : (1L << (nbits - 1)));
+        long u = crx_rice(in, &k, &ok);
+        long e = (u >> 1) ^ -(u & 1);
+        long v = pred + e;
+        if (!ok || v < 0 || v > maxv) return -2;
+        row[x] = int32_t(v);
+      }
+      if (in.pad > 8) return -2;
+    }
+  } else {
+    int k = 1, s = 1;
+    bool prev_zero = true;  // band start counts as a zero context
+    for (int y = 0; y < height; ++y) {
+      int32_t* row = out + long(y) * width;
+      int x = 0;
+      while (x < width) {
+        if (prev_zero) {
+          long r = crx_rice(in, &s, &ok);
+          if (!ok || r > width - x) return -2;
+          for (long i = 0; i < r; ++i) row[x++] = 0;
+          if (x < width) {
+            long u = crx_rice(in, &k, &ok) + 1;
+            if (!ok) return -2;
+            long c = (u >> 1) ^ -(u & 1);
+            row[x++] = int32_t(c);
+            prev_zero = false;
+          } else {
+            prev_zero = true;  // the run reached the line end
+          }
+        } else {
+          long u = crx_rice(in, &k, &ok);
+          if (!ok) return -2;
+          long c = (u >> 1) ^ -(u & 1);
+          row[x++] = int32_t(c);
+          prev_zero = (c == 0);
+        }
+      }
+      if (in.pad > 8) return -2;
+    }
+  }
+  if (in.pad > 8) return -2;
+  long used = in.consumed_bytes();
+  return used > len ? len : used;
+}
+
+int r2f_abi_version() { return 10; }
 
 }  // extern "C"

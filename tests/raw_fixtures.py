@@ -1730,3 +1730,227 @@ def write_cr2(path, mosaic, borders=None, make="Canon", model="Canon EOS R5"):
     blob[mn_off : mn_off + mn_size] = mn
     with open(path, "wb") as f:
         f.write(blob)
+
+
+# ----------------------------------------------------------------- Canon CRX
+# Synthetic encoder for the CR3 raw payload, mirroring the normative
+# entropy/wavelet rules in raw2film_tpu/io/crx.py (architecture per the
+# public CRX reverse-engineering; bit-level constants are r2f's
+# reconstruction — the round trips pin decoder/encoder agreement).
+
+
+def _crx_adapt(k: int, u: int) -> int:
+    k += int((u >> k) > 2) + int((u >> k) > 5) - int(2 * u < (1 << k))
+    return min(max(k, 0), 21)
+
+
+def _crx_zigzag(e: int) -> int:
+    return (e << 1) ^ (e >> 63) if e < 0 else (e << 1)
+
+
+def _crx_rice_put(bw: "_MsbBitWriter", u: int, k: int) -> int:
+    assert 0 <= u < (1 << 21), u
+    q = u >> k
+    if q >= 41:
+        bw.put(0, 41)
+        bw.put(1, 1)
+        bw.put(u, 21)
+    else:
+        bw.put(0, q)
+        bw.put(1, 1)
+        bw.put(u, k)
+    return _crx_adapt(k, u)
+
+
+def crx_encode_dpcm(vals: np.ndarray, nbits: int) -> bytes:
+    """LL / level-0 band: line 0 left-predicted, later lines top-predicted,
+    zigzag residuals, k0 = 4."""
+    bw = _MsbBitWriter()
+    k = 4
+    h, w = vals.shape
+    v = vals.astype(np.int64)
+    for y in range(h):
+        for x in range(w):
+            pred = (
+                int(v[y - 1, x])
+                if y
+                else (int(v[0, x - 1]) if x else 1 << (nbits - 1))
+            )
+            e = int(v[y, x]) - pred
+            k = _crx_rice_put(bw, _crx_zigzag(e), k)
+    return bw.done()
+
+
+def crx_encode_hf(coefs: np.ndarray) -> bytes:
+    """High-frequency band: zigzag coefficients, zero-run mode (runs bounded
+    by line ends; interrupting nonzero coded as zigzag-1), k0 = s0 = 1."""
+    bw = _MsbBitWriter()
+    k = s = 1
+    h, w = coefs.shape
+    prev_zero = True
+    for y in range(h):
+        row = coefs[y]
+        x = 0
+        while x < w:
+            if prev_zero:
+                r = 0
+                while x + r < w and row[x + r] == 0:
+                    r += 1
+                s = _crx_rice_put(bw, r, s)
+                x += r
+                if x < w:
+                    c = int(row[x])
+                    k = _crx_rice_put(bw, _crx_zigzag(c) - 1, k)
+                    x += 1
+                    prev_zero = False
+            else:
+                c = int(row[x])
+                k = _crx_rice_put(bw, _crx_zigzag(c), k)
+                prev_zero = c == 0
+                x += 1
+    return bw.done()
+
+
+def _dwt53_split(x: np.ndarray, axis: int):
+    """Forward integer LeGall 5/3 along ``axis`` -> (low, high); exact
+    inverse of io/crx.py::_idwt53_1d (same clip-reflected lifting)."""
+    x = np.moveaxis(x, axis, 0).astype(np.int64)
+    n = x.shape[0]
+    if n == 1:
+        return np.moveaxis(x, 0, axis), np.moveaxis(x[:0], 0, axis)
+    ns, nd = (n + 1) // 2, n // 2
+    even, odd = x[0::2], x[1::2]
+    er = even[np.clip(np.arange(nd) + 1, 0, ns - 1)]
+    d = odd - ((even[:nd] + er) >> 1)
+    dl = d[np.clip(np.arange(ns) - 1, 0, nd - 1)]
+    dr = d[np.clip(np.arange(ns), 0, nd - 1)]
+    s = even + ((dl + dr + 2) >> 2)
+    return np.moveaxis(s, 0, axis), np.moveaxis(d, 0, axis)
+
+
+def crx_forward(plane: np.ndarray, levels: int):
+    """-> (ll, [(hl, lh, hh) coarsest -> finest]); split W first then H,
+    matching io/crx.py::_reconstruct."""
+    cur = plane.astype(np.int64)
+    highs = []
+    for _ in range(levels):
+        low_w, high_w = _dwt53_split(cur, 1)
+        ll, lh = _dwt53_split(low_w, 0)
+        hl, hh = _dwt53_split(high_w, 0)
+        highs.append((hl, lh, hh))
+        cur = ll
+    return cur, highs[::-1]  # coarsest first
+
+
+def crx_sample(mosaic: np.ndarray, nbits: int, levels: int):
+    """-> (mdat sample bytes, record-run size): tile/plane/subband record
+    run + entropy payloads. Wavelet LL bands carry a +2^(nbits+1) bias and
+    4 bits of headroom (the integer 5/3 lowpass can overshoot [0, 2^nbits)
+    slightly) — mirrored by io/crx.py's decode."""
+    h, w = mosaic.shape
+    assert h % 2 == 0 and w % 2 == 0, "CRX subplanes need even dims"
+    planes = [
+        mosaic[0::2, 0::2],
+        mosaic[0::2, 1::2],
+        mosaic[1::2, 0::2],
+        mosaic[1::2, 1::2],
+    ]
+    payloads = []
+    band_sizes = []  # per plane: list of band byte sizes
+    for p in planes:
+        sizes = []
+        if levels:
+            ll, highs = crx_forward(p, levels)
+            chunks = [
+                crx_encode_dpcm(ll + (1 << (nbits + 1)), nbits + 4)
+            ]
+            for hl, lh, hh in highs:
+                for band in (hl, lh, hh):
+                    chunks.append(
+                        crx_encode_hf(band) if band.size else b""
+                    )
+        else:
+            chunks = [crx_encode_dpcm(p, nbits)]
+        for c in chunks:
+            payloads.append(c)
+            sizes.append(len(c))
+        band_sizes.append(sizes)
+    records = bytearray()
+    total = sum(len(c) for c in payloads)
+    records += struct.pack(">HHIHH", 0xFF01, 12, total, 0, 0)
+    for pi, sizes in enumerate(band_sizes):
+        records += struct.pack(">HHIHH", 0xFF02, 12, sum(sizes), pi, 0)
+        for bi, sz in enumerate(sizes):
+            records += struct.pack(">HHIHH", 0xFF03, 12, sz, bi, 0)
+    return bytes(records) + b"".join(payloads), len(records)
+
+
+def write_cr3_raw(
+    path,
+    mosaic: np.ndarray,
+    nbits: int = 14,
+    levels: int = 0,
+    make="Canon",
+    model="Canon EOS R3",
+    enc_type: int = 0,
+    cfa_layout: int = 0,
+    preview_jpeg: bytes | None = None,
+):
+    """Full CR3 with a CRAW raw track (CMP1 + mdat CRX payload) plus the
+    browsing boxes (CMT1 EXIF, optional PRVW preview)."""
+    h, w = mosaic.shape
+    sample, hdr_size = crx_sample(mosaic, nbits, levels)
+    cmp1 = (
+        struct.pack(">HHHHIIII", 0, 48, 0x100, 0, w, h, w, h)
+        + bytes([nbits, (4 << 4) | cfa_layout, (enc_type << 4) | levels, 0])
+        + struct.pack(">I", hdr_size)
+    )
+    cmp1_box = _bmff_box(b"CMP1", cmp1)
+    craw_prefix = (
+        b"\x00" * 6
+        + struct.pack(">H", 1)
+        + b"\x00" * 16
+        + struct.pack(">HH", w, h)
+        + b"\x00" * 50
+    )
+    assert len(craw_prefix) == 78
+
+    canon_uuid = bytes.fromhex("85c0b687820f11e08111f4ce462b6a48")
+    exif = _Ifd()
+    exif.add(33434, 5, [(1, 500)])
+    exif.add(34855, 3, [800])
+    ifd0 = _Ifd()
+    ifd0.add(271, 2, make)
+    ifd0.add(272, 2, model)
+    ifd0.add(274, 3, [1])
+    ifd0.add(34665, 4, ("ifd", 1))
+    cmt1_box = _bmff_box(b"CMT1", _serialize([ifd0, exif], []))
+    canon = _bmff_box(b"uuid", cmt1_box, usertype=canon_uuid)
+
+    def build(offset: int) -> bytes:
+        craw = _bmff_box(b"CRAW", craw_prefix + cmp1_box)
+        stsd = _bmff_box(b"stsd", struct.pack(">II", 0, 1) + craw)
+        stsz = _bmff_box(b"stsz", struct.pack(">III", 0, len(sample), 1))
+        co64 = _bmff_box(b"co64", struct.pack(">IIQ", 0, 1, offset))
+        stbl = _bmff_box(b"stbl", stsd + stsz + co64)
+        trak = _bmff_box(
+            b"trak", _bmff_box(b"mdia", _bmff_box(b"minf", stbl))
+        )
+        return _bmff_box(b"moov", canon + trak)
+
+    ftyp = _bmff_box(b"ftyp", b"crx " + struct.pack(">I", 1) + b"crx isom")
+    pre = ftyp
+    if preview_jpeg is not None:
+        prvw_uuid = bytes.fromhex("eaf42b5e1c984b88b9fbb7dc406e4d16")
+        prvw = _bmff_box(
+            b"PRVW",
+            struct.pack(">IHHHH", 0, 0, 320, 240, 0)
+            + struct.pack(">I", len(preview_jpeg))
+            + preview_jpeg,
+        )
+        pre = ftyp + _bmff_box(b"uuid", prvw, usertype=prvw_uuid)
+    moov = build(0)
+    offset = len(pre) + len(moov) + 8  # mdat payload start
+    moov = build(offset)
+    with open(path, "wb") as f:
+        f.write(pre + moov + _bmff_box(b"mdat", sample))

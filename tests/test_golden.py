@@ -125,6 +125,42 @@ def test_golden_raf_end_to_end(proc, tmp_path):
     assert diff.max() <= 1, f"raf golden drift max {diff.max()} codes"
 
 
+def test_golden_cr3_end_to_end(proc, tmp_path):
+    """Seventh golden: a full FILE-to-print render from a deterministic
+    CR3 (2-level CRX wavelet payload) — pins the ISO-BMFF track walk, the
+    native Rice/run decode, the 5/3 reconstruction, subplane assembly and
+    Bayer demosaic alongside the chain."""
+    from raw_fixtures import write_cr3_raw
+
+    h, w = 64, 96
+    yy, xx = np.mgrid[0:h, 0:w]
+    rng = np.random.default_rng(11)
+    m = np.clip(
+        900 + 11000 * (yy / h) * (0.3 + 0.7 * xx / w) + rng.integers(0, 200, (h, w)),
+        0,
+        16383,
+    ).astype(np.uint16)
+    p = str(tmp_path / "g.cr3")
+    write_cr3_raw(p, m, levels=2)
+    out = proc.process(
+        p,
+        negative_film="Kodak Portra 400",
+        print_film="Fuji Crystal Archive Maxima",
+        **COMMON,
+    )
+    path = os.path.join(GOLDEN_DIR, "cr3_crx.npy")
+    if REGEN:
+        np.save(path, out)
+        pytest.skip(f"regenerated {path}")
+    assert os.path.exists(path), (
+        f"golden {path} missing — generate with R2F_REGEN_GOLDEN=1"
+    )
+    want = np.load(path)
+    assert out.shape == want.shape and out.dtype == np.uint8
+    diff = np.abs(out.astype(np.int32) - want.astype(np.int32))
+    assert diff.max() <= 1, f"cr3 golden drift max {diff.max()} codes"
+
+
 @pytest.mark.parametrize("name", sorted(CASES))
 def test_golden_render(name, proc):
     path = os.path.join(GOLDEN_DIR, f"{name}.npy")

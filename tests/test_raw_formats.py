@@ -449,12 +449,15 @@ class TestCR3Container:
         # The preview's dominant color comes through.
         assert thumb[..., 0].mean() > thumb[..., 2].mean()
 
-    def test_decode_clear_error_mentions_preview(self, tmp_path):
+    def test_no_raw_track_clear_error_mentions_browsing(self, tmp_path):
+        """A CR3 without a CRAW track (the browse-only fixture) must raise
+        a clear error that points at the still-working browsing surfaces —
+        CRX payload decode itself is covered by TestCRXDecode."""
         from raw_fixtures import write_cr3
 
         p = str(tmp_path / "c.cr3")
         write_cr3(p, self._jpeg())
-        with pytest.raises(NotImplementedError, match="CRX"):
+        with pytest.raises(NotImplementedError, match="browsing"):
             read_raw(p)
 
 
@@ -1098,6 +1101,150 @@ class TestCRWDecode:
 
         p = str(tmp_path / "shot.crw")
         write_crw_raw(p, self._mosaic(96, 128, 12, seed=5))
+        out = Processor().process(
+            p, "Kodak Portra 400", grain=0, half_size=False, max_scale=None
+        )
+        assert out.dtype == np.uint8 and out.shape[2] == 3
+
+
+class TestCRXDecode:
+    """Canon CR3 (CRX) raw decode: spec-based synthetic encoder
+    (tests/raw_fixtures.py::write_cr3_raw pins the implemented architecture
+    — CRAW track + CMP1 codec box, tile/plane/subband mdat records, four
+    CFA subplanes, optional LeGall 5/3 levels, adaptive Golomb-Rice with
+    the zero-run mode) round-trips bit-exactly through the native decoder.
+    Parity target: the reference ingests CR3 via LibRaw
+    (src/raw2film/raw_conversion.py:36-48; data.py:92). Bit-level
+    constants are r2f's reconstruction from format knowledge: real-camera
+    compatibility is unverified (documented in io/crx.py) and guarded by
+    clean-abort checks the corrupt-stream tests exercise."""
+
+    def _mosaic(self, h, w, bits=14, seed=0):
+        rng = np.random.default_rng(seed)
+        ramp = (
+            np.linspace(600, (1 << bits) - 900, w)[None, :]
+            + np.linspace(0, 400, h)[:, None]
+        )
+        noise = rng.normal(0, 60, (h, w))
+        m = np.clip(ramp + noise, 0, (1 << bits) - 1).astype(np.uint16)
+        m[: h // 5] = 1 << (bits - 3)  # flat region: exercises HF zero runs
+        return m
+
+    @pytest.mark.parametrize("levels", [0, 1, 3])
+    def test_round_trip_exact(self, tmp_path, levels):
+        from raw_fixtures import write_cr3_raw
+
+        p = str(tmp_path / f"l{levels}.cr3")
+        truth = self._mosaic(96, 144, seed=levels)
+        write_cr3_raw(p, truth, levels=levels)
+        raw = read_raw(p)
+        assert raw.cfa_pattern == "RGGB"
+        assert raw.white_level == 16383.0
+        np.testing.assert_array_equal(raw.data, truth)
+        assert raw.metadata.get("EXIF:Model") == "Canon EOS R3"
+
+    @pytest.mark.parametrize("bits", [12, 14, 16])
+    def test_bit_depths(self, tmp_path, bits):
+        from raw_fixtures import write_cr3_raw
+
+        p = str(tmp_path / f"b{bits}.cr3")
+        truth = self._mosaic(64, 96, bits=bits, seed=bits)
+        write_cr3_raw(p, truth, nbits=bits, levels=2)
+        raw = read_raw(p)
+        assert raw.white_level == float((1 << bits) - 1)
+        np.testing.assert_array_equal(raw.data, truth)
+
+    def test_extremes_and_plane_dims_not_multiple_of_levels(self, tmp_path):
+        """All-black / all-white frames (maximum run lengths + wavelet
+        overshoot at the bias edges) and subplane dims that don't divide
+        by 2^levels (odd band splits at every level)."""
+        from raw_fixtures import write_cr3_raw
+
+        for val, name in ((0, "black"), (16383, "white")):
+            p = str(tmp_path / f"{name}.cr3")
+            truth = np.full((62, 90), val, np.uint16)
+            write_cr3_raw(p, truth, levels=3)
+            np.testing.assert_array_equal(read_raw(p).data, truth)
+
+    def test_cfa_layouts(self, tmp_path):
+        from raw_fixtures import write_cr3_raw
+
+        p = str(tmp_path / "gbrg.cr3")
+        truth = self._mosaic(64, 96, seed=9)
+        write_cr3_raw(p, truth, levels=1, cfa_layout=2)
+        raw = read_raw(p)
+        assert raw.cfa_pattern == "GBRG"
+        np.testing.assert_array_equal(raw.data, truth)
+
+    def test_lossy_enc_type_clear_error(self, tmp_path):
+        from raw_fixtures import write_cr3_raw
+
+        p = str(tmp_path / "lossy.cr3")
+        write_cr3_raw(p, self._mosaic(64, 96), levels=3, enc_type=1)
+        with pytest.raises(NotImplementedError, match="lossy"):
+            read_raw(p)
+
+    def test_odd_dims_clear_error(self, tmp_path):
+        from raw_fixtures import crx_sample, write_cr3_raw  # noqa: F401
+
+        # Encoder refuses odd dims; hand-build via an even encode then a
+        # patched CMP1 to claim odd width.
+        p = str(tmp_path / "odd.cr3")
+        write_cr3_raw(p, self._mosaic(64, 96))
+        buf = bytearray(open(p, "rb").read())
+        i = bytes(buf).find(b"CMP1") + 4
+        import struct as _s
+
+        _s.pack_into(">I", buf, i + 8, 95)  # f_width -> odd
+        open(p, "wb").write(bytes(buf))
+        with pytest.raises((NotImplementedError, ValueError)):
+            read_raw(p)
+
+    def test_corrupt_stream_clear_error(self, tmp_path):
+        """Noise in the entropy payload must abort (consumed-bytes
+        cross-check / range guard / unary cap), never return garbage
+        silently."""
+        from raw_fixtures import write_cr3_raw
+
+        p = str(tmp_path / "ok.cr3")
+        write_cr3_raw(p, self._mosaic(96, 144), levels=2)
+        buf = bytearray(open(p, "rb").read())
+        mdat = bytes(buf).find(b"mdat") + 4
+        rng = np.random.default_rng(13)
+        n_errors = 0
+        for trial in range(6):
+            clob = bytearray(buf)
+            off = mdat + 200 + trial * 97
+            clob[off : off + 64] = rng.integers(0, 255, 64, np.uint8).tobytes()
+            p2 = str(tmp_path / f"bad{trial}.cr3")
+            open(p2, "wb").write(bytes(clob))
+            try:
+                out = read_raw(p2)
+                # A decode that survives must at least differ nowhere
+                # dangerous: accept only if it still round-trips the
+                # untouched planes' dims.
+                assert out.data.shape == (96, 144)
+            except (NotImplementedError, ValueError):
+                n_errors += 1
+        assert n_errors >= 4  # the guards catch the vast majority
+
+    def test_truncated_sample_clear_error(self, tmp_path):
+        from raw_fixtures import write_cr3_raw
+
+        p = str(tmp_path / "t.cr3")
+        write_cr3_raw(p, self._mosaic(96, 144), levels=1)
+        buf = open(p, "rb").read()
+        open(p, "wb").write(buf[: len(buf) - len(buf) // 4])
+        with pytest.raises((NotImplementedError, ValueError)):
+            read_raw(p)
+
+    def test_cr3_to_print_smoke(self, tmp_path):
+        from raw_fixtures import write_cr3_raw
+
+        from raw2film_tpu.pipeline.processor import Processor
+
+        p = str(tmp_path / "shot.cr3")
+        write_cr3_raw(p, self._mosaic(96, 128, seed=5), levels=0)
         out = Processor().process(
             p, "Kodak Portra 400", grain=0, half_size=False, max_scale=None
         )

@@ -71,6 +71,11 @@ def _writers(tmp_path):
 
     write_crw_raw(p, m12[:24, :32] % 4096)
     out.append(p)
+    p = str(tmp_path / "n.cr3")  # Canon CRX payload (2-level wavelet)
+    from raw_fixtures import write_cr3_raw
+
+    write_cr3_raw(p, m12[:24, :32], nbits=12, levels=2)
+    out.append(p)
     return out
 
 
