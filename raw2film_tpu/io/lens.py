@@ -98,9 +98,11 @@ def load_profiles(path: str | None = None) -> list[LensProfile]:
     for p in candidates:
         if p and os.path.exists(p):
             profiles.extend(_load_user_db(p, os.path.getmtime(p)))
+    from raw2film_tpu.io.lens_catalog import catalog_profiles
     from raw2film_tpu.io.lens_db import PROFILES as _CURATED
 
     profiles.extend(_CURATED)
+    profiles.extend(catalog_profiles())
     profiles.extend(_BUILTIN_PROFILES)
     return profiles
 
@@ -110,12 +112,20 @@ def _loose(a: str, b: str) -> bool:
     return bool(a) and bool(b) and (a in b or b in a)
 
 
+def _compact(s: str) -> str:
+    """Normalize a lens-model string for matching: case, spaces and the
+    aperture slash vary between a maker's EXIF writer and its catalog name
+    ('EF50mm f/1.8 STM' vs 'EF 50mm f/1.8 STM'; Tamron 'F/2.8' vs 'F2.8')."""
+    return (s or "").lower().replace(" ", "").replace("/", "")
+
+
 def _model_match(profile_model: str, exif_model: str) -> bool:
     """One-directional: the profile's canonical model string must appear in
-    the EXIF LensModel. The reverse direction would let a short generic EXIF
-    string ('35mm F1.4' from a manual lens) claim another maker's profile —
-    a wrong-model guess silently applies someone else's distortion."""
-    a, b = (profile_model or "").lower(), (exif_model or "").lower()
+    the EXIF LensModel (both compacted). The reverse direction would let a
+    short generic EXIF string ('35mm F1.4' from a manual lens) claim another
+    maker's profile — a wrong-model guess silently applies someone else's
+    distortion."""
+    a, b = _compact(profile_model), _compact(exif_model)
     return bool(a) and bool(b) and a in b
 
 

@@ -981,14 +981,14 @@ def make_handler(state: ViewerState):
                     from raw2film_tpu import __version__
                     from raw2film_tpu.data import RAW_EXTENSIONS
                     from raw2film_tpu.film.loader import load_film_stocks
-                    from raw2film_tpu.io.lens_db import PROFILES
+                    from raw2film_tpu.io.lens import load_profiles
 
                     self._json(
                         {
                             "version": __version__,
                             "backend": jax.default_backend(),
                             "stocks": len(load_film_stocks()),
-                            "lenses": len(PROFILES),
+                            "lenses": len(load_profiles()),
                             "formats": len(RAW_EXTENSIONS),
                         }
                     )

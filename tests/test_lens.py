@@ -348,3 +348,76 @@ class TestModelMatchDirection:
         profiles = load_profiles(path="/nonexistent")
         assert find_profile({"EXIF:LensModel": "35mm F1.4"}, profiles) is None
         assert find_profile({"EXIF:LensModel": "50mm"}, profiles) is None
+
+
+class TestLensCatalog:
+    """The vendored extended catalog (io/lens_catalog.py) — the VERDICT-8
+    out-of-the-box breadth target: >=500 total profiles, loose matching
+    against realistic EXIF LensModel strings across makers' conventions,
+    and sane class-derived corrections."""
+
+    def test_total_profile_count_at_least_500(self):
+        from raw2film_tpu.io.lens import load_profiles
+
+        assert len(load_profiles()) >= 500
+
+    def test_no_duplicate_make_model(self):
+        from collections import Counter
+
+        from raw2film_tpu.io.lens import load_profiles
+
+        c = Counter((p.make, p.model) for p in load_profiles())
+        assert not [k for k, v in c.items() if v > 1]
+
+    @pytest.mark.parametrize(
+        "exif,expect_frag",
+        [
+            # Canon writes no space after the mount prefix; catalog names
+            # keep the readable space — compact matching bridges them.
+            ("EF50mm f/1.8 STM", "50mm"),
+            ("RF135mm F1.8 L IS USM", "135mm"),
+            ("EF-S55-250mm f/4-5.6 IS STM", "55-250"),
+            ("XF33mmF1.4 R LM WR", "XF33mm"),
+            ("NIKKOR Z 40mm f/2", "Z 40mm"),
+            ("FE 90mm F2.8 Macro G OSS", "90mm"),
+            # Sigma's EXIF writes the series as "| A"; catalog keeps the
+            # spec prefix only.
+            ("85mm F1.4 DG DN | Art 020", "DG DN"),
+            ("105mm F2.8 DG DN MACRO | Art 020", "105mm"),
+            # Tamron: F/2.8 vs F2.8 slash variance.
+            ("17-70mm F2.8 Di III-A VC RXD B070", "17-70"),
+            ("M.ZUIKO DIGITAL ED 40-150mm F2.8 PRO", "40-150"),
+            ("LUMIX S 20-60mm F3.5-5.6", "20-60"),
+            ("HD PENTAX-DA 16-85mm F3.5-5.6 ED DC WR", "16-85"),
+        ],
+    )
+    def test_loose_match_real_exif_strings(self, exif, expect_frag):
+        from raw2film_tpu.io.lens import find_profile, load_profiles
+
+        p = find_profile({"EXIF:LensModel": exif}, load_profiles())
+        assert p is not None, exif
+        assert expect_frag.lower().replace(" ", "") in p.model.lower().replace(
+            " ", ""
+        ), (exif, p.model)
+
+    def test_catalog_corrections_are_sane(self):
+        """Class-derived k1 within physical bounds, vignetting rows present
+        and negative-leading, zoom distortion barrel-at-wide."""
+        from raw2film_tpu.io.lens_catalog import catalog_profiles
+
+        for p in catalog_profiles():
+            for focal, k1 in p.dist_params:
+                assert -0.08 <= k1 <= 0.02, (p.model, k1)
+            assert p.vig_params, p.model
+            for row in p.vig_params:
+                assert row[2] < 0, (p.model, row)  # k1 of `pa` darkens corners
+            if len(p.dist_params) > 1:  # zoom: wide end more barrel than tele
+                ks = [k for _, k in p.dist_params]
+                assert ks[0] <= ks[-1] + 1e-9, (p.model, ks)
+
+    def test_short_generic_exif_still_matches_nothing(self):
+        """A manual lens reporting just '35mm F1.4' must not claim a
+        catalog profile (one-directional containment preserved)."""
+        from raw2film_tpu.io.lens import find_profile, load_profiles
+
+        assert find_profile({"EXIF:LensModel": "35mm"}, load_profiles()) is None
