@@ -343,8 +343,12 @@ def read_raw_payload(buf: bytes, path: str):
         mosaic = mosaic[: cmp1.f_height, : cmp1.f_width]
         cfa = _CFA_LAYOUTS.get(cmp1.cfa_layout, "RGGB")
     else:
-        mosaic = planes[0][: cmp1.f_height, : cmp1.f_width]
-        cfa = None
+        # Single-plane CRX (monochrome CRM-style): decode as a CFA-less
+        # mosaic is NOT meaningful downstream (RawImage's linear branch
+        # expects (H, W, C)); no stills camera writes it, so error clearly.
+        raise NotImplementedError(
+            f"{path}: single-plane CRX streams are not supported"
+        )
     meta = extract_metadata(buf)
     meta.setdefault("EXIF:Make", "Canon")
     return RawImage(

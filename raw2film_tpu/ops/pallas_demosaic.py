@@ -163,11 +163,36 @@ def _demosaic_kernel(
                 )
 
 
+def _demosaic_vmem_ok(th, w, chunk, budget=14_000_000):
+    """Round-4 v5e calibration at 45MP (benchmarks/demosaic_sweep.py):
+    (48, 1024) estimates ~13.0M, compiles, and runs 3.58 ms vs 5.16 for the
+    round-3 tile 32; (72, 1024) ~19M and (48, 2048) hard-fail the remote
+    compile. The model: double-buffered cur/out blocks + halo bands +
+    scratch."""
+    if chunk > 1024:
+        # (48, 2048) failed the remote compile despite a ~13M model
+        # estimate — Mosaic's scoped accounting for the wide scratch is not
+        # captured by this model; stay inside the measured region.
+        return False
+    cur = th * w * 4 * 2
+    out = 3 * th * w * 4 * 2
+    halos = 2 * R * w * 4 * 2
+    scratch = (th + 2 * R) * (chunk + 2 * R) * 4
+    return cur + out + halos + scratch <= budget
+
+
+def _demosaic_tile(h, w, chunk):
+    for t in (48, 32):
+        if h % t == 0 and h > 2 * t and _demosaic_vmem_ok(t, w, chunk):
+            return t
+    return 32
+
+
 def demosaic_mhc_pallas(
     mosaic: jnp.ndarray,
     ry: int,
     rx: int,
-    tile_h: int = 32,
+    tile_h: int | None = None,
     chunk: int = 1024,
     interpret: bool = False,
     mat: jnp.ndarray | None = None,
@@ -179,7 +204,7 @@ def demosaic_mhc_pallas(
     returns max(mat @ clip01(rgb), 0) (the chain's exposure image) instead of
     the raw RGB."""
     h, w = mosaic.shape
-    th = tile_h
+    th = tile_h if tile_h is not None else _demosaic_tile(h, w, chunk)
     if h % th != 0 or h <= 2 * th or w <= chunk + R:
         return None
     nh = h // th

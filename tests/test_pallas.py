@@ -496,6 +496,21 @@ class TestAutoTileChooser:
         assert not _mega_vmem_ok(72, 8208, 256, 4, 13, 13, budget=13_000_000)
         assert not _mega_vmem_ok(96, 8208, 256, 4, 13, 13, budget=13_000_000)
 
+    def test_demosaic_45mp_tile_record(self):
+        """Round-4 on-chip record (benchmarks/demosaic_sweep.py): tile 48 at
+        (45MP, chunk 1024) runs 3.58 ms vs 5.16 for tile 32; tile 72 and
+        chunk 2048 hard-fail the compile. The chooser must pick 48 at the
+        production shape and reject the measured-failing configs."""
+        from raw2film_tpu.ops.pallas_demosaic import (
+            _demosaic_tile,
+            _demosaic_vmem_ok,
+        )
+
+        assert _demosaic_tile(5472, 8208, 1024) == 48
+        assert _demosaic_vmem_ok(48, 8208, 1024)
+        assert not _demosaic_vmem_ok(72, 8208, 1024)
+        assert not _demosaic_vmem_ok(48, 8208, 2048)
+
     def test_mtf_grain_mega_45mp_tile_record(self):
         """Pin the MTF+grain mega chooser to the round-4 on-chip sweep
         (v5e, 45MP, benchmarks/mtf_sweep.py): (96, 256) measured 5.68 ms
