@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from raw2film_tpu.film.grain import ISO_APERTURE_UM
 from raw2film_tpu.ops import conv as convops
+from raw2film_tpu.ops import fastmath as fm
 
 
 def correlation_sigma_px(
@@ -78,7 +79,7 @@ def grain_amplitude_device(
     (:mod:`raw2film_tpu.film.grain`)."""
     rng = max(float(d_hi - d_lo), 1e-3)
     t = (density - d_lo) / rng
-    shape = floor + (1 - floor) * jnp.exp(
+    shape = floor + (1 - floor) * fm.expe(
         -0.5 * ((t - peak_density / rng * 0.5 - 0.25) / (width * 0.35)) ** 2
     )
     pixel_um = 1000.0 / scale

@@ -22,6 +22,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from raw2film_tpu.ops import fastmath as fm
+
 SUBLANE = 8
 
 
@@ -63,7 +65,8 @@ def _gauss_pair_boxmuller(u_bits, v_bits):
 
     u1 = jnp.maximum(to_unit(u_bits), np.float32(1e-7))
     u2 = to_unit(v_bits)
-    r = jnp.sqrt(np.float32(-2.0) * jnp.log(u1))
+    # log in base-2 form (ops/fastmath.py): -2*ln(u1) = -2*ln2*log2(u1).
+    r = jnp.sqrt(np.float32(-2.0 * np.log(2.0)) * jnp.log2(u1))
     return r * jnp.cos(np.float32(2.0 * np.pi) * u2)
 
 
@@ -197,7 +200,9 @@ def grain_amplitude_block(d, prm_ref):
     lo = prm_ref[4]
     inv_rng = prm_ref[5]
     t = (d - lo) * inv_rng
-    shape = floor + (np.float32(1.0) - floor) * jnp.exp(
+    # exp in base-2 form (ops/fastmath.py) — matches the jnp fallback
+    # (ops/grain.py grain_amplitude) expression-for-expression.
+    shape = floor + (np.float32(1.0) - floor) * fm.expe(
         np.float32(-0.5) * ((t - peak_half - np.float32(0.25)) * inv_width) ** 2
     )
     return rms_eff * shape
@@ -382,7 +387,7 @@ def _grain_apply_bw_kernel(seed_ref, prm_ref, d_ref, o_ref, *, taps, th, w, chun
 
         def shape_of(d):
             t = (d - lo) * inv_rng
-            return floor + (np.float32(1.0) - floor) * jnp.exp(
+            return floor + (np.float32(1.0) - floor) * fm.expe(
                 np.float32(-0.5)
                 * ((t - peak_half - np.float32(0.25)) * inv_width) ** 2
             )

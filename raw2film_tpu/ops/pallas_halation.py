@@ -36,6 +36,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from raw2film_tpu.ops import fastmath as fm
 from raw2film_tpu.ops.pallas_conv2 import _band_matrix, _chunks
 from raw2film_tpu.ops.pallas_pyramid import _lerp_matrix
 
@@ -200,18 +201,12 @@ def _mega_kernel(
             x_s = dev_ref[10 + ch]
             w_t = dev_ref[13 + ch]
             w_s = dev_ref[16 + ch]
-            x = jnp.log(
-                jnp.maximum(combined + flare, np.float32(1e-6))
-            ) * np.float32(1.0 / np.log(10.0))
-
-            def softp(u, wdt):
-                t = u * (np.float32(1.0) / wdt)
-                return wdt * (
-                    jnp.maximum(t, np.float32(0.0))
-                    + jnp.log1p(jnp.exp(-jnp.abs(t)))
-                )
-
-            combined = dmin + gam * (softp(x - x_t, w_t) - softp(x - x_s, w_s))
+            # exp2/log2 forms: see ops/fastmath.py (any jnp.power/exp/log1p
+            # left in a kernel measures ~15% slower on v5e).
+            x = fm.log10(jnp.maximum(combined + flare, np.float32(1e-6)))
+            combined = dmin + gam * (
+                fm.softplus(x - x_t, w_t) - fm.softplus(x - x_s, w_s)
+            )
         o_ref[0, :, c0 : c0 + cw] = combined
 
 

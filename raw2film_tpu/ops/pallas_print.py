@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from raw2film_tpu.film.transfer import encode
+from raw2film_tpu.ops import fastmath as fm
 
 # SMEM parameter-vector layout (f32[60]):
 #   [0:9]   A            print density->log-exposure matrix, row-major
@@ -77,11 +77,10 @@ def pack_print_vec(bundle: dict) -> jnp.ndarray:
     )
 
 
-def _softp(u, w):
-    t = u * (np.float32(1.0) / w)
-    return w * (
-        jnp.maximum(t, np.float32(0.0)) + jnp.log1p(jnp.exp(-jnp.abs(t)))
-    )
+# All transcendentals in exp2/log2 form: any jnp.power left in the kernel
+# costs ~15% (benchmarks/tail_variants.py — 8.90 -> 7.74 ms at 45MP only
+# when every pow/exp/log1p is rewritten; partial rewrites measure flat).
+_softp = fm.softplus
 
 
 def _kernel(
@@ -135,9 +134,7 @@ def _kernel(
         vd = [
             q - P(42) * _softp(q - P(43), np.float32(0.35)) for q in vd
         ]
-    lin = [
-        jnp.power(np.float32(10.0), -(vd[c] + P(44 + c))) for c in range(3)
-    ]
+    lin = [fm.pow10(-(vd[c] + P(44 + c))) for c in range(3)]
     rgb = [
         (
             P(47 + 3 * c) * lin[0]
@@ -155,7 +152,7 @@ def _kernel(
         )
         rgb = [luma + P(59) * (q - luma) for q in rgb]
     for c in range(3):
-        q = encode(jnp.clip(rgb[c], 0.0, 1.0), gamma, jnp)
+        q = fm.encode(rgb[c], gamma)
         if quantize:
             # Mosaic has no f32->u8 cast; round through i32 (exact for 0..255).
             q = jnp.round(q * np.float32(255.0)).astype(jnp.int32).astype(
@@ -175,6 +172,7 @@ def print_encode_pallas(
     tile_h: int | str = "auto",
     interpret: bool = False,
     burn: tuple | None = None,
+    vmem_budget: int = 12_500_000,
 ) -> jnp.ndarray | None:
     """(3, H, W) density -> encoded (3, H, W) uint8 (or float when
     ``quantize`` is False) in one Pallas pass. Returns None when the shape
@@ -207,7 +205,7 @@ def print_encode_pallas(
         (3 * th * w * 4) * 2
         + (3 * th * w * (1 if quantize else 4)) * 2
         + burn_bytes
-        > 12_500_000
+        > vmem_budget
     ):
         return None
     out_dtype = jnp.uint8 if quantize else d.dtype

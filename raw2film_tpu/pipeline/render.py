@@ -34,10 +34,10 @@ import jax.numpy as jnp
 from raw2film_tpu.config import LOG10_EPS
 from raw2film_tpu.film import chain as fchain
 from raw2film_tpu.film.stock import FilmStock
-from raw2film_tpu.film.transfer import encode
 from raw2film_tpu.ops import (
     burn as burn_ops,
     chroma_nr as nr_ops,
+    fastmath as fm,
     grain as grain_ops,
     halation as hal_ops,
     mtf as mtf_ops,
@@ -134,9 +134,10 @@ def make_film_bundle(
 # ---------------------------------------------------------------- pieces
 
 
-def _softplus(u, w):
-    t = u / w
-    return w * (jnp.maximum(t, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(t))))
+# exp2/log2 transcendental forms, shared with the Pallas kernels so the
+# staged XLA formulation and the fused kernels stay expression-identical
+# (ops/fastmath.py documents the measured ~15% VPU win).
+_softplus = fm.softplus
 
 
 def _hd_density(log_e, curve):
@@ -258,7 +259,7 @@ def render_chain(
     if d is None:
         # Development: log exposure -> status densities (+ masking coupling).
         xp = tuple(
-            jnp.log10(jnp.maximum(ep[c] + bundle["flare"], LOG10_EPS))
+            fm.log10(jnp.maximum(ep[c] + bundle["flare"], LOG10_EPS))
             for c in range(3)
         )
         dm = jnp.reshape(bundle["d_min"], (3, -1))
@@ -353,7 +354,7 @@ def render_chain(
                 row_offset=grain_row_offset,
             )
             t = (d - d_lo) / rng
-            shape = floor + (1 - floor) * jnp.exp(
+            shape = floor + (1 - floor) * fm.expe(
                 -0.5 * ((t - peak / rng * 0.5 - 0.25) / (width * 0.35)) ** 2
             )
             amp = rms_eff * shape
@@ -432,9 +433,7 @@ def _print_tail(d: Array, bundle: dict, cfg: RenderConfig) -> Array:
             for q in vd
         )
     vdo = jnp.reshape(bundle["vd_offset"], (3, -1))
-    lin = tuple(
-        jnp.power(10.0, -(vd[c] + vdo[c, 0])) for c in range(3)
-    )
+    lin = tuple(fm.pow10(-(vd[c] + vdo[c, 0])) for c in range(3))
 
     # Output encode.
     wg = jnp.reshape(bundle["white_gain"], (3, -1))
@@ -444,8 +443,7 @@ def _print_tail(d: Array, bundle: dict, cfg: RenderConfig) -> Array:
     if not cfg.sat_neutral:
         luma = 0.2126 * rgbp[0] + 0.7152 * rgbp[1] + 0.0722 * rgbp[2]
         rgbp = tuple(luma + bundle["sat"] * (q - luma) for q in rgbp)
-    rgbp = tuple(jnp.clip(q, 0.0, 1.0) for q in rgbp)
-    rgb = jnp.stack([encode(q, cfg.gamma_func, jnp) for q in rgbp])
+    rgb = jnp.stack([fm.encode(q, cfg.gamma_func) for q in rgbp])
     if cfg.icc:
         # ICC display/softproof baked into a CP-factored LUT, applied in
         # float BEFORE quantization (reference: cpu_processor.py:255-263).

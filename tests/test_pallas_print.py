@@ -94,9 +94,10 @@ def test_print_kernel_matches_planes_tail(case, quantize):
         assert np.abs(got.astype(np.int16) - ref.astype(np.int16)).max() <= 1
         assert (got != ref).mean() < 1e-3
     else:
-        # Same math modulo mul-add association / pow lowering: observed
-        # max |diff| 1.8e-5, ~2% of one 8-bit code.
-        np.testing.assert_allclose(got, ref, atol=1e-4)
+        # Same math modulo mul-add association / exp2-log2 lowering
+        # (ops/fastmath.py): observed max |diff| 1.1e-4, ~5% of one
+        # 8-bit code (half-code would be ~2e-3).
+        np.testing.assert_allclose(got, ref, atol=2.5e-4)
 
 
 def test_burn_smallmap_matrices_match_staged_upsample():
