@@ -18,6 +18,9 @@ implements:
   is either coded directly (``imageLevels == 0``, the lossless "RAW"
   setting) or through an integer LeGall 5/3 wavelet with ``imageLevels``
   decomposition levels whose subbands are coded independently;
+* the lossy "CRAW" setting quantizes the detail subbands: each 0xFF03
+  record carries a qparam selecting a geometric step (six steps per
+  octave — see ``q_num``/``dequantize``); the LL band stays exact;
 * subband entropy coding is adaptive Golomb-Rice (unary zero prefix with
   an escape to a 21-bit raw value, per-sample K adaptation) with a
   zero-run mode for the sparse high-frequency bands; the LL band / level-0
@@ -206,6 +209,36 @@ def _idwt53_1d(s: np.ndarray, d: np.ndarray, axis: int, n: int) -> np.ndarray:
     return np.moveaxis(x, 0, axis)
 
 
+# Quantizer for lossy (CRAW) subbands: six geometric steps per octave
+# (ratio 2^(1/6)) in fixed point over denominator 40 — the step layout the
+# public CRX reverse engineering reports for Canon's CRAW quantizer
+# (numerators 0x28 0x2D 0x33 0x39 0x40 0x48). The step for a record's
+# qparam is num(qp)/40 with num(qp) = _Q_TBL[qp % 6] << (qp // 6), so
+# qp=0 -> exact, qp=6 -> x2, qp=12 -> x4. Signed rounding rules (shared
+# with the synthetic encoder in tests/raw_fixtures.py, r2f-normative —
+# as with the rest of this module, real-camera validation is pending):
+#   encode: c  = sign(v) * ((|v| * 40 + num // 2) // num)
+#   decode: v' = sign(c) * ((|c| * num + 20) // 40)
+_Q_TBL = (40, 45, 51, 57, 64, 72)
+_Q_DEN = 40
+
+
+def q_num(qp: int) -> int:
+    """Fixed-point quantizer-step numerator (denominator _Q_DEN)."""
+    if qp <= 0:
+        return _Q_DEN
+    return _Q_TBL[qp % 6] << (qp // 6)
+
+
+def dequantize(band, qp: int):
+    """Dequantize a decoded subband (int array) per the scheme above."""
+    if qp <= 0:
+        return band
+    num = q_num(qp)
+    mag = (np.abs(band) * num + _Q_DEN // 2) // _Q_DEN
+    return np.sign(band) * mag
+
+
 def _band_dims(h: int, w: int, levels: int):
     """Per-level (h, w) of the LL input at each decomposition step."""
     dims = [(h, w)]
@@ -243,9 +276,9 @@ def read_raw_payload(buf: bytes, path: str):
     cmp1 = Cmp1(cmp1_raw)
     if cmp1.enc_type not in (0,):
         raise NotImplementedError(
-            f"{path}: CRX encType {cmp1.enc_type} (lossy CRAW) is not "
-            "supported — only the lossless RAW setting decodes; convert to "
-            "DNG"
+            f"{path}: CRX encType {cmp1.enc_type} is not supported — only "
+            "the baseline wavelet/Rice codec (encType 0) decodes; convert "
+            "to DNG"
         )
     sample = buf[off : off + size]
     records = parse_mdat_records(sample, 0, min(cmp1.mdat_hdr_size, len(sample)))
@@ -262,9 +295,12 @@ def read_raw_payload(buf: bytes, path: str):
             f"{cmp1.n_planes} planes x {bands_per_plane}; this layout "
             "variant is not supported — convert to DNG"
         )
-    if any(q for (_, _, _, q) in band_recs):
+    lossy = any(q for (_, _, _, q) in band_recs)
+    if lossy and cmp1.image_levels == 0:
+        # Level-0 streams DPCM-code sample values, not wavelet
+        # coefficients; a quantized DPCM band has no published analog.
         raise NotImplementedError(
-            f"{path}: quantized (lossy) CRX subbands are not supported; "
+            f"{path}: quantized level-0 CRX planes are not supported; "
             "convert to DNG"
         )
 
@@ -287,7 +323,14 @@ def read_raw_payload(buf: bytes, path: str):
     ri = 0
     for _p in range(cmp1.n_planes):
         # Band order: LL (coarsest), then (hl, lh, hh) coarsest -> finest.
-        _, dsz, _, _ = band_recs[ri]
+        _, dsz, _, llq = band_recs[ri]
+        if llq:
+            # Keeping DC exact: a quantized DPCM-coded LL band has no
+            # published analog (CRAW quantizes the detail bands).
+            raise NotImplementedError(
+                f"{path}: quantized CRX LL bands are not supported; "
+                "convert to DNG"
+            )
         llh, llw = dims[-1]
         ll = _decode_band_native(
             sample[pos : pos + dsz], llw, llh, ll_bits, True
@@ -307,7 +350,7 @@ def read_raw_payload(buf: bytes, path: str):
             hh_shape = (th - (th + 1) // 2, tw - lw)
             tri = []
             for bh, bw in (hl_shape, lh_shape, hh_shape):
-                _, dsz, _, _ = band_recs[ri]
+                _, dsz, _, bq = band_recs[ri]
                 if bh == 0 or bw == 0:
                     band = np.zeros((bh, bw), np.int64)
                 else:
@@ -316,7 +359,7 @@ def read_raw_payload(buf: bytes, path: str):
                     )
                 pos += dsz
                 ri += 1
-                tri.append(band.astype(np.int64))
+                tri.append(dequantize(band.astype(np.int64), bq))
             highs.append(tuple(tri))
         if cmp1.image_levels:
             plane = _reconstruct(ll.astype(np.int64), highs, ph, pw)
@@ -325,7 +368,13 @@ def read_raw_payload(buf: bytes, path: str):
         if plane.shape != (ph, pw):
             raise ValueError("CRX: reconstructed plane shape mismatch")
         lo, hi = int(plane.min()), int(plane.max())
-        if lo < 0 or hi >= (1 << cmp1.n_bits):
+        top = 1 << cmp1.n_bits
+        if lossy and -top <= lo and hi < 2 * top:
+            # Quantization error can push the reconstruction slightly past
+            # the sensor range (the encoder saw in-range values): clip, but
+            # keep the mis-parse guard for egregious overshoot below.
+            plane = np.clip(plane, 0, top - 1)
+        elif lo < 0 or hi >= top:
             raise NotImplementedError(
                 f"{path}: CRX bitstream did not decode cleanly (values "
                 f"[{lo}, {hi}] outside {cmp1.n_bits}-bit range); the "

@@ -1842,13 +1842,28 @@ def crx_forward(plane: np.ndarray, levels: int):
     return cur, highs[::-1]  # coarsest first
 
 
-def crx_sample(mosaic: np.ndarray, nbits: int, levels: int):
+def crx_quantize(band: np.ndarray, qp: int) -> np.ndarray:
+    """Forward quantizer matching io/crx.py::dequantize (r2f-normative):
+    c = sign(v) * ((|v| * 40 + num // 2) // num), num = q_num(qp)."""
+    from raw2film_tpu.io.crx import _Q_DEN, q_num
+
+    if qp <= 0:
+        return band
+    num = q_num(qp)
+    mag = (np.abs(band) * _Q_DEN + num // 2) // num
+    return np.sign(band) * mag
+
+
+def crx_sample(mosaic: np.ndarray, nbits: int, levels: int, qparam: int = 0):
     """-> (mdat sample bytes, record-run size): tile/plane/subband record
     run + entropy payloads. Wavelet LL bands carry a +2^(nbits+1) bias and
     4 bits of headroom (the integer 5/3 lowpass can overshoot [0, 2^nbits)
-    slightly) — mirrored by io/crx.py's decode."""
+    slightly) — mirrored by io/crx.py's decode. ``qparam`` > 0 quantizes
+    the HF subbands (lossy CRAW; LL stays exact) and is declared in each
+    0xFF03 record."""
     h, w = mosaic.shape
     assert h % 2 == 0 and w % 2 == 0, "CRX subplanes need even dims"
+    assert qparam == 0 or levels > 0, "quantization needs wavelet bands"
     planes = [
         mosaic[0::2, 0::2],
         mosaic[0::2, 1::2],
@@ -1856,32 +1871,35 @@ def crx_sample(mosaic: np.ndarray, nbits: int, levels: int):
         mosaic[1::2, 1::2],
     ]
     payloads = []
-    band_sizes = []  # per plane: list of band byte sizes
+    band_sizes = []  # per plane: list of (band byte size, qparam)
     for p in planes:
         sizes = []
         if levels:
             ll, highs = crx_forward(p, levels)
             chunks = [
-                crx_encode_dpcm(ll + (1 << (nbits + 1)), nbits + 4)
+                (crx_encode_dpcm(ll + (1 << (nbits + 1)), nbits + 4), 0)
             ]
             for hl, lh, hh in highs:
                 for band in (hl, lh, hh):
+                    band = crx_quantize(band, qparam)
                     chunks.append(
-                        crx_encode_hf(band) if band.size else b""
+                        (crx_encode_hf(band) if band.size else b"", qparam)
                     )
         else:
-            chunks = [crx_encode_dpcm(p, nbits)]
-        for c in chunks:
+            chunks = [(crx_encode_dpcm(p, nbits), 0)]
+        for c, q in chunks:
             payloads.append(c)
-            sizes.append(len(c))
+            sizes.append((len(c), q))
         band_sizes.append(sizes)
     records = bytearray()
     total = sum(len(c) for c in payloads)
     records += struct.pack(">HHIHH", 0xFF01, 12, total, 0, 0)
     for pi, sizes in enumerate(band_sizes):
-        records += struct.pack(">HHIHH", 0xFF02, 12, sum(sizes), pi, 0)
-        for bi, sz in enumerate(sizes):
-            records += struct.pack(">HHIHH", 0xFF03, 12, sz, bi, 0)
+        records += struct.pack(
+            ">HHIHH", 0xFF02, 12, sum(sz for sz, _ in sizes), pi, 0
+        )
+        for bi, (sz, q) in enumerate(sizes):
+            records += struct.pack(">HHIHBB", 0xFF03, 12, sz, bi, q, 0)
     return bytes(records) + b"".join(payloads), len(records)
 
 
@@ -1895,11 +1913,12 @@ def write_cr3_raw(
     enc_type: int = 0,
     cfa_layout: int = 0,
     preview_jpeg: bytes | None = None,
+    qparam: int = 0,
 ):
     """Full CR3 with a CRAW raw track (CMP1 + mdat CRX payload) plus the
     browsing boxes (CMT1 EXIF, optional PRVW preview)."""
     h, w = mosaic.shape
-    sample, hdr_size = crx_sample(mosaic, nbits, levels)
+    sample, hdr_size = crx_sample(mosaic, nbits, levels, qparam=qparam)
     cmp1 = (
         struct.pack(">HHHHIIII", 0, 48, 0x100, 0, w, h, w, h)
         + bytes([nbits, (4 << 4) | cfa_layout, (enc_type << 4) | levels, 0])

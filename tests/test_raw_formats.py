@@ -1176,13 +1176,87 @@ class TestCRXDecode:
         assert raw.cfa_pattern == "GBRG"
         np.testing.assert_array_equal(raw.data, truth)
 
-    def test_lossy_enc_type_clear_error(self, tmp_path):
+    def test_nonbaseline_enc_type_clear_error(self, tmp_path):
         from raw_fixtures import write_cr3_raw
 
-        p = str(tmp_path / "lossy.cr3")
+        p = str(tmp_path / "enc1.cr3")
         write_cr3_raw(p, self._mosaic(64, 96), levels=3, enc_type=1)
-        with pytest.raises(NotImplementedError, match="lossy"):
+        with pytest.raises(NotImplementedError, match="encType"):
             read_raw(p)
+
+    @pytest.mark.parametrize("qp", [1, 6, 12])
+    def test_lossy_round_trip_bounded(self, tmp_path, qp):
+        """Quantized (lossy CRAW) subbands: decode error is bounded by the
+        quantizer step (num(qp)/40 per HF coefficient, amplified by at most
+        the 5/3 synthesis gain per level), the stream is smaller than the
+        lossless encode, and the LL band keeps the DC exact (flat regions
+        reconstruct exactly)."""
+        from raw2film_tpu.io.crx import _Q_DEN, q_num
+
+        from raw_fixtures import write_cr3_raw
+
+        truth = self._mosaic(96, 144, seed=40 + qp)
+        p0 = str(tmp_path / "lossless.cr3")
+        write_cr3_raw(p0, truth, levels=3, qparam=0)
+        p = str(tmp_path / f"q{qp}.cr3")
+        write_cr3_raw(p, truth, levels=3, qparam=qp)
+
+        raw = read_raw(p)
+        err = raw.data.astype(np.int64) - truth.astype(np.int64)
+        # Per-coefficient quantization error <= step/2; three levels of 5/3
+        # synthesis (gain <= 1.5 per axis pair) bound the pixel error well
+        # under 8 steps — observed max is ~2 steps.
+        step = q_num(qp) / _Q_DEN
+        assert np.abs(err).max() <= 8 * step
+        assert np.abs(err).mean() <= step
+        assert (
+            (tmp_path / f"q{qp}.cr3").stat().st_size
+            < (tmp_path / "lossless.cr3").stat().st_size
+        )
+
+    def test_lossy_quantized_ll_clear_error(self, tmp_path):
+        """A qparam on the DPCM-coded LL record (no published analog —
+        CRAW quantizes the detail bands) must abort clearly."""
+        from raw_fixtures import write_cr3_raw
+
+        p = str(tmp_path / "llq.cr3")
+        write_cr3_raw(p, self._mosaic(64, 96), levels=2, qparam=3)
+        buf = bytearray(open(p, "rb").read())
+        # Record run starts at the mdat payload: FF01 (12 B), then per
+        # plane FF02 (12 B) + FF03 LL first. Patch plane 0's LL qparam.
+        mdat = bytes(buf).find(b"mdat") + 4
+        assert buf[mdat + 24 : mdat + 26] == b"\xff\x03"
+        buf[mdat + 24 + 10] = 3
+        open(p, "wb").write(bytes(buf))
+        with pytest.raises(NotImplementedError, match="LL"):
+            read_raw(p)
+
+    def test_lossy_quantized_level0_clear_error(self, tmp_path):
+        """qparam on a level-0 (DPCM plane) stream must abort clearly."""
+        from raw_fixtures import write_cr3_raw
+
+        p = str(tmp_path / "l0q.cr3")
+        write_cr3_raw(p, self._mosaic(64, 96), levels=0)
+        buf = bytearray(open(p, "rb").read())
+        mdat = bytes(buf).find(b"mdat") + 4
+        # FF01, then plane 0's FF02 + its single FF03 band record.
+        assert buf[mdat + 24 : mdat + 26] == b"\xff\x03"
+        buf[mdat + 24 + 10] = 5
+        open(p, "wb").write(bytes(buf))
+        with pytest.raises(NotImplementedError, match="level-0"):
+            read_raw(p)
+
+    def test_lossy_to_print_smoke(self, tmp_path):
+        from raw_fixtures import write_cr3_raw
+
+        from raw2film_tpu.pipeline.processor import Processor
+
+        p = str(tmp_path / "craw.cr3")
+        write_cr3_raw(p, self._mosaic(96, 128, seed=5), levels=3, qparam=6)
+        out = Processor().process(
+            p, "Kodak Portra 400", grain=0, half_size=False, max_scale=None
+        )
+        assert out.dtype == np.uint8 and out.shape[2] == 3
 
     def test_odd_dims_clear_error(self, tmp_path):
         from raw_fixtures import crx_sample, write_cr3_raw  # noqa: F401
