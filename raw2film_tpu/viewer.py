@@ -355,6 +355,33 @@ class ViewerState:
             self.files = [f for i, f in enumerate(self.files) if i not in drop]
         return len(drop)
 
+    def delete_images(self, indices: list[int]) -> int:
+        """PERMANENTLY remove the selected files from disk and drop them
+        from the session — the reference's "Delete selected images"
+        (Shift+Del) action (src/raw2film/gui.py:394-396, 1738-1754). The
+        HTTP layer only reaches this after the client's double
+        confirmation; stored params for the deleted names are dropped from
+        the sidecar too. Returns the number of files actually removed."""
+        drop = {i for i in indices if 0 <= i < len(self.files)}
+        removed = 0
+        with self._state_lock:
+            keep = []
+            for i, f in enumerate(self.files):
+                if i not in drop:
+                    keep.append(f)
+                    continue
+                try:
+                    os.remove(f)
+                    removed += 1
+                except OSError:
+                    keep.append(f)  # kept in session: deletion failed
+                    continue
+                self.image_params.pop(os.path.basename(f), None)
+                self._thumb_cache.pop(f, None)
+            self.files = keep
+            self._persist()
+        return removed
+
     def set_icc(
         self,
         softproof: str | None = None,
@@ -567,6 +594,7 @@ input[type=text],input:not([type]){width:100%;background:var(--input);color:var(
  <button id="copyall">copy settings to all</button>
  <div class="row"><button id="resetimg">reset image</button><button id="resetall">reset all</button></div>
  <button id="closesel">close selected (keep files)</button>
+ <button id="delsel" style="color:var(--danger,#c33)">delete selected files…</button>
  <div id="note"></div>
  <div id="err"></div>
 </div>
@@ -789,6 +817,15 @@ async function init(){
   if(!batchSel.size){$("note").textContent="ctrl/⌘-click thumbnails to select images first";return;}
   if(!confirm("Close "+batchSel.size+" selected image(s)? Files stay on disk."))return;
   await fetch("/api/close",{method:"POST",body:JSON.stringify({indices:[...batchSel]})});
+  location.reload();
+ };
+ $("delsel").onclick=async()=>{ // reference Shift+Del (gui.py:394-396): double-confirmed
+  if(!batchSel.size){$("note").textContent="ctrl/⌘-click thumbnails to select images first";return;}
+  if(!confirm("Delete "+batchSel.size+" image file(s) PERMANENTLY from disk?"))return;
+  if(prompt("This cannot be undone. Type delete to confirm:")!=="delete")return;
+  const r=await (await fetch("/api/delete",{method:"POST",
+   body:JSON.stringify({indices:[...batchSel],confirm:"delete"})})).json();
+  $("note").textContent=(r.deleted||0)+" file(s) deleted";
   location.reload();
  };
  $("delprof").onclick=async()=>{
@@ -1048,6 +1085,15 @@ def make_handler(state: ViewerState):
                         [int(i) for i in doc.get("indices") or []]
                     )
                     self._json({"ok": True, "removed": n})
+                elif u.path == "/api/delete":
+                    if doc.get("confirm") != "delete":
+                        raise RuntimeError(
+                            "destructive: pass confirm='delete'"
+                        )
+                    n = state.delete_images(
+                        [int(i) for i in doc.get("indices") or []]
+                    )
+                    self._json({"ok": True, "deleted": n})
                 elif u.path == "/api/copy_settings":
                     state.copy_settings_to_all(int(doc.get("i", 0)))
                     self._json({"ok": True})

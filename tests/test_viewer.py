@@ -3,6 +3,7 @@
 import json
 import os
 import threading
+import urllib.error
 import urllib.request
 from http.server import ThreadingHTTPServer
 
@@ -384,6 +385,28 @@ class TestViewer:
         # Thumb index 0 now serves the remaining image.
         code, _, _ = _get(base + "/api/thumb/0")
         assert code == 200
+
+    def test_delete_selected_files(self, server):
+        """/api/delete PERMANENTLY removes the selected files from disk and
+        drops their stored params (the reference's Delete-selected-images
+        Shift+Del action, gui.py:394-396, 1738-1754)."""
+        base, state, folder = server
+        _post(base + "/api/params", {"i": 0, "params": {"exp_comp": 1.0}, "norender": True})
+        out = _post(base + "/api/delete", {"indices": [0], "confirm": "delete"})
+        assert out["ok"] and out["deleted"] == 1
+        assert not os.path.exists(os.path.join(folder, "a.dng"))
+        assert os.path.exists(os.path.join(folder, "b.dng"))
+        _, _, body = _get(base + "/api/images")
+        assert json.loads(body)["files"] == ["b.dng"]
+        assert "a.dng" not in state.image_params  # sidecar entry dropped
+
+    def test_delete_requires_confirmation_token(self, server):
+        """The destructive route refuses without the client's explicit
+        confirm token (the HTTP analog of the reference's QMessageBox)."""
+        base, state, folder = server
+        with pytest.raises(urllib.error.HTTPError):
+            _post(base + "/api/delete", {"indices": [0]})
+        assert os.path.exists(os.path.join(folder, "a.dng"))
 
     def test_icc_intent_round_trip(self, server, tmp_path):
         """The rendering-intent selection persists through /api/icc (the
