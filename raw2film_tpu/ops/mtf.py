@@ -22,8 +22,19 @@ from raw2film_tpu.ops import conv as convops
 KERNEL_SIZE_MM = 0.1  # spatial support of the MTF kernel (reference: effects.py:161)
 
 
-def mtf_kernel_layer(logf: np.ndarray, vals: np.ndarray, scale: float) -> np.ndarray:
-    """Host: one channel's spatial kernel from tabulated (log1p f, MTF)."""
+def mtf_kernel_layer(
+    logf: np.ndarray, vals: np.ndarray, scale: float, signed: bool = False
+) -> np.ndarray:
+    """Host: one channel's spatial kernel from tabulated (log1p f, MTF).
+
+    ``signed=False`` reproduces the reference construction exactly,
+    including its np.abs() rectification of the inverse FFT (reference:
+    src/raw2film/effects.py:139-141) — which destroys the negative lobes
+    the adjacency-effect bump needs and softens the kernel's measured
+    MTF-50 to 0.45-0.85 of the tabulated figure (pinned in
+    tests/test_film_science.py::TestDatasheetAnchors). ``signed=True`` is
+    the r2f fidelity mode (``mtf_fidelity`` param): keep the real part's
+    sign so the built kernel's response tracks the tabulated curve."""
     pixel_size_mm = 1.0 / scale
     n = round(KERNEL_SIZE_MM / pixel_size_mm)
     if n % 2 == 0:
@@ -32,7 +43,8 @@ def mtf_kernel_layer(logf: np.ndarray, vals: np.ndarray, scale: float) -> np.nda
     fx = np.fft.fftfreq(n, d=pixel_size_mm)
     f = np.sqrt(fx[:, None] ** 2 + fx[None, :] ** 2)
     h = np.interp(np.log1p(f), logf, vals, left=1.0, right=0.0)
-    k = np.fft.fftshift(np.abs(np.fft.ifft2(h)))
+    ks = np.fft.ifft2(h).real
+    k = np.fft.fftshift(ks if signed else np.abs(ks))
     return (k / k.sum()).astype(np.float32)
 
 
@@ -42,12 +54,14 @@ def mtf_kernel(
     scale: float,
     sharpening_strength: float = 0.0,
     sharpening_sigma: float = 1.0,
+    signed: bool = False,
 ) -> np.ndarray:
     """Host: stacked (3, k, k) kernel, with optional unsharp boost
     k += strength * (k - gauss(k, sigma*scale/50)) (reference:
     src/raw2film/effects.py:179-184)."""
     layers = [
-        mtf_kernel_layer(np.asarray(lf), np.asarray(v), scale) for lf, v in mtf_key
+        mtf_kernel_layer(np.asarray(lf), np.asarray(v), scale, signed=signed)
+        for lf, v in mtf_key
     ]
     if len(layers) == 1:
         layers = layers * 3
@@ -69,10 +83,12 @@ def film_sharpness(
     scale: float,
     sharpening_strength: float = 0.0,
     sharpening_sigma: float = 1.0,
+    signed: bool = False,
 ) -> jnp.ndarray:
     """Device: apply the per-channel MTF kernel to a density-domain image."""
     return film_sharpness_from_key(
-        img, _hashable_mtf(mtf), scale, sharpening_strength, sharpening_sigma
+        img, _hashable_mtf(mtf), scale, sharpening_strength, sharpening_sigma,
+        signed=signed,
     )
 
 
@@ -99,10 +115,12 @@ def film_sharpness_from_key(
     scale: float,
     sharpening_strength: float = 0.0,
     sharpening_sigma: float = 1.0,
+    signed: bool = False,
 ) -> jnp.ndarray:
     """Same, taking the pre-hashed MTF tabulation (jit-static friendly)."""
     k = mtf_kernel(
-        mtf_key, float(scale), float(sharpening_strength), float(sharpening_sigma)
+        mtf_key, float(scale), float(sharpening_strength),
+        float(sharpening_sigma), signed=signed,
     )
     if k.shape[-1] <= 15:
         return convops.depthwise_conv2d(img, k)
@@ -160,6 +178,7 @@ def film_sharpness_grain_from_key(
     grain_prm,
     interpret: bool = False,
     conservative: bool = False,
+    signed: bool = False,
 ) -> jnp.ndarray | None:
     """MTF sharpness with the film-grain apply fused as an in-kernel epilogue
     (the density never returns to HBM between the two stages). Returns None
@@ -174,7 +193,8 @@ def film_sharpness_grain_from_key(
     from raw2film_tpu.ops import pallas_conv2
 
     k = mtf_kernel(
-        mtf_key, float(scale), float(sharpening_strength), float(sharpening_sigma)
+        mtf_key, float(scale), float(sharpening_strength),
+        float(sharpening_sigma), signed=signed,
     )
     tol, max_rank = (1e-4, 6) if k.shape[-1] <= 15 else (2e-3, 4)
     u3, v3 = _svd_stack(k, tol=tol, max_rank=max_rank)

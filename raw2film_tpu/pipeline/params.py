@@ -46,6 +46,11 @@ class ProfileParams:
     sharpening_strength: float = 0.0
     sharpening_sigma: float = 1.0
     color_masking: float = 1.0
+    # r2f-only extension (not in the reference schema): build the MTF
+    # kernel without the reference's np.abs() rectification so the applied
+    # sharpness tracks the tabulated datasheet response. Off by default to
+    # preserve reference-parity output (see ops/mtf.py::mtf_kernel_layer).
+    mtf_fidelity: bool = False
 
 
 @dataclass(frozen=True)

@@ -451,6 +451,7 @@ class Processor:
         half_size: bool = True,
         cache: bool = True,
         color_masking: float | None = None,
+        mtf_fidelity: bool = False,
         max_scale: float | None = MAX_SCALE_DEFAULT,
         seed: int = 0,
         **_,
@@ -514,6 +515,7 @@ class Processor:
             grain_sigma=grain_sigma,
             burn_scale=burn_scale,
             chroma_nr=chroma_nr,
+            mtf_fidelity=mtf_fidelity,
         )
         bundle, prt_mode = self.load_film_bundle(negative_film, print_film, merged)
 
@@ -710,7 +712,7 @@ class Processor:
             halation_green_factor=0.4, highlight_burn=0.0, halation=True,
             halation_size=1.0, sharpness=True, sharpening_strength=0.0,
             sharpening_sigma=1.0, grain=2, grain_size=6.0, grain_sigma=0.4,
-            burn_scale=50.0, chroma_nr=0,
+            burn_scale=50.0, chroma_nr=0, mtf_fidelity=False,
         )
         merged.update({k: v for k, v in params.items() if k in merged})
         bundle, prt_mode = self.load_film_bundle(negative_film, print_film, merged)

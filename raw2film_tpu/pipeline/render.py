@@ -73,6 +73,11 @@ class RenderConfig:
     sat_neutral: bool = True  # sat_adjust == 1.0 fast path
     gamma_func: str = "sRGB"
     mtf_key: tuple | None = None
+    mtf_signed: bool = False  # r2f fidelity mode (``mtf_fidelity`` param):
+    # build the MTF kernel WITHOUT the reference's np.abs() rectification,
+    # restoring the adjacency-effect negative lobes so the applied response
+    # tracks the tabulated datasheet curve (ops/mtf.py::mtf_kernel_layer).
+    # Off by default — the goldens pin reference-parity output.
     icc: bool = False  # bundle carries a CP-factored ICC output LUT
     mask_identity: bool = True  # color_masking == 1.0 (or BW): mask is I,
     # development is per-channel and may fuse into the halation kernel
@@ -312,6 +317,7 @@ def render_chain(
             grain_ops.correlation_sigma_px(cfg.scale, cfg.grain_size_mm, cfg.grain_sigma),
             jnp.stack([jnp.asarray(p, jnp.float32).reshape(()) for p in grain_prm]),
             conservative=cfg.conservative_tiles,
+            signed=cfg.mtf_signed,
         )
         if fused is not None:
             d = fused
@@ -319,7 +325,8 @@ def render_chain(
 
     if mtf_on:
         d = mtf_ops.film_sharpness_from_key(
-            d, cfg.mtf_key, cfg.scale, cfg.sharpening_strength, cfg.sharpening_sigma
+            d, cfg.mtf_key, cfg.scale, cfg.sharpening_strength,
+            cfg.sharpening_sigma, signed=cfg.mtf_signed,
         )
 
     if grain_on:
@@ -569,5 +576,6 @@ def build_render_config(
         sat_neutral=float(merged["sat_adjust"]) == 1.0,
         gamma_func=str(merged["gamma_func"]),
         mtf_key=mtf_ops._hashable_mtf(neg.mtf) if neg.mtf is not None else None,
+        mtf_signed=bool(merged.get("mtf_fidelity", False)),
         mask_identity=neg.is_bw or float(merged["color_masking"]) == 1.0,
     )

@@ -620,7 +620,8 @@ const ADV_SLIDERS = [
  ["sharpening_sigma",.3,3,.05,1],["color_masking",0,1,.05,1],
  ["burn_scale",10,200,5,50]];
 const ADV_CHECKS = [["halation",true],["sharpness",true],["white_clip",false],
- ["white_balance",false],["idealized_curve",false],["flip",false]];
+ ["white_balance",false],["idealized_curve",false],["flip",false],
+ ["mtf_fidelity",false]]; // r2f-only: signed (datasheet-true) MTF kernels
 let cur=0, seq=0, t=null, files=[], profiles={}, snapA=null, holdB=false, rtimes=0;
 let batchSel=new Set();  // ctrl-click thumbnail selection for "export selected"
 const $=id=>document.getElementById(id);

@@ -696,6 +696,33 @@ class TestDatasheetAnchors:
         ratio = f_meas / f50
         assert 0.45 <= ratio <= 0.85, (name, f_meas, f50, ratio)
 
+    @pytest.mark.parametrize("name", MTF_ANCHORS)
+    def test_signed_kernel_tracks_tabulated_mtf50(self, name):
+        """The r2f fidelity mode (mtf_fidelity param -> signed kernels,
+        ops/mtf.py) keeps the inverse FFT's negative lobes, so the BUILT
+        kernel's 50%-crossing lands near the tabulated figure instead of
+        the rectified construction's 0.45-0.85 softening — and strictly
+        sharper than the parity kernel."""
+        from raw2film_tpu.ops.mtf import _hashable_mtf, mtf_kernel
+
+        s = load_film_stocks()[name]
+        f50 = s.mtf_model.f50
+        scale = 420.0
+        key = _hashable_mtf(s.mtf)
+        meas = {}
+        for signed in (False, True):
+            k = mtf_kernel(key, scale, signed=signed)[1]
+            n = k.shape[0]
+            h = np.abs(np.fft.fft2(np.fft.ifftshift(k)))
+            f = np.abs(np.fft.fftfreq(n, d=1.0 / scale))
+            order = np.argsort(f)
+            meas[signed] = self._crossing(f[order], h[0, :][order])
+        assert meas[True] > meas[False], (name, meas)
+        ratio = meas[True] / f50
+        # Truncated 0.1mm support + the tabulation grid keep it from exact:
+        # within the chart-reading band.
+        assert 0.8 <= ratio <= 1.25, (name, meas[True], f50, ratio)
+
     def test_slide_dmax_anchors(self):
         """Published D-max magnitudes: Velvia 50 ~4.0, Provia 100F ~3.7,
         E100 ~3.8 (unexposed density = the reversal curve's d_min field)."""

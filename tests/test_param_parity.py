@@ -74,7 +74,10 @@ def test_settings_schema_keys_and_defaults_match_reference_gui():
     }
     ref = set(REF_PRF) | set(REF_IMG)
     assert ref - ours == set(), ref - ours
-    assert ours - ref == set(), ours - ref
+    # r2f-only extensions: documented additions with parity-preserving
+    # defaults (reference sidecars still port unchanged; ours carry the
+    # extra key). mtf_fidelity: signed MTF kernels (ops/mtf.py).
+    assert ours - ref == {"mtf_fidelity"}, ours - ref
     merged = merge_params()
     for k, v in {**REF_PRF, **REF_IMG}.items():
         assert _num_eq(merged[k], v), (k, merged[k], v)

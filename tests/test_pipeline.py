@@ -264,6 +264,20 @@ class TestProcessor:
         out = proc.process(dng, "Kodak Portra 400", print_film="Kodak 2383")
         assert out.dtype == np.uint8
 
+    def test_mtf_fidelity_flag_changes_sharpness_only(self, dng):
+        """The r2f-only mtf_fidelity param reaches the kernel build: output
+        differs from the parity default ONLY when sharpness is on (the
+        signed kernel reshapes the MTF response; everything else is
+        untouched, so sharpness=False must render identically)."""
+        proc = Processor()
+        kw = dict(print_film=PAPER, half_size=False, grain=0)
+        a = proc.process(dng, PORTRA, **kw)
+        b = proc.process(dng, PORTRA, mtf_fidelity=True, **kw)
+        assert a.shape == b.shape and np.any(a != b)
+        a0 = proc.process(dng, PORTRA, sharpness=False, **kw)
+        b0 = proc.process(dng, PORTRA, sharpness=False, mtf_fidelity=True, **kw)
+        np.testing.assert_array_equal(a0, b0)
+
     def test_full_effects_chain(self, dng):
         proc = Processor()
         out = proc.process(
