@@ -69,15 +69,36 @@ def box_downsample_pallas(
     uses f ~ min(H,W)/50, i.e. >100 at 45MP).
 
     Same semantics as ops.conv.box_downsample (crops the remainder).
+    Tiling: round-4 v5e sweeps at f=4 / 45MP measured taller output tiles
+    ~0.2-0.5 ms faster than the old (8, 512) (MXU row utilization), but
+    ONLY when th_out divides h2 — a remainder makes the edge-pad below
+    materialize a padded copy of the full-res input (~1.3 ms, wiping out
+    the win); th_out 64 hard-fails the compile. Values are identical for
+    any tiling (disjoint 0/1 bands, per-output contraction unchanged).
     """
     c, h, w = img.shape
     f = int(f)
     h2, w2 = h // f, w // f
+    if w2 * f >= 4096:
+        chunk = max(chunk, 1024)  # wide frames: fewer, fuller MXU chunks
     chunk = f * max(1, chunk // f)
     # Input row-band block is (th_out * f, w2 * f) f32. Mosaic requires the
-    # sublane dim divisible by 8, so th_out * f must be too; halve th_out
-    # only while that holds and the block exceeds the VMEM budget.
+    # sublane dim divisible by 8, so th_out * f must be too; grow th_out to
+    # the largest measured-good tile whose block fits the VMEM budget, then
+    # halve while it doesn't.
     th_out = max(SUBLANE, 32 // f)
+    for cand in (32, 24, 16):
+        # Taller tiles only when they divide h2: a remainder means the
+        # edge-pad below MATERIALIZES a padded copy of the full-res input
+        # (~1.3 ms at 45MP — measured wiping out the tile win in-chain).
+        if (
+            cand > th_out
+            and h2 % cand == 0
+            and cand * f % SUBLANE == 0
+            and cand * f * w2 * f * 4 <= VMEM_BLOCK_BUDGET
+        ):
+            th_out = cand
+            break
     while (
         th_out > 1
         and th_out % 2 == 0
