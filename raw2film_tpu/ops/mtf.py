@@ -125,6 +125,24 @@ def film_sharpness_from_key(
     if k.shape[-1] <= 15:
         return convops.depthwise_conv2d(img, k)
     u3, v3 = _svd_stack(k, tol=2e-3, max_rank=4)
+    if convops._use_pallas():
+        # Same measured tile ladder as the MTF+grain mega kernel (the
+        # grain-less program needs strictly less VMEM): standalone MTF at
+        # (96, 256) runs 7.7-8.2 ms vs 8.8-10.6 for the generic auto tile
+        # at 45MP on v5e — this is what made grain-off configs slower than
+        # the fused MTF+grain pair (round-4 stage breakdowns' negative
+        # grain marginal).
+        from raw2film_tpu.ops import pallas_conv2
+
+        tile, chunk = _grain_mega_tile(
+            img.shape[-2], img.shape[-1], u3.shape[1],
+            u3.shape[2] // 2, v3.shape[2] // 2,
+        )
+        out = pallas_conv2.fused_sep_rank_mxu(
+            img, u3, v3, precision="dc", tile_h=tile, chunk=chunk
+        )
+        if out is not None:
+            return out
     return convops.conv2d_svd(img, u3, v3)
 
 

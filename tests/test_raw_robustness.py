@@ -76,6 +76,9 @@ def _writers(tmp_path):
 
     write_cr3_raw(p, m12[:24, :32], nbits=12, levels=2)
     out.append(p)
+    p = str(tmp_path / "o.cr3")  # lossy CRAW (quantized HF subbands)
+    write_cr3_raw(p, m12[:24, :32], nbits=12, levels=3, qparam=6)
+    out.append(p)
     return out
 
 
