@@ -6,10 +6,15 @@ Baseline (BASELINE.json north star): 45MP through negative+print+grain+
 halation(+MTF+burn) in <100 ms on one v5e chip => 450 MP/s. vs_baseline is
 measured MP/s over 450.
 
-Timing protocol: the axon TPU tunnel acknowledges dispatch without waiting,
-so `block_until_ready` is unreliable — we loop the render ITERS times inside
-one jitted fori_loop (carrying a dependency so XLA can't elide iterations)
-and force a scalar fetch at the end.
+Timing protocol (round-5, outlier-proof): the axon TPU tunnel acknowledges
+dispatch without waiting, so `block_until_ready` is unreliable — each pass
+enqueues ITERS renders FIFO and forces only the last, with
+(t_many - t_one)/(ITERS - 1) cancelling the fixed dispatch+fetch round trip.
+We run >=4 independent passes, drop any pass bearing the stall signature
+(per-iter time > 3x the warm single call, or dt collapsing below 25% of the
+per-iter time because t_one itself was poisoned), and report the BEST pass
+as the headline with median/max alongside. One transient can no longer
+become the number of record (round 4's 19x-wrong driver capture).
 """
 
 from __future__ import annotations
@@ -105,15 +110,57 @@ def main() -> None:
     # The device executes dispatches FIFO; enqueue renders and force only the
     # last result. (t_many - t_one) / (ITERS - 1) cancels the fixed
     # dispatch+fetch round trip of the tunnel.
-    t0 = time.perf_counter()
-    float(jax.device_get(run(mosaic, bundle, keys[0])))
-    t_one = time.perf_counter() - t0
+    #
+    # Outlier defense (round-5 protocol): one pass has zero protection
+    # against a transient tunnel/chip stall landing inside its ITERS-call
+    # window — round 4's driver capture published 525.5 ms for a chain two
+    # independent reruns measured at 20-22 ms. So: run >=PASSES independent
+    # passes, take the BEST as the headline (min is the right estimator for
+    # a fixed workload plus non-negative noise), report min/median/max, and
+    # re-measure any pass bearing the anomaly signature (per-iter time > 3x
+    # the warm single-call time means a stall poisoned the window, not that
+    # the chain got slower).
+    def one_pass(pass_idx):
+        t0 = time.perf_counter()
+        float(jax.device_get(run(mosaic, bundle, keys[0])))
+        t_one = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    outs = [run(mosaic, bundle, k) for k in keys[:ITERS]]
-    float(jax.device_get(outs[-1]))
-    t_many = time.perf_counter() - t0
-    dt = max((t_many - t_one) / (ITERS - 1), 1e-6)
+        t0 = time.perf_counter()
+        outs = [run(mosaic, bundle, k) for k in keys[:ITERS]]
+        float(jax.device_get(outs[-1]))
+        t_many = time.perf_counter() - t0
+        dt = max((t_many - t_one) / (ITERS - 1), 1e-6)
+        return dt, t_one, t_many
+
+    PASSES = 4
+    MAX_PASSES = 10
+    dts = []
+    anomalies = 0
+    attempts = 0
+    while len(dts) < PASSES and attempts < MAX_PASSES:
+        dt, t_one, t_many = one_pass(attempts)
+        attempts += 1
+        # Anomaly signature (r4): a stall inside the enqueue window makes the
+        # apparent per-iter time explode relative to the warm single call.
+        # t_one itself can also be the poisoned sample (making dt ~0 or even
+        # negative before the max() clamp) — catch both and re-measure.
+        per_iter = t_many / ITERS
+        if t_one > 0 and (per_iter > 3.0 * t_one or dt < 0.25 * per_iter):
+            anomalies += 1
+            print(
+                f"warning: pass {attempts} anomalous "
+                f"(t_one={t_one * 1e3:.1f}ms, per_iter={per_iter * 1e3:.1f}ms); "
+                "re-measuring",
+                file=sys.stderr,
+            )
+            continue
+        dts.append(dt)
+    if not dts:  # every pass anomalous: report the least-bad data we have
+        dts = [dt]
+
+    dts.sort()
+    dt = dts[0]
+    med = dts[len(dts) // 2] if len(dts) % 2 else 0.5 * (dts[len(dts) // 2 - 1] + dts[len(dts) // 2])
 
     mp = H * W / 1e6
     mp_s = mp / dt
@@ -124,7 +171,14 @@ def main() -> None:
                 "value": round(mp_s, 1),
                 "unit": "MP/s",
                 "vs_baseline": round(mp_s / BASELINE_MP_S, 3),
-                "detail": {"ms_per_frame": round(dt * 1e3, 1), "megapixels": round(mp, 1)},
+                "detail": {
+                    "ms_per_frame": round(dt * 1e3, 1),
+                    "ms_median": round(med * 1e3, 1),
+                    "ms_max": round(dts[-1] * 1e3, 1),
+                    "passes": len(dts),
+                    "anomalous_passes": anomalies,
+                    "megapixels": round(mp, 1),
+                },
             }
         )
     )

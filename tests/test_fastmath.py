@@ -63,8 +63,10 @@ def test_softplus_matches_f64_and_is_overflow_safe(w):
     want = w * np.logaddexp(0.0, t)
     assert np.all(np.isfinite(got))
     # Absolute tolerance: softplus -> 0 in the deep negative tail where
-    # relative error is meaningless.
-    assert np.max(np.abs(got - want)) < 1e-5 * max(1.0, 80.0)
+    # relative error is meaningless. Bound: f32 ulp at the range edge
+    # (|u|=80) is ~6e-6 and the rewrite adds a handful of roundings, so
+    # 5e-5 is ~8 ulps of headroom — tight enough to catch any formula drift.
+    assert np.max(np.abs(got - want)) < 5e-5
     # Large-argument limit: softplus(u, w) -> u exactly (the H&D shoulder).
     assert abs(float(fm.softplus(jnp.float32(75.0), np.float32(w))) - 75.0) < 1e-3
 
@@ -94,8 +96,36 @@ def test_encode_matches_transfer_reference(key):
         ]
     ).astype(np.float32)
     got = np.asarray(fm.encode(jnp.asarray(x), key))
-    want = np.asarray(transfer.encode(jnp.asarray(x.astype(np.float64)), key))
-    assert np.max(np.abs(got - want)) < 3e-6
+    # True float64 oracle: pass the numpy array directly so transfer.encode
+    # computes with xp=np at f64 (jnp.asarray would silently downcast to f32
+    # since the suite never enables jax_enable_x64).
+    want = np.asarray(transfer.encode(x.astype(np.float64), key))
+    # Exclude samples within 1e-6 of the curve's piecewise breakpoint: the
+    # rounded published constants make the two branches disagree by up to
+    # 2.2e-4 AT the break (Rec709's 4.5*0.018 vs 1.099*0.018^0.45-0.099),
+    # so f32-vs-f64 branch selection there measures the curve's own
+    # discontinuity, not helper accuracy. Off-breakpoint the helpers track
+    # the f64 oracle to <=2.5e-7 (measured) — 3e-6 keeps margin.
+    bp = {
+        "sRGB": 0.0031308,
+        "Display P3": 0.0031308,
+        "Rec709": 0.018,
+        "ARRI LogC3": 0.010591,
+    }.get(key)
+    mask = (
+        np.abs(x.astype(np.float64) - bp) > 1e-6
+        if bp is not None
+        else np.ones_like(x, bool)
+    )
+    assert np.max(np.abs(got - want)[mask]) < 3e-6
+    # At the breakpoint itself the value must land between the two branch
+    # limits (either side of the published-constant discontinuity).
+    if bp is not None:
+        at = float(fm.encode(jnp.float32(bp), key))
+        lo = float(transfer.encode(np.float64(bp) - 1e-9, key))
+        hi = float(transfer.encode(np.float64(bp) + 1e-9, key))
+        lo, hi = min(lo, hi), max(lo, hi)
+        assert lo - 3e-6 <= at <= hi + 3e-6
     # Monotone non-decreasing over the sweep (sorted part only).
     g = got[:4001]
     assert np.all(np.diff(g) >= -1e-6)
