@@ -27,6 +27,13 @@ import numpy as np
 import jax.numpy as jnp
 
 
+# Profile data provenance, best first. find_profile prefers higher
+# confidence among equally-matching models — imported lensfun XML
+# ("measured") explicitly outranks the vendored class-derived catalog
+# ("heuristic"), not merely by list order.
+CONFIDENCE_RANK = {"measured": 0, "curated": 1, "heuristic": 2, "synthetic": 3}
+
+
 @dataclasses.dataclass(frozen=True)
 class LensProfile:
     make: str
@@ -38,6 +45,11 @@ class LensProfile:
     dist_params: tuple = ()  # ((focal_mm, a, b, c) | (focal_mm, k1), ...)
     # vignetting: ((focal_mm, aperture, k1, k2, k3), ...)
     vig_params: tuple = ()
+    # Data provenance: "measured" (lensfun XML import — the default, so
+    # user-DB rows without the field keep their measured standing),
+    # "curated" (lens_db hand-authored approximations), "heuristic"
+    # (lens_catalog class-derived), "synthetic" (test fixture).
+    confidence: str = "measured"
 
     def distortion_at(self, focal: float):
         if self.dist_model == "none" or not self.dist_params:
@@ -70,6 +82,7 @@ _BUILTIN_PROFILES: list[LensProfile] = [
         dist_model="ptlens",
         dist_params=((50.0, 0.0, -0.015, 0.005),),
         vig_params=((50.0, 2.0, -0.9, 0.2, -0.05), (50.0, 8.0, -0.3, 0.05, 0.0)),
+        confidence="synthetic",
     ),
 ]
 
@@ -141,9 +154,14 @@ def find_profile(metadata: dict, profiles: list[LensProfile] | None = None):
     """
     profiles = profiles if profiles is not None else load_profiles()
     lens_model = str(metadata.get("EXIF:LensModel", "") or "")
-    for p in profiles:
-        if _model_match(p.model, lens_model):
-            return p
+    # Collect ALL model matches and pick the highest-confidence one (ties
+    # keep list order): a measured lensfun import beats the vendored
+    # heuristic catalog even if it sits later in the profile list.
+    matches = [p for p in profiles if _model_match(p.model, lens_model)]
+    if matches:
+        return min(
+            matches, key=lambda p: CONFIDENCE_RANK.get(p.confidence, 9)
+        )
     if not lens_model:
         make = str(
             metadata.get("EXIF:LensMake", "") or metadata.get("EXIF:Make", "") or ""

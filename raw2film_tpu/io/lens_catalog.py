@@ -581,6 +581,7 @@ def catalog_profiles():
                 _prime(
                     make, model, wide, f_wide,
                     _k1_prime(eq_w, model), crop=crop, vig_strength=vig,
+                    confidence="heuristic",
                 )
             )
         else:
@@ -594,6 +595,7 @@ def catalog_profiles():
                     _k1_zoom_wide(eq_w, ratio, fast),
                     _k1_zoom_tele(eq_t, ratio),
                     crop=crop, vig_strength=vig,
+                    confidence="heuristic",
                 )
             )
     return out

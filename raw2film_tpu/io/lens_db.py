@@ -30,7 +30,8 @@ def _vig(focal: float, f_open: float, strength: float = 1.0):
     )
 
 
-def _prime(make, model, focal, f_open, k1, crop=1.0, vig_strength=1.0):
+def _prime(make, model, focal, f_open, k1, crop=1.0, vig_strength=1.0,
+           confidence="curated"):
     return LensProfile(
         make=make,
         model=model,
@@ -38,11 +39,12 @@ def _prime(make, model, focal, f_open, k1, crop=1.0, vig_strength=1.0):
         dist_model="poly3",
         dist_params=((focal, k1),),
         vig_params=_vig(focal, f_open, vig_strength),
+        confidence=confidence,
     )
 
 
 def _zoom(make, model, wide, tele, f_wide, f_tele, k1_wide, k1_tele,
-          crop=1.0, vig_strength=1.0, k1_mid=None):
+          crop=1.0, vig_strength=1.0, k1_mid=None, confidence="curated"):
     mid = (wide + tele) / 2.0
     if k1_mid is None:
         k1_mid = 0.25 * k1_wide + 0.75 * k1_tele  # distortion flips early
@@ -54,6 +56,7 @@ def _zoom(make, model, wide, tele, f_wide, f_tele, k1_wide, k1_tele,
         dist_params=((wide, k1_wide), (mid, k1_mid), (tele, k1_tele)),
         vig_params=_vig(wide, f_wide, vig_strength)
         + _vig(tele, f_tele, vig_strength),
+        confidence=confidence,
     )
 
 

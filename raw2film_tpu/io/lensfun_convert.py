@@ -92,6 +92,9 @@ def _lens_to_profile(lens) -> dict | None:
         "dist_model": dist_model,
         "dist_params": dist_params,
         "vig_params": sorted(vig),
+        # lensfun rows are community-measured calibrations: they outrank
+        # the vendored class-derived catalog in find_profile.
+        "confidence": "measured",
     }
 
 

@@ -158,18 +158,21 @@ def sharded_batch_render(mesh: Mesh, cfg: RenderConfig, space_mode: str = "halo"
             h_loc, w = xyz.shape[-2:]
             halo = space_halo_rows(cfg, h_loc * space, w)
             idx = jax.lax.axis_index("space")
-            if halo <= h_loc:
+            if halo < h_loc:
                 # Fast path: one hop each way.
                 fwd = [(i, i + 1) for i in range(space - 1)]
                 bwd = [(i + 1, i) for i in range(space - 1)]
                 top = jax.lax.ppermute(xyz[:, :, -halo:, :], "space", fwd)
                 bot = jax.lax.ppermute(xyz[:, :, :halo, :], "space", bwd)
-                # Edge shards got zeros: replicate the frame edge row instead
-                # (approximates the conv kernels' clamp-to-edge behavior).
-                top_rep = jnp.broadcast_to(xyz[:, :, :1, :], top.shape)
-                bot_rep = jnp.broadcast_to(xyz[:, :, -1:, :], bot.shape)
-                top = jnp.where(idx == 0, top_rep, top)
-                bot = jnp.where(idx == space - 1, bot_rep, bot)
+                # Edge shards got zeros: fill with REFLECT-101 rows around
+                # the frame edge — the same boundary convention every conv
+                # in the chain uses (ops/conv.py PAD_MODE) — so border rows
+                # of a sharded render match the unsharded one exactly.
+                # halo < h_loc guarantees rows 1..halo exist locally.
+                top_ref = jnp.flip(xyz[:, :, 1 : halo + 1, :], axis=2)
+                bot_ref = jnp.flip(xyz[:, :, -halo - 1 : -1, :], axis=2)
+                top = jnp.where(idx == 0, top_ref, top)
+                bot = jnp.where(idx == space - 1, bot_ref, bot)
                 padded = jnp.concatenate([top, xyz, bot], axis=2)
             else:
                 # The required overlap exceeds one shard (large halation at
@@ -177,8 +180,10 @@ def sharded_batch_render(mesh: Mesh, cfg: RenderConfig, space_mode: str = "halo"
                 # hop k delivers the needed rows of shard idx∓k — the halo is
                 # assembled in full rather than silently truncated. Rows that
                 # would come from beyond the frame (including hops past the
-                # mesh edge) are edge-replicated afterwards via a clamped
-                # row gather, matching the one-hop path's frame-edge
+                # mesh edge) are REFLECT-101-filled afterwards via a row
+                # gather (the reflected source rows may live in a neighbor's
+                # shard — they are already present in `padded` by then),
+                # matching the one-hop path's frame-edge
                 # semantics.
                 hops = -(-halo // h_loc)
                 top_parts, bot_parts = [], []
@@ -204,14 +209,19 @@ def sharded_batch_render(mesh: Mesh, cfg: RenderConfig, space_mode: str = "halo"
                 padded = jnp.concatenate(
                     top_parts[::-1] + [xyz] + bot_parts, axis=2
                 )
-                # Clamp every padded row to the frame interior: padded row r
-                # is global row idx*h_loc - halo + r; global row 0 sits at
-                # padded row halo - idx*h_loc, the last at that + space*h_loc
-                # - 1. Interior shards clamp to nothing (bounds outside the
-                # array); edge shards replicate the frame edge rows.
+                # Reflect every out-of-frame padded row around the frame
+                # boundary: padded row r is global row idx*h_loc - halo + r;
+                # global row 0 sits at padded row halo - idx*h_loc, the last
+                # at that + space*h_loc - 1. Interior shards reflect nothing
+                # (bounds outside the array); edge shards mirror in-frame
+                # rows (reflect-101), with a final clip as the backstop for
+                # the pathological halo > frame-height case (double
+                # reflection territory — clamp is fine there).
                 r = jnp.arange(padded.shape[2])
                 lo = halo - idx * h_loc
                 hi = lo + space * h_loc - 1
+                r = jnp.where(r < lo, 2 * lo - r, r)
+                r = jnp.where(r > hi, 2 * hi - r, r)
                 gather = jnp.clip(r, lo, hi)
                 padded = jnp.take_along_axis(
                     padded, gather[None, None, :, None], axis=2

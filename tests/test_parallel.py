@@ -74,13 +74,12 @@ class TestSharding:
         # flip an 8-bit code at a rounding boundary.
         diff = np.abs(np.asarray(single).astype(int) - np.asarray(spmd).astype(int))
         assert diff.max() <= 1
-        # Halo path: everything beyond the frame's outermost rows is exact
-        # (the shard seam in the middle included); the edge-replicated pad
-        # approximates the cascaded clamp within a few codes.
+        # Halo path: seams AND frame borders are exact to a rounding code —
+        # edge shards REFLECT-101-fill the out-of-frame halo rows, the same
+        # boundary convention every conv in the chain uses, so border pixels
+        # see identical inputs to the unsharded render.
         dh = np.abs(np.asarray(single).astype(int) - np.asarray(halo).astype(int))
-        margin = 12
-        assert dh[:, :, margin:-margin, :].max() <= 1, dh.max()
-        assert dh.max() <= 6, dh.max()
+        assert dh.max() <= 1, dh.max()
 
     def test_halo_path_interior_seam_exact_at_larger_halo(self):
         """A seam in the MIDDLE of the frame (away from real edges) must be
