@@ -39,6 +39,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="convert an installed lensfun XML database (e.g. /usr/share/lensfun)"
         " into ~/.raw2film_tpu/lenses.json and exit",
     )
+    p.add_argument(
+        "--validate-raw",
+        action="store_true",
+        help="decode each input RAW and report a per-file verdict (format, "
+        "dims, CFA, bit range) or WHICH guard refused it — no rendering. "
+        "Use this to check camera files against the reconstructed codecs "
+        "(docs/raw_formats.md) before a batch run",
+    )
     p.add_argument("--organize-by-date", action="store_true")
     p.add_argument(
         "--archive-raw",
@@ -175,6 +183,48 @@ def main(argv: list[str] | None = None) -> int:
         profiles = convert_lensfun_db(args.import_lensfun, dst)
         print(f"imported {len(profiles)} lens profiles -> {dst}")
         return 0 if profiles else 1
+
+    if args.validate_raw:
+        import json as _json
+
+        from raw2film_tpu.io.dng import read_raw
+
+        files = []
+        for item in args.inputs or ["."]:
+            files.extend(scan_raw_files(item) if os.path.isdir(item) else [item])
+        if not files:
+            print("no RAW files found", file=sys.stderr)
+            return 2
+        n_bad = 0
+        for f in files:
+            rec = {"file": f}
+            try:
+                raw = read_raw(f)
+                d = raw.data
+                rec.update(
+                    ok=True,
+                    shape=list(d.shape),
+                    dtype=str(d.dtype),
+                    cfa=getattr(raw, "cfa_pattern", None),
+                    white_level=getattr(raw, "white_level", None),
+                    value_range=[float(d.min()), float(d.max())],
+                    model=(raw.metadata or {}).get("EXIF:Model"),
+                )
+            except NotImplementedError as e:
+                # A guard refused the file: the message names the guard
+                # (unsupported layout / reconstructed-constant mismatch)
+                # and the DNG escape hatch.
+                n_bad += 1
+                rec.update(ok=False, guard="unsupported", error=str(e))
+            except Exception as e:
+                n_bad += 1
+                rec.update(ok=False, guard=type(e).__name__, error=str(e))
+            print(_json.dumps(rec))
+        print(
+            f"{len(files) - n_bad}/{len(files)} decode cleanly",
+            file=sys.stderr,
+        )
+        return 0 if n_bad == 0 else 1
 
     if args.serve:
         from raw2film_tpu.viewer import serve

@@ -283,19 +283,35 @@ def read_raw_payload(buf: bytes, path: str):
     sample = buf[off : off + size]
     records = parse_mdat_records(sample, 0, min(cmp1.mdat_hdr_size, len(sample)))
     bands_per_plane = 3 * cmp1.image_levels + 1
-    band_recs = [r for r in records if r[0] == 0xFF03]
+
+    # Tile grid (high-MP bodies split the frame into column tiles; the
+    # record run carries one 0xFF01 per tile, each followed by its planes'
+    # 0xFF02/0xFF03 records, tiles in raster order).
+    n_tx = -(-cmp1.f_width // cmp1.tile_width)
+    n_ty = -(-cmp1.f_height // cmp1.tile_height)
+    n_tiles = n_tx * n_ty
+    tile_runs: list[list] = []
+    for rec in records:
+        if rec[0] == 0xFF01:
+            tile_runs.append([])
+        elif rec[0] == 0xFF03 and tile_runs:
+            tile_runs[-1].append(rec)
     plane_recs = [r for r in records if r[0] == 0xFF02]
-    if cmp1.image_levels == 0 and not band_recs:
+    if cmp1.image_levels == 0 and all(not t for t in tile_runs):
         # Level-0 streams may declare planes only: the plane record IS the
-        # single band.
-        band_recs = plane_recs
-    if len(band_recs) != cmp1.n_planes * bands_per_plane:
+        # single band (single-tile layout only).
+        if n_tiles == 1 and len(tile_runs) == 1:
+            tile_runs = [plane_recs]
+    if len(tile_runs) != n_tiles or any(
+        len(t) != cmp1.n_planes * bands_per_plane for t in tile_runs
+    ):
         raise NotImplementedError(
-            f"{path}: CRX record run declares {len(band_recs)} subbands for "
-            f"{cmp1.n_planes} planes x {bands_per_plane}; this layout "
-            "variant is not supported — convert to DNG"
+            f"{path}: CRX record run declares {len(tile_runs)} tiles / "
+            f"{[len(t) for t in tile_runs]} subbands, expected {n_tiles} "
+            f"tiles x {cmp1.n_planes} planes x {bands_per_plane}; this "
+            "layout variant is not supported — convert to DNG"
         )
-    lossy = any(q for (_, _, _, q) in band_recs)
+    lossy = any(q for t in tile_runs for (_, _, _, q) in t)
     if lossy and cmp1.image_levels == 0:
         # Level-0 streams DPCM-code sample values, not wavelet
         # coefficients; a quantized DPCM band has no published analog.
@@ -304,100 +320,113 @@ def read_raw_payload(buf: bytes, path: str):
             "convert to DNG"
         )
 
-    if cmp1.n_planes == 4 and (cmp1.f_height % 2 or cmp1.f_width % 2):
-        raise NotImplementedError(
-            f"{path}: CRX 4-plane frames with odd dimensions are not "
-            "supported — convert to DNG"
-        )
-    ph = cmp1.f_height // 2 if cmp1.n_planes == 4 else cmp1.f_height
-    pw = cmp1.f_width // 2 if cmp1.n_planes == 4 else cmp1.f_width
-    dims = _band_dims(ph, pw, cmp1.image_levels)
-    # Wavelet LL bands carry a +2^(nBits+1) bias and 4 bits of headroom
-    # (the integer 5/3 lowpass overshoots [0, 2^nBits) slightly); the
-    # reconstructed plane is range-checked against nBits below.
-    ll_bits = cmp1.n_bits + 4 if cmp1.image_levels else cmp1.n_bits
-    ll_bias = (1 << (cmp1.n_bits + 1)) if cmp1.image_levels else 0
-
-    pos = cmp1.mdat_hdr_size
-    planes = []
-    ri = 0
-    for _p in range(cmp1.n_planes):
-        # Band order: LL (coarsest), then (hl, lh, hh) coarsest -> finest.
-        _, dsz, _, llq = band_recs[ri]
-        if llq:
-            # Keeping DC exact: a quantized DPCM-coded LL band has no
-            # published analog (CRAW quantizes the detail bands).
-            raise NotImplementedError(
-                f"{path}: quantized CRX LL bands are not supported; "
-                "convert to DNG"
-            )
-        llh, llw = dims[-1]
-        ll = _decode_band_native(
-            sample[pos : pos + dsz], llw, llh, ll_bits, True
-        )
-        ll = ll.astype(np.int64) - ll_bias
-        pos += dsz
-        ri += 1
-        highs = []
-        for lvl in range(cmp1.image_levels):
-            # Subband shapes at this level (see _reconstruct for the split
-            # order): the W split gives lw low / tw-lw high columns; the H
-            # split then gives (th+1)//2 low / th-(th+1)//2 high rows.
-            th, tw = dims[cmp1.image_levels - 1 - lvl]
-            lw = (tw + 1) // 2
-            hl_shape = ((th + 1) // 2, tw - lw)
-            lh_shape = (th - (th + 1) // 2, lw)
-            hh_shape = (th - (th + 1) // 2, tw - lw)
-            tri = []
-            for bh, bw in (hl_shape, lh_shape, hh_shape):
-                _, dsz, _, bq = band_recs[ri]
-                if bh == 0 or bw == 0:
-                    band = np.zeros((bh, bw), np.int64)
-                else:
-                    band = _decode_band_native(
-                        sample[pos : pos + dsz], bw, bh, cmp1.n_bits, False
-                    )
-                pos += dsz
-                ri += 1
-                tri.append(dequantize(band.astype(np.int64), bq))
-            highs.append(tuple(tri))
-        if cmp1.image_levels:
-            plane = _reconstruct(ll.astype(np.int64), highs, ph, pw)
-        else:
-            plane = ll.astype(np.int64)
-        if plane.shape != (ph, pw):
-            raise ValueError("CRX: reconstructed plane shape mismatch")
-        lo, hi = int(plane.min()), int(plane.max())
-        top = 1 << cmp1.n_bits
-        if lossy and -top <= lo and hi < 2 * top:
-            # Quantization error can push the reconstruction slightly past
-            # the sensor range (the encoder saw in-range values): clip, but
-            # keep the mis-parse guard for egregious overshoot below.
-            plane = np.clip(plane, 0, top - 1)
-        elif lo < 0 or hi >= top:
-            raise NotImplementedError(
-                f"{path}: CRX bitstream did not decode cleanly (values "
-                f"[{lo}, {hi}] outside {cmp1.n_bits}-bit range); the "
-                "entropy-coding constants are reconstructed from format "
-                "knowledge and this file may use a variant — convert to DNG"
-            )
-        planes.append(plane.astype(np.uint16))
-
-    if cmp1.n_planes == 4:
-        mosaic = np.zeros((ph * 2, pw * 2), np.uint16)
-        mosaic[0::2, 0::2] = planes[0]
-        mosaic[0::2, 1::2] = planes[1]
-        mosaic[1::2, 0::2] = planes[2]
-        mosaic[1::2, 1::2] = planes[3]
-        mosaic = mosaic[: cmp1.f_height, : cmp1.f_width]
-        cfa = _CFA_LAYOUTS.get(cmp1.cfa_layout, "RGGB")
-    else:
+    if cmp1.n_planes != 4:
         # Single-plane CRX (monochrome CRM-style): decode as a CFA-less
         # mosaic is NOT meaningful downstream (RawImage's linear branch
         # expects (H, W, C)); no stills camera writes it, so error clearly.
         raise NotImplementedError(
             f"{path}: single-plane CRX streams are not supported"
         )
+    if cmp1.f_height % 2 or cmp1.f_width % 2:
+        raise NotImplementedError(
+            f"{path}: CRX 4-plane frames with odd dimensions are not "
+            "supported — convert to DNG"
+        )
+    # Wavelet LL bands carry a +2^(nBits+1) bias and 4 bits of headroom
+    # (the integer 5/3 lowpass overshoots [0, 2^nBits) slightly); the
+    # reconstructed plane is range-checked against nBits below.
+    ll_bits = cmp1.n_bits + 4 if cmp1.image_levels else cmp1.n_bits
+    ll_bias = (1 << (cmp1.n_bits + 1)) if cmp1.image_levels else 0
+
+    mosaic = np.zeros((cmp1.f_height, cmp1.f_width), np.uint16)
+    pos = cmp1.mdat_hdr_size
+    for ti, band_recs in enumerate(tile_runs):
+        t_row, t_col = divmod(ti, n_tx)
+        y0, x0 = t_row * cmp1.tile_height, t_col * cmp1.tile_width
+        th_t = min(cmp1.tile_height, cmp1.f_height - y0)
+        tw_t = min(cmp1.tile_width, cmp1.f_width - x0)
+        if th_t % 2 or tw_t % 2:
+            raise NotImplementedError(
+                f"{path}: CRX tile grid splits the CFA phase (tile at "
+                f"({t_row},{t_col}) is {th_t}x{tw_t}) — convert to DNG"
+            )
+        ph, pw = th_t // 2, tw_t // 2
+        dims = _band_dims(ph, pw, cmp1.image_levels)
+        planes = []
+        ri = 0
+        for _p in range(cmp1.n_planes):
+            # Band order: LL (coarsest), then (hl, lh, hh) coarsest ->
+            # finest.
+            _, dsz, _, llq = band_recs[ri]
+            if llq:
+                # Keeping DC exact: a quantized DPCM-coded LL band has no
+                # published analog (CRAW quantizes the detail bands).
+                raise NotImplementedError(
+                    f"{path}: quantized CRX LL bands are not supported; "
+                    "convert to DNG"
+                )
+            llh, llw = dims[-1]
+            ll = _decode_band_native(
+                sample[pos : pos + dsz], llw, llh, ll_bits, True
+            )
+            ll = ll.astype(np.int64) - ll_bias
+            pos += dsz
+            ri += 1
+            highs = []
+            for lvl in range(cmp1.image_levels):
+                # Subband shapes at this level (see _reconstruct for the
+                # split order): the W split gives lw low / tw-lw high
+                # columns; the H split then gives (th+1)//2 low /
+                # th-(th+1)//2 high rows.
+                th, tw = dims[cmp1.image_levels - 1 - lvl]
+                lw = (tw + 1) // 2
+                hl_shape = ((th + 1) // 2, tw - lw)
+                lh_shape = (th - (th + 1) // 2, lw)
+                hh_shape = (th - (th + 1) // 2, tw - lw)
+                tri = []
+                for bh, bw in (hl_shape, lh_shape, hh_shape):
+                    _, dsz, _, bq = band_recs[ri]
+                    if bh == 0 or bw == 0:
+                        band = np.zeros((bh, bw), np.int64)
+                    else:
+                        band = _decode_band_native(
+                            sample[pos : pos + dsz], bw, bh, cmp1.n_bits,
+                            False,
+                        )
+                    pos += dsz
+                    ri += 1
+                    tri.append(dequantize(band.astype(np.int64), bq))
+                highs.append(tuple(tri))
+            if cmp1.image_levels:
+                plane = _reconstruct(ll.astype(np.int64), highs, ph, pw)
+            else:
+                plane = ll.astype(np.int64)
+            if plane.shape != (ph, pw):
+                raise ValueError("CRX: reconstructed plane shape mismatch")
+            lo, hi = int(plane.min()), int(plane.max())
+            top = 1 << cmp1.n_bits
+            if lossy and -top <= lo and hi < 2 * top:
+                # Quantization error can push the reconstruction slightly
+                # past the sensor range (the encoder saw in-range values):
+                # clip, but keep the mis-parse guard for egregious
+                # overshoot below.
+                plane = np.clip(plane, 0, top - 1)
+            elif lo < 0 or hi >= top:
+                raise NotImplementedError(
+                    f"{path}: CRX bitstream did not decode cleanly (values "
+                    f"[{lo}, {hi}] outside {cmp1.n_bits}-bit range); the "
+                    "entropy-coding constants are reconstructed from "
+                    "format knowledge and this file may use a variant — "
+                    "convert to DNG"
+                )
+            planes.append(plane.astype(np.uint16))
+
+        tile = mosaic[y0 : y0 + th_t, x0 : x0 + tw_t]
+        tile[0::2, 0::2] = planes[0]
+        tile[0::2, 1::2] = planes[1]
+        tile[1::2, 0::2] = planes[2]
+        tile[1::2, 1::2] = planes[3]
+    cfa = _CFA_LAYOUTS.get(cmp1.cfa_layout, "RGGB")
     meta = extract_metadata(buf)
     meta.setdefault("EXIF:Make", "Canon")
     return RawImage(

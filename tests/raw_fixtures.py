@@ -1854,53 +1854,90 @@ def crx_quantize(band: np.ndarray, qp: int) -> np.ndarray:
     return np.sign(band) * mag
 
 
-def crx_sample(mosaic: np.ndarray, nbits: int, levels: int, qparam: int = 0):
-    """-> (mdat sample bytes, record-run size): tile/plane/subband record
-    run + entropy payloads. Wavelet LL bands carry a +2^(nbits+1) bias and
-    4 bits of headroom (the integer 5/3 lowpass can overshoot [0, 2^nbits)
-    slightly) — mirrored by io/crx.py's decode. ``qparam`` > 0 quantizes
-    the HF subbands (lossy CRAW; LL stays exact) and is declared in each
-    0xFF03 record."""
+def crx_sample(
+    mosaic: np.ndarray,
+    nbits: int,
+    levels: int,
+    qparam: int = 0,
+    tile_cols: int = 1,
+    tile_rows: int = 1,
+):
+    """-> (mdat sample bytes, record-run size, (tile_w, tile_h)): tile/
+    plane/subband record run + entropy payloads. Wavelet LL bands carry a
+    +2^(nbits+1) bias and 4 bits of headroom (the integer 5/3 lowpass can
+    overshoot [0, 2^nbits) slightly) — mirrored by io/crx.py's decode.
+    ``qparam`` > 0 quantizes the HF subbands (lossy CRAW; LL stays exact)
+    and is declared in each 0xFF03 record. ``tile_cols``/``tile_rows`` > 1
+    split the frame into a tile grid (one 0xFF01 record run per tile,
+    raster order; edge tiles carry the remainder) the way high-MP bodies
+    do."""
     h, w = mosaic.shape
     assert h % 2 == 0 and w % 2 == 0, "CRX subplanes need even dims"
     assert qparam == 0 or levels > 0, "quantization needs wavelet bands"
-    planes = [
-        mosaic[0::2, 0::2],
-        mosaic[0::2, 1::2],
-        mosaic[1::2, 0::2],
-        mosaic[1::2, 1::2],
-    ]
-    payloads = []
-    band_sizes = []  # per plane: list of (band byte size, qparam)
-    for p in planes:
-        sizes = []
-        if levels:
-            ll, highs = crx_forward(p, levels)
-            chunks = [
-                (crx_encode_dpcm(ll + (1 << (nbits + 1)), nbits + 4), 0)
-            ]
-            for hl, lh, hh in highs:
-                for band in (hl, lh, hh):
-                    band = crx_quantize(band, qparam)
-                    chunks.append(
-                        (crx_encode_hf(band) if band.size else b"", qparam)
-                    )
-        else:
-            chunks = [(crx_encode_dpcm(p, nbits), 0)]
-        for c, q in chunks:
-            payloads.append(c)
-            sizes.append((len(c), q))
-        band_sizes.append(sizes)
+
+    def _even_ceil(n, parts):
+        return -(-(n // 2) // parts) * 2
+
+    tile_w = _even_ceil(w, tile_cols)
+    tile_h = _even_ceil(h, tile_rows)
+
     records = bytearray()
-    total = sum(len(c) for c in payloads)
-    records += struct.pack(">HHIHH", 0xFF01, 12, total, 0, 0)
-    for pi, sizes in enumerate(band_sizes):
-        records += struct.pack(
-            ">HHIHH", 0xFF02, 12, sum(sz for sz, _ in sizes), pi, 0
-        )
-        for bi, (sz, q) in enumerate(sizes):
-            records += struct.pack(">HHIHBB", 0xFF03, 12, sz, bi, q, 0)
-    return bytes(records) + b"".join(payloads), len(records)
+    payloads = []
+    for ty in range(tile_rows):
+        for tx in range(tile_cols):
+            sub = mosaic[
+                ty * tile_h : (ty + 1) * tile_h,
+                tx * tile_w : (tx + 1) * tile_w,
+            ]
+            planes = [
+                sub[0::2, 0::2],
+                sub[0::2, 1::2],
+                sub[1::2, 0::2],
+                sub[1::2, 1::2],
+            ]
+            tile_payloads = []
+            band_sizes = []  # per plane: list of (band byte size, qparam)
+            for p in planes:
+                sizes = []
+                if levels:
+                    ll, highs = crx_forward(p, levels)
+                    chunks = [
+                        (
+                            crx_encode_dpcm(ll + (1 << (nbits + 1)), nbits + 4),
+                            0,
+                        )
+                    ]
+                    for hl, lh, hh in highs:
+                        for band in (hl, lh, hh):
+                            band = crx_quantize(band, qparam)
+                            chunks.append(
+                                (
+                                    crx_encode_hf(band) if band.size else b"",
+                                    qparam,
+                                )
+                            )
+                else:
+                    chunks = [(crx_encode_dpcm(p, nbits), 0)]
+                for c, q in chunks:
+                    tile_payloads.append(c)
+                    sizes.append((len(c), q))
+                band_sizes.append(sizes)
+            total = sum(len(c) for c in tile_payloads)
+            records += struct.pack(
+                ">HHIHH", 0xFF01, 12, total, ty * tile_cols + tx, 0
+            )
+            for pi, sizes in enumerate(band_sizes):
+                records += struct.pack(
+                    ">HHIHH", 0xFF02, 12, sum(sz for sz, _ in sizes), pi, 0
+                )
+                for bi, (sz, q) in enumerate(sizes):
+                    records += struct.pack(">HHIHBB", 0xFF03, 12, sz, bi, q, 0)
+            payloads.extend(tile_payloads)
+    return (
+        bytes(records) + b"".join(payloads),
+        len(records),
+        (tile_w, tile_h),
+    )
 
 
 def write_cr3_raw(
@@ -1914,14 +1951,22 @@ def write_cr3_raw(
     cfa_layout: int = 0,
     preview_jpeg: bytes | None = None,
     qparam: int = 0,
+    tile_cols: int = 1,
+    tile_rows: int = 1,
 ):
     """Full CR3 with a CRAW raw track (CMP1 + mdat CRX payload) plus the
     browsing boxes (CMT1 EXIF, optional PRVW preview)."""
     h, w = mosaic.shape
-    sample, hdr_size = crx_sample(mosaic, nbits, levels, qparam=qparam)
+    sample, hdr_size, (tile_w, tile_h) = crx_sample(
+        mosaic, nbits, levels, qparam=qparam,
+        tile_cols=tile_cols, tile_rows=tile_rows,
+    )
+    tile_flags = ((tile_cols > 1) << 7) | ((tile_rows > 1) << 6)
     cmp1 = (
-        struct.pack(">HHHHIIII", 0, 48, 0x100, 0, w, h, w, h)
-        + bytes([nbits, (4 << 4) | cfa_layout, (enc_type << 4) | levels, 0])
+        struct.pack(">HHHHIIII", 0, 48, 0x100, 0, w, h, tile_w, tile_h)
+        + bytes(
+            [nbits, (4 << 4) | cfa_layout, (enc_type << 4) | levels, tile_flags]
+        )
         + struct.pack(">I", hdr_size)
     )
     cmp1_box = _bmff_box(b"CMP1", cmp1)

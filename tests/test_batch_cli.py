@@ -177,6 +177,32 @@ class TestCLI:
         assert rc == 2
         assert "unknown negative stock" in capsys.readouterr().err
 
+    def test_validate_raw(self, tmp_path, capsys):
+        """--validate-raw decodes each input and reports ok/guard per file
+        as JSON lines, exit 1 when any file is refused (the documented
+        pre-flight for reconstructed codecs, docs/raw_formats.md)."""
+        import json as _json
+
+        from raw_fixtures import write_cr3_raw
+
+        from raw2film_tpu.cli import main
+
+        rng = np.random.default_rng(0)
+        m = rng.integers(0, 16000, (64, 96)).astype(np.uint16)
+        write_cr3_raw(str(tmp_path / "good.cr3"), m, levels=2, tile_cols=2)
+        write_cr3_raw(str(tmp_path / "bad.cr3"), m, levels=2, enc_type=1)
+        rc = main([str(tmp_path), "--validate-raw"])
+        assert rc == 1  # one refused file
+        lines = [
+            _json.loads(s)
+            for s in capsys.readouterr().out.strip().splitlines()
+        ]
+        by_name = {os.path.basename(r["file"]): r for r in lines}
+        assert by_name["good.cr3"]["ok"] and by_name["good.cr3"]["shape"] == [64, 96]
+        bad = by_name["bad.cr3"]
+        assert not bad["ok"] and bad["guard"] == "unsupported"
+        assert "encType" in bad["error"]  # names WHICH guard tripped
+
     def test_export_end_to_end(self, tmp_path):
         from raw2film_tpu.cli import main
 

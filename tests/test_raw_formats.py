@@ -1176,6 +1176,99 @@ class TestCRXDecode:
         assert raw.cfa_pattern == "GBRG"
         np.testing.assert_array_equal(raw.data, truth)
 
+    @pytest.mark.parametrize(
+        "grid,levels", [((2, 1), 2), ((3, 1), 1), ((2, 2), 3), ((1, 2), 0)]
+    )
+    def test_multi_tile_round_trip(self, tmp_path, grid, levels):
+        """Tiled frames (one 0xFF01 record run per tile, raster order —
+        the layout high-MP bodies use, incl. uneven edge tiles from a
+        3-column split) reassemble bit-exactly."""
+        from raw_fixtures import write_cr3_raw
+
+        cols, rows = grid
+        p = str(tmp_path / f"t{cols}x{rows}.cr3")
+        truth = self._mosaic(96, 132, seed=cols * 10 + rows)
+        write_cr3_raw(p, truth, levels=levels, tile_cols=cols, tile_rows=rows)
+        raw = read_raw(p)
+        np.testing.assert_array_equal(raw.data, truth)
+
+    def test_multi_tile_lossy(self, tmp_path):
+        from raw2film_tpu.io.crx import _Q_DEN, q_num
+
+        from raw_fixtures import write_cr3_raw
+
+        truth = self._mosaic(96, 144, seed=77)
+        p = str(tmp_path / "tq.cr3")
+        write_cr3_raw(p, truth, levels=2, qparam=6, tile_cols=2)
+        err = read_raw(p).data.astype(np.int64) - truth.astype(np.int64)
+        step = q_num(6) / _Q_DEN
+        assert np.abs(err).max() <= 8 * step
+
+    def test_tile_count_mismatch_clear_error(self, tmp_path):
+        """CMP1 declaring a tile grid the record run doesn't carry must
+        abort cleanly (the pre-round-5 single-tile reader's failure mode,
+        now an explicit guard)."""
+        from raw_fixtures import write_cr3_raw
+
+        import struct as _s
+
+        p = str(tmp_path / "tm.cr3")
+        write_cr3_raw(p, self._mosaic(64, 96), levels=1)
+        buf = bytearray(open(p, "rb").read())
+        i = bytes(buf).find(b"CMP1") + 4
+        _s.pack_into(">I", buf, i + 16, 48)  # tile_width 96 -> 48 (2 tiles)
+        open(p, "wb").write(bytes(buf))
+        with pytest.raises(NotImplementedError, match="tile"):
+            read_raw(p)
+
+    @pytest.mark.parametrize("qp", list(range(1, 14)))
+    def test_lossy_every_octave_step(self, tmp_path, qp):
+        """Every quantizer step across two octaves (the 2^(1/6) ladder,
+        qp%6 selecting the numerator and qp//6 the shift) decodes with
+        error bounded by the step through 5/3 synthesis."""
+        from raw2film_tpu.io.crx import _Q_DEN, q_num
+
+        from raw_fixtures import write_cr3_raw
+
+        truth = self._mosaic(64, 96, seed=100 + qp)
+        p = str(tmp_path / f"q{qp}.cr3")
+        write_cr3_raw(p, truth, levels=2, qparam=qp)
+        err = read_raw(p).data.astype(np.int64) - truth.astype(np.int64)
+        step = q_num(qp) / _Q_DEN
+        assert np.abs(err).max() <= 8 * step, (qp, np.abs(err).max(), step)
+        assert np.abs(err).mean() <= step
+
+    @pytest.mark.parametrize("kind", ["spikes", "columns", "checker", "ramp_jump"])
+    def test_k_adaptation_boundaries(self, tmp_path, kind):
+        """Adversarial Rice-parameter adaptation sequences: maximum-contrast
+        patterns force k to swing across its full range (spikes to full
+        scale inside flat runs, alternating min/max columns, per-pixel
+        checker, a mid-frame DC jump). All must round-trip exactly."""
+        from raw_fixtures import write_cr3_raw
+
+        h, w, top = 64, 96, 16383
+        rng = np.random.default_rng(hash(kind) % 2**32)
+        if kind == "spikes":
+            truth = np.full((h, w), 128, np.uint16)
+            iy = rng.integers(0, h, 60)
+            ix = rng.integers(0, w, 60)
+            truth[iy, ix] = top
+        elif kind == "columns":
+            truth = np.zeros((h, w), np.uint16)
+            truth[:, 1::2] = top
+        elif kind == "checker":
+            yy, xx = np.mgrid[0:h, 0:w]
+            truth = np.where((yy + xx) % 2 == 0, 0, top).astype(np.uint16)
+        else:  # ramp_jump
+            truth = np.tile(
+                np.linspace(0, 900, w).astype(np.uint16), (h, 1)
+            )
+            truth[h // 2 :] += top - 1200
+        for levels in (0, 2):
+            p = str(tmp_path / f"{kind}_{levels}.cr3")
+            write_cr3_raw(p, truth, levels=levels)
+            np.testing.assert_array_equal(read_raw(p).data, truth)
+
     def test_nonbaseline_enc_type_clear_error(self, tmp_path):
         from raw_fixtures import write_cr3_raw
 
