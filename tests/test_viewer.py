@@ -445,6 +445,35 @@ class TestViewer:
         assert kw["rotate_times"] == 1 and kw["halation"] is False
         assert kw["shadow_comp"] == 0.5 and kw["flip"] is True
 
+    def test_preview_latency_regression(self, server):
+        """Steady-state slider->frame cycles stay under a GENEROUS bound
+        (the interactive contract benchmarks/preview_latency.py measures
+        precisely on the chip; this pins the wiring never regresses to
+        e.g. a full re-decode or a recompile per slider change). Warm
+        cycles on the 40x64 CPU fixture run in tens of ms; 5 s leaves two
+        orders of magnitude for CI noise."""
+        import time as _time
+
+        base, _, _ = server
+        seq = 0
+
+        def cycle(i):
+            t0 = _time.perf_counter()
+            _post(base + "/api/params",
+                  {"i": 0, "params": {"exp_comp": 0.01 * i}})
+            nonlocal seq
+            _, _, body = _get(base + f"/api/wait?since={seq}")
+            doc = json.loads(body)
+            assert not doc.get("error"), doc
+            seq = doc["seq"]
+            code, _, jpg = _get(base + f"/api/frame.jpg?seq={seq}")
+            assert code == 200 and jpg[:2] == b"\xff\xd8"
+            return _time.perf_counter() - t0
+
+        cycle(0)  # compile + decode-cache warm (not asserted)
+        lat = sorted(cycle(i) for i in range(1, 6))
+        assert lat[len(lat) // 2] < 5.0, lat
+
     def test_lens_confidence_badging(self, server):
         """/api/images exposes per-model provenance so the UI can badge
         class-derived (approximate) corrections; the page carries the badge
