@@ -45,7 +45,7 @@ def _build() -> bool:
         return False
 
 
-_ABI = 10
+_ABI = 11
 
 
 def get_lib():

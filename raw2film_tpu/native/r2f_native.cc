@@ -72,6 +72,11 @@ struct Huff {
   int32_t mincode[17];
   int32_t valptr[17];
   uint8_t values[256];
+  // First-level lookup: lut[peek8] = (symbol << 5) | code_length for codes
+  // of <= 8 bits (almost every symbol in a typical SOF3 ssss table), -1 for
+  // longer codes. Turns the per-symbol decode from up to 16 peek/consume
+  // round trips into one table hit.
+  int16_t lut[256];
   bool valid = false;
 
   void build(const uint8_t counts[16], const uint8_t* vals, int nvals) {
@@ -86,18 +91,40 @@ struct Huff {
       if (counts[l - 1] == 0) maxcode[l] = -1;
     }
     std::memcpy(values, vals, size_t(nvals) < sizeof(values) ? nvals : sizeof(values));
+    for (int i = 0; i < 256; ++i) lut[i] = -1;
+    code = 0;
+    k = 0;
+    for (int l = 1; l <= 16; ++l) {
+      for (int c = 0; c < counts[l - 1]; ++c, ++k, ++code) {
+        if (l <= 8 && k < int(sizeof(values))) {
+          int base = code << (8 - l);
+          int span = 1 << (8 - l);
+          for (int f = 0; f < span; ++f)
+            lut[base + f] = int16_t((int(values[k]) << 5) | l);
+        }
+      }
+      code <<= 1;
+    }
     valid = true;
   }
 
   inline int decode(BitReader& br) const {
-    int code = 0;
-    for (int l = 1; l <= 16; ++l) {
-      code = (code << 1) | int(br.peek(1));
-      br.consume(1);
-      if (maxcode[l] >= 0 && code <= maxcode[l]) {
-        return values[valptr[l] + code - mincode[l]];
+    int16_t e = lut[br.peek(8)];
+    if (e >= 0) {
+      br.consume(e & 31);
+      return e >> 5;
+    }
+    // Long code (> 8 bits): canonical-range walk over the 16-bit window —
+    // identical consumption to the historical bit-by-bit loop.
+    uint32_t pk = br.peek(16);
+    for (int l = 9; l <= 16; ++l) {
+      int cand = int(pk >> (16 - l));
+      if (maxcode[l] >= 0 && cand <= maxcode[l]) {
+        br.consume(l);
+        return values[valptr[l] + cand - mincode[l]];
       }
     }
+    br.consume(16);
     return -1;
   }
 };
@@ -283,10 +310,28 @@ int r2f_decode_nef(const uint8_t* src, long len, const uint8_t* counts1,
                    const uint16_t* vpred_in, const uint16_t* curve,
                    long curve_len, int width, int height, uint16_t* out) {
   if (width <= 0 || height <= 0 || curve_len <= 0) return -1;
-  Huff huff[2];
-  huff[0].build(counts1, values1, nvals1);
+  // Full 16-bit decode LUTs: entry = (code_length << 8) | symbol, 0xffff =
+  // invalid prefix. One table hit per symbol instead of the canonical
+  // bit-by-bit walk (128 KB/table, built once per frame).
+  auto build_lut16 = [](const uint8_t counts[16], const uint8_t* vals,
+                        int nvals, std::vector<uint16_t>& t) {
+    t.assign(65536, 0xffff);
+    int code = 0, k = 0;
+    for (int l = 1; l <= 16; ++l) {
+      for (int c = 0; c < counts[l - 1]; ++c, ++k, ++code) {
+        if (k >= nvals) return;
+        uint32_t base = uint32_t(code) << (16 - l);
+        uint32_t span = 1u << (16 - l);
+        for (uint32_t f = 0; f < span; ++f)
+          t[base + f] = uint16_t((l << 8) | vals[k]);
+      }
+      code <<= 1;
+    }
+  };
+  std::vector<uint16_t> lut[2];
+  build_lut16(counts1, values1, nvals1, lut[0]);
   if (split_row > 0 && counts2 && values2) {
-    huff[1].build(counts2, values2, nvals2);
+    build_lut16(counts2, values2, nvals2, lut[1]);
   }
 
   // Plain MSB-first bit reader (no JPEG stuffing, no markers).
@@ -309,24 +354,22 @@ int r2f_decode_nef(const uint8_t* src, long len, const uint8_t* counts1,
     nbits -= n;
     return int(v);
   };
-  auto gethuff = [&](const Huff& h) -> int {
-    int code = 0;
-    for (int l = 1; l <= 16; ++l) {
-      code = (code << 1) | getbits(1);
-      if (h.maxcode[l] >= 0 && code <= h.maxcode[l]) {
-        return h.values[h.valptr[l] + code - h.mincode[l]];
-      }
-    }
-    return -1;
+  auto gethuff = [&](const std::vector<uint16_t>& t) -> int {
+    fill();
+    uint16_t e = t[size_t(bits >> 16)];
+    if (e == 0xffff) return -1;
+    bits <<= (e >> 8);
+    nbits -= (e >> 8);
+    return e & 0xff;
   };
 
   int32_t vpred[2][2] = {
       {int32_t(vpred_in[0]), int32_t(vpred_in[1])},
       {int32_t(vpred_in[2]), int32_t(vpred_in[3])}};
   int32_t hpred[2] = {0, 0};
-  const Huff* h = &huff[0];
+  const std::vector<uint16_t>* h = &lut[0];
   for (int row = 0; row < height; ++row) {
-    if (split_row > 0 && row == split_row) h = &huff[1];
+    if (split_row > 0 && row == split_row) h = &lut[1];
     for (int col = 0; col < width; ++col) {
       int sym = gethuff(*h);
       if (sym < 0) return -9;
@@ -820,6 +863,23 @@ struct BitIn {
   BitIn(const uint8_t* data, long len) : p(data), end(data + len) {}
 
   inline void fill() {
+    if (n > 55) return;
+#if defined(__BYTE_ORDER__) && __BYTE_ORDER__ == __ORDER_LITTLE_ENDIAN__
+    if (end - p >= 8) {
+      // Bulk path: one unaligned 64-bit load replaces up to seven
+      // byte-at-a-time bound checks (the decode hot loop refills every
+      // code). Only whole bytes the cursor actually advances over are
+      // OR'd in; the tail (<8 bytes left) falls back to the byte loop.
+      uint64_t chunk;
+      std::memcpy(&chunk, p, 8);
+      chunk = __builtin_bswap64(chunk);
+      int bytes = (63 - n) >> 3;
+      acc |= (chunk & (~0ULL << (64 - 8 * bytes))) >> n;
+      p += bytes;
+      n += 8 * bytes;
+      return;
+    }
+#endif
     while (n <= 55) {
       uint64_t b = p < end ? *p++ : 0;  // zero padding past the end is
       acc |= b << (56 - n);             // caught by the consumption check
@@ -1412,6 +1472,23 @@ struct CrxIn {
   CrxIn(const uint8_t* d, size_t len) : base(d), p(d), end(d + len) {}
 
   inline void fill() {
+    if (n > 56) return;
+#if defined(__BYTE_ORDER__) && __BYTE_ORDER__ == __ORDER_LITTLE_ENDIAN__
+    if (n <= 55 && end - p >= 8) {
+      // Bulk path (see fuji::BitIn::fill): one unaligned load per refill
+      // while at least 8 in-record bytes remain; past-end zero padding
+      // stays on the byte loop so `pad` accounting is exact. (n <= 55
+      // keeps bytes >= 1 below — at n == 56 the mask shift would be 64.)
+      uint64_t chunk;
+      std::memcpy(&chunk, p, 8);
+      chunk = __builtin_bswap64(chunk);
+      int bytes = (63 - n) >> 3;
+      acc |= (chunk & (~0ULL << (64 - 8 * bytes))) >> n;
+      p += bytes;
+      n += 8 * bytes;
+      if (n > 56) return;
+    }
+#endif
     while (n <= 56) {
       uint8_t b = 0;
       if (p < end) {
@@ -1557,6 +1634,6 @@ int r2f_decode_crx_band(const uint8_t* data, long len, int width, int height,
   return used > len ? len : used;
 }
 
-int r2f_abi_version() { return 10; }
+int r2f_abi_version() { return 11; }
 
 }  // extern "C"
