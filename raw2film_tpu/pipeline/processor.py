@@ -454,35 +454,64 @@ class Processor:
         mtf_fidelity: bool = False,
         max_scale: float | None = MAX_SCALE_DEFAULT,
         seed: int = 0,
+        fused_decode: bool = True,
         **_,
     ) -> np.ndarray:
         """Load and process an image; returns uint8 (H, W, 3).
 
         Parameter surface mirrors the reference
-        (src/raw2film/cpu_processor.py:269-414).
+        (src/raw2film/cpu_processor.py:269-414). ``fused_decode`` matches
+        process_batch: eligible full-res sources render through the fused
+        mosaic-in program (1/3 the host->device bytes; ≤2 u8 codes vs the
+        staged path, from the exposure-estimator sample — pinned in
+        tests/test_pipeline.py); pass False to force the staged path.
         """
         negative_film = _resolve_stock(negative_film)
         print_film = _resolve_stock(print_film)
 
-        xyz, orig_resolution, _meta = self.load_image(
-            src,
-            frame_width,
-            frame_height,
-            rotation,
-            zoom,
-            rotate_times,
-            flip,
-            resolution,
-            half_size,
-            cache,
-            chroma_nr,
-            max_scale,
-            lens_correction=lens_correction,
-            cam=cam,
-            lens=lens,
-        )
-        # Exporters read EXIF from here instead of re-decoding the RAW.
-        self.last_metadata = dict(_meta or {})
+        # Fused-decode fast path (same eligibility as process_batch): the
+        # u16-derived mosaic uploads at 1/3 the bytes of decoded f32 XYZ
+        # (45MP: 180 MB vs 540 MB host->device) and demosaic + camera
+        # matrix + exposure fold into the render program. This is the
+        # batch-export configuration (the CLI hands decoded RawImages
+        # here); interactive paths (half_size / geometry / lens work)
+        # fall through to the staged decode below.
+        fast = parsed = None
+        if fused_decode:
+            fast, parsed = self._try_load_mosaic(
+                src,
+                dict(
+                    half_size=half_size, rotation=rotation, zoom=zoom,
+                    rotate_times=rotate_times, flip=flip,
+                    resolution=resolution, chroma_nr=chroma_nr,
+                    max_scale=max_scale, lens_correction=lens_correction,
+                    cam=cam, lens=lens, frame_width=frame_width,
+                    frame_height=frame_height,
+                ),
+            )
+        if fast is not None:
+            xyz, orig_resolution = None, None
+            self.last_metadata = dict(parsed.metadata or {})
+        else:
+            xyz, orig_resolution, _meta = self.load_image(
+                parsed if parsed is not None else src,
+                frame_width,
+                frame_height,
+                rotation,
+                zoom,
+                rotate_times,
+                flip,
+                resolution,
+                half_size,
+                cache,
+                chroma_nr,
+                max_scale,
+                lens_correction=lens_correction,
+                cam=cam,
+                lens=lens,
+            )
+            # Exporters read EXIF from here instead of re-decoding the RAW.
+            self.last_metadata = dict(_meta or {})
 
         merged = dict(
             exp_kelvin=exp_kelvin,
@@ -519,18 +548,39 @@ class Processor:
         )
         bundle, prt_mode = self.load_film_bundle(negative_film, print_film, merged)
 
-        scale = max(xyz.shape[-2:]) / max(frame_width, frame_height)
+        if fast is not None:
+            mosaic, norm, pattern, cam_m, gain, crop = fast
+            out_shape = (crop[2], crop[3]) if crop is not None else mosaic.shape
+            scale = max(out_shape) / max(frame_width, frame_height)
+        else:
+            scale = max(xyz.shape[-2:]) / max(frame_width, frame_height)
         cfg = build_render_config(negative_film, print_film, prt_mode, scale, merged)
         bundle, cfg = self._attach_icc(bundle, cfg, icc_transform)
 
-        fusion_key = (cfg, tuple(xyz.shape))
         # fold_in(base, position): the same derivation process_batch uses, so
         # a single render equals the batch render of the same image at
         # position 0 bit-for-bit, grain included.
         key = jax.random.fold_in(jax.random.PRNGKey(seed), 0)
-        out = self._vmem_ladder(
-            fusion_key, cfg, lambda c: render_jit(xyz, bundle, c, key)
-        )  # (3, H, W) uint8
+        if fast is not None:
+            from raw2film_tpu.pipeline.render import render_mosaic_jit
+
+            fusion_key = (cfg, ("mosaic", tuple(mosaic.shape), pattern, crop))
+            mos = jnp.asarray(mosaic)
+            cam_j = jnp.asarray(cam_m)
+            g = jnp.float32(gain)
+            nm = jnp.asarray(norm)
+            out = self._vmem_ladder(
+                fusion_key,
+                cfg,
+                lambda c: render_mosaic_jit(
+                    mos, cam_j, g, bundle, c, key, pattern, crop, nm
+                ),
+            )  # (3, H, W) uint8
+        else:
+            fusion_key = (cfg, tuple(xyz.shape))
+            out = self._vmem_ladder(
+                fusion_key, cfg, lambda c: render_jit(xyz, bundle, c, key)
+            )  # (3, H, W) uint8
 
         image = self._finish(np.asarray(out), None, canvas_mode,
                              canvas_scale, canvas_ratio, orig_resolution)
@@ -600,6 +650,8 @@ class Processor:
         eligible; otherwise the already-parsed RawImage is handed back so
         the standard path never decodes the file twice (host decode is the
         batch wall-clock bottleneck)."""
+        from raw2film_tpu.io.dng import RawImage, read_raw
+
         if isinstance(src, np.ndarray):
             return None, None
         if load_kw.get("half_size", True):
@@ -611,9 +663,11 @@ class Processor:
             return None, None
         if load_kw.get("resolution") is not None or load_kw.get("max_scale") is not None:
             return None, None
-        from raw2film_tpu.io.dng import read_raw
-
-        raw = read_raw(str(src))
+        if load_kw.get("cam") is not None:
+            return None, None  # explicit camera-matrix override: staged only
+        # An already-decoded RawImage (the CLI's decode pool hands these to
+        # process()) skips the re-decode.
+        raw = src if isinstance(src, RawImage) else read_raw(str(src))
         if raw.cfa_pattern is None or len(raw.cfa_pattern) != 4:
             return None, raw
         if int(raw.metadata.get("EXIF:Orientation", 1) or 1) != 1:
@@ -633,7 +687,13 @@ class Processor:
             if prof is not None:
                 return None, raw
         inv_range = 1.0 / max(raw.white_level - raw.black_level, 1.0)
-        mosaic = np.clip(
+        norm = np.asarray([raw.black_level, inv_range], np.float32)
+        # Normalization happens ON DEVICE (render_chain_from_mosaic norm
+        # arg): the upload is the raw u16 codes — 2 bytes/pixel instead of
+        # the 4-byte normalized f32 plane. Host still needs a transient
+        # normalized copy for the exposure estimate below.
+        mosaic_u16 = np.ascontiguousarray(raw.data)
+        mosaic_f32 = np.clip(
             (np.asarray(raw.data, np.float32) - raw.black_level) * inv_range,
             0.0,
             1.0,
@@ -650,14 +710,16 @@ class Processor:
         gain = np.float32(
             2.0
             ** calc_exposure(
-                _half_size_xyz(mosaic, raw.cfa_pattern, cam),
+                _half_size_xyz(mosaic_f32, raw.cfa_pattern, cam),
                 metadata=raw.metadata,
             )
         )
         fw = float(load_kw.get("frame_width", 36.0))
         fh = float(load_kw.get("frame_height", 24.0))
-        mosaic, crop = _mosaic_aspect_crop(mosaic, fw / fh)
-        return (mosaic, raw.cfa_pattern, cam, gain, crop), None
+        mosaic, crop = _mosaic_aspect_crop(mosaic_u16, fw / fh)
+        # The parsed RawImage rides along so fast-path callers can surface
+        # its EXIF (process() exporters read last_metadata).
+        return (mosaic, norm, raw.cfa_pattern, cam, gain, crop), raw
 
     def process_batch(
         self,
@@ -734,10 +796,10 @@ class Processor:
                 else (None, None)
             )
             if fast is not None:
-                mosaic, pattern, cam, gain, crop = fast
+                mosaic, norm, pattern, cam, gain, crop = fast
                 mosaic_buckets.setdefault(
                     (mosaic.shape, pattern, crop), []
-                ).append((idx, mosaic, cam, gain))
+                ).append((idx, mosaic, cam, gain, norm))
                 continue
             xyz, orig_res, _m = self.load_image(
                 parsed if parsed is not None else src, cache=False, **load_kw
@@ -844,16 +906,20 @@ class Processor:
                 return _jax.jit(batch_mosaic_render_fn(c, pattern, crop))
             for g0 in range(0, len(items), group):
                 part = items[g0 : g0 + group]
-                mosaics = jnp.asarray(np.stack([m for _, m, _, _ in part]))
-                cams = jnp.asarray(np.stack([c for _, _, c, _ in part]))
-                gains = jnp.asarray(np.stack([g for _, _, _, g in part]))
+                mosaics = jnp.asarray(np.stack([m for _, m, *_ in part]))
+                cams = jnp.asarray(np.stack([c for _, _, c, _, _ in part]))
+                gains = jnp.asarray(np.stack([g for _, _, _, g, _ in part]))
+                norms = jnp.asarray(np.stack([n for *_, n in part]))
                 keys = jnp.stack(
                     [_jax.random.fold_in(base_key, idx) for idx, *_ in part]
                 )
-                def attempt(c, mosaics=mosaics, cams=cams, gains=gains, keys=keys):
+                def attempt(c, mosaics=mosaics, cams=cams, gains=gains,
+                            keys=keys, norms=norms):
                     if c not in fns:
                         fns[c] = make_fn(c)
-                    return np.asarray(fns[c](mosaics, cams, gains, bundle, keys))
+                    return np.asarray(
+                        fns[c](mosaics, cams, gains, bundle, keys, norms)
+                    )
 
                 # Mosaic scoped-VMEM downgrade ladder, latched as process().
                 out = self._vmem_ladder(fusion_key, cfg, attempt)

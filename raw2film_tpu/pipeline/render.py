@@ -473,6 +473,27 @@ def render_jit(xyz: Array, bundle: dict, cfg: RenderConfig, noise_key: Array):
     return render_chain(xyz, bundle, cfg, noise_key)
 
 
+@partial(jax.jit, static_argnames=("cfg", "pattern", "crop"))
+def render_mosaic_jit(
+    mosaic: Array,
+    cam_to_xyz: Array,
+    gain: Array,
+    bundle: dict,
+    cfg: RenderConfig,
+    noise_key: Array,
+    pattern: str,
+    crop: tuple | None,
+    norm: Array | None = None,
+):
+    """Single-image fused-mosaic render (module-level jit so repeated
+    per-frame process() calls in a batch export reuse one compiled program;
+    gain and the u16 normalization scalars are traced, so per-image
+    exposure/black levels never retrigger compilation)."""
+    return render_chain_from_mosaic(
+        mosaic, cam_to_xyz, bundle, cfg, noise_key, pattern, gain, crop, norm
+    )
+
+
 def render_chain_from_mosaic(
     mosaic: Array,
     cam_to_xyz: Array,
@@ -482,6 +503,7 @@ def render_chain_from_mosaic(
     pattern: str = "RGGB",
     exposure_gain: float | Array = 1.0,
     crop: tuple | None = None,
+    norm: Array | None = None,
 ) -> Array:
     """CFA mosaic -> rendered image in ONE program: fused demosaic + the
     full film chain, with the 3x3 camera matrix and scalar exposure gain
@@ -497,6 +519,15 @@ def render_chain_from_mosaic(
     """
     from raw2film_tpu.ops import demosaic as dm
 
+    if norm is not None:
+        # Raw u16 sensor codes normalize ON DEVICE: callers upload 2 bytes/
+        # pixel instead of the 4-byte normalized f32 plane (45MP: 90 MB vs
+        # 180 MB host->device). Same f32 ops as the host normalization
+        # (io/dng decode path), so the result is bit-identical.
+        black, inv_range = norm[0], norm[1]
+        mosaic = jnp.clip(
+            (mosaic.astype(jnp.float32) - black) * inv_range, 0.0, 1.0
+        )
     b = dict(bundle)
     # HIGHEST precision on the 3x3 fold: the MXU default rounds matmul
     # inputs through bf16 (the round-2 fidelity trap — up to 5 8-bit codes
@@ -526,19 +557,20 @@ def render_chain_from_mosaic(
 
 
 def batch_mosaic_render_fn(cfg: RenderConfig, pattern: str, crop: tuple | None = None):
-    """Batched fused-mosaic render: (B, H, W) mosaics + per-image camera
-    matrices and exposure gains -> (B, 3, H, W) uint8, one device loop
-    (lax.map, like batch_render_fn — the Pallas kernels' block layouts
-    don't admit a vmapped batch dim)."""
+    """Batched fused-mosaic render: (B, H, W) u16 mosaics + per-image
+    camera matrices, exposure gains and (black, inv_range) normalization
+    pairs -> (B, 3, H, W) uint8, one device loop (lax.map, like
+    batch_render_fn — the Pallas kernels' block layouts don't admit a
+    vmapped batch dim)."""
 
-    def fn(mosaics, cams, gains, bundle, keys):
+    def fn(mosaics, cams, gains, bundle, keys, norms):
         def one(args):
-            m, cam, g, k = args
+            m, cam, g, k, nm = args
             return render_chain_from_mosaic(
-                m, cam, bundle, cfg, k, pattern, g, crop
+                m, cam, bundle, cfg, k, pattern, g, crop, nm
             )
 
-        return jax.lax.map(one, (mosaics, cams, gains, keys))
+        return jax.lax.map(one, (mosaics, cams, gains, keys, norms))
 
     return fn
 

@@ -494,6 +494,92 @@ class TestProcessBatch:
             assert d.max() <= 2, d.max()
             assert np.mean(d) <= 1.0, np.mean(d)
 
+    def test_process_single_image_takes_fused_path(self, tmp_path):
+        """Single-image process() routes eligible sources through the fused
+        mosaic program (the CLI batch-export configuration: a 45MP frame
+        uploads 90 MB of u16 codes instead of 540 MB of decoded f32 XYZ):
+        matches the staged path within the documented 2-code bound, matches
+        process_batch position 0 bit-for-bit, and accepts an already-decoded
+        RawImage (the decode-pool handoff) identically."""
+        from raw2film_tpu.io.dng import read_raw, write_dng
+
+        rng = np.random.default_rng(11)
+        yy, xx = np.mgrid[0:60, 0:94]
+        m = (
+            6000
+            + 9000 * np.abs(np.sin(xx / 11.0)) * np.abs(np.cos(yy / 7.0))
+            + rng.integers(0, 500, (60, 94))
+        ).astype(np.uint16)
+        p = str(tmp_path / "t.dng")
+        write_dng(p, m, white_level=60000)
+        proc = Processor()
+        kw = dict(print_film=None, grain=0, halation=False, sharpness=False,
+                  half_size=False, max_scale=None)
+        fused = proc.process(p, "Kodak Portra 400", **kw)
+        staged = proc.process(p, "Kodak Portra 400", fused_decode=False, **kw)
+        assert fused.shape == staged.shape
+        d = np.abs(fused.astype(np.int32) - staged.astype(np.int32))
+        assert d.max() <= 2 and np.mean(d) <= 1.0, (d.max(), np.mean(d))
+        # RawImage input (CLI decode pool) is identical and fast-eligible.
+        raw = read_raw(p)
+        fast, parsed = proc._try_load_mosaic(
+            raw, dict(half_size=False, max_scale=None)
+        )
+        assert fast is not None and parsed is raw
+        np.testing.assert_array_equal(
+            proc.process(raw, "Kodak Portra 400", **kw), fused
+        )
+        # Exporters read EXIF through the processor on the fast path too.
+        assert isinstance(proc.last_metadata, dict) and proc.last_metadata
+        # Batch position-0 equivalence (grain keys fold identically).
+        np.testing.assert_array_equal(
+            proc.process_batch([p], "Kodak Portra 400", **kw)[0], fused
+        )
+
+    def test_device_u16_normalization_matches_host(self):
+        """The fused path's on-device (u16 - black) * inv normalization is
+        bit-identical to the host f32 normalization it replaced."""
+        import jax
+
+        from raw2film_tpu.pipeline.render import render_chain_from_mosaic
+        from raw2film_tpu.pipeline.processor import (
+            build_render_config, Processor,
+        )
+
+        rng = np.random.default_rng(5)
+        m16 = rng.integers(400, 60000, (32, 48)).astype(np.uint16)
+        black, white = 512.0, 60000.0
+        inv = 1.0 / (white - black)
+        host = np.clip((m16.astype(np.float32) - black) * inv, 0.0, 1.0)
+        proc = Processor()
+        from raw2film_tpu.film.loader import load_film_stocks
+
+        neg = load_film_stocks()["Kodak Portra 400"]
+        merged = dict(
+            exp_kelvin=6500.0, tint=0.0, exp_comp=0.0, push_pull=0.0,
+            color_masking=1.0, red_light=0.0, green_light=0.0,
+            blue_light=0.0, projector_kelvin=6500.0, shadow_comp=0.0,
+            sat_adjust=1.0, inversion_gamma=4.0, idealized_curve=False,
+            inversion=False, white_balance=False, white_clip=False,
+            gamma_func="sRGB", halation_intensity=1.0,
+            halation_green_factor=0.4, highlight_burn=0.0, halation=False,
+            halation_size=1.0, sharpness=False, sharpening_strength=0.0,
+            sharpening_sigma=1.0, grain=0, grain_size=6.0, grain_sigma=0.4,
+            burn_scale=50.0, chroma_nr=0, mtf_fidelity=False,
+        )
+        bundle, prt_mode = proc.load_film_bundle(neg, None, merged)
+        cfg = build_render_config(neg, None, prt_mode, 2.0, merged)
+        key = jax.random.PRNGKey(0)
+        cam = np.eye(3, dtype=np.float32)
+        a = np.asarray(render_chain_from_mosaic(
+            jnp.asarray(host), cam, bundle, cfg, key, "RGGB", 1.0, None
+        ))
+        b = np.asarray(render_chain_from_mosaic(
+            jnp.asarray(m16), cam, bundle, cfg, key, "RGGB", 1.0, None,
+            jnp.asarray([black, inv], jnp.float32),
+        ))
+        np.testing.assert_array_equal(a, b)
+
     def test_mixed_shapes_bucketed(self):
         rng = np.random.default_rng(1)
         imgs = [
