@@ -20,8 +20,13 @@ src/raw2film/data.py:87-102). This module owns the format natively:
 The fixed Huffman trees are format constants (every NEF uses them; they
 play the role JPEG's standard DHT tables do). The LOSSLESS trees are
 verified by encoder round-trip in tests/test_raw_formats.py; the lossy
-trees follow the same published structure but have no in-repo verification
-fixtures, so lossy versions decode best-effort and are flagged in the
+trees (type-1 and after-split, incl. the shl high-nibble reconstruction,
+sampled-curve expansion, quarter-range 0x44 0x40 curves, and the D100-era
+filler layout) are pinned against an independent Python model on
+adversarial synthetic streams (tests/test_raw_formats.py::TestNikonLossy)
+plus a greedy spec-encoder container round trip — the same conformance
+methodology as the CRX suite. Real-camera lossy files remain unverifiable
+in this zero-egress environment, so lossy decodes stay flagged in the
 metadata.
 """
 

@@ -90,6 +90,7 @@ struct Huff {
       code <<= 1;
       if (counts[l - 1] == 0) maxcode[l] = -1;
     }
+    std::memset(values, 0, sizeof(values));  // counts > nvals pad symbol 0
     std::memcpy(values, vals, size_t(nvals) < sizeof(values) ? nvals : sizeof(values));
     for (int i = 0; i < 256; ++i) lut[i] = -1;
     code = 0;
@@ -319,11 +320,14 @@ int r2f_decode_nef(const uint8_t* src, long len, const uint8_t* counts1,
     int code = 0, k = 0;
     for (int l = 1; l <= 16; ++l) {
       for (int c = 0; c < counts[l - 1]; ++c, ++k, ++code) {
-        if (k >= nvals) return;
+        // Counts outnumbering the listed values pad with symbol 0: the
+        // dcraw nikon_tree rows rely on their trailing zero bytes (the
+        // 12-bit lossy tree lists 13 values for 14 codes).
+        uint8_t v = k < nvals ? vals[k] : 0;
         uint32_t base = uint32_t(code) << (16 - l);
         uint32_t span = 1u << (16 - l);
         for (uint32_t f = 0; f < span; ++f)
-          t[base + f] = uint16_t((l << 8) | vals[k]);
+          t[base + f] = uint16_t((l << 8) | v);
       }
       code <<= 1;
     }

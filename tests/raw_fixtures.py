@@ -269,13 +269,16 @@ class _MsbBitWriter:
 
 
 def _canonical_codes(counts, values):
-    """JPEG-canonical (code, length) per symbol value."""
+    """JPEG-canonical (code, length) per symbol value. Tables whose counts
+    outnumber the listed values pad with symbol 0 — the dcraw nikon_tree
+    rows rely on their trailing zero bytes this way (the 12-bit lossy tree
+    lists 13 values for 14 codes)."""
     codes = {}
     code = 0
     k = 0
     for length in range(1, 17):
         for _ in range(counts[length - 1]):
-            codes[values[k]] = (code, length)
+            codes[values[k] if k < len(values) else 0] = (code, length)
             code += 1
             k += 1
         code <<= 1
@@ -317,6 +320,207 @@ def nef_compress_lossless(mosaic: np.ndarray, bits: int) -> tuple[bytes, bytes]:
     return bw.done(), blob
 
 
+def _nef_tree_symbols(counts, values):
+    """(symbol, code, code_len) per tree entry, canonical order."""
+    codes = _canonical_codes(counts, values)
+    return [(sym, c, l) for sym, (c, l) in codes.items()]
+
+
+def _nef_decode_diff(v: int, length: int, shl: int) -> int:
+    """dcraw nikon_load_raw residual reconstruction: extra bits ``v`` of a
+    symbol (len=length, shl=high-nibble shift) -> signed diff. shl>0 symbols
+    (the after-split lossy trees) reconstruct on a 2^shl grid."""
+    diff = ((v << 1) + 1) << shl >> 1
+    if length > 0 and (diff & (1 << (length - 1))) == 0:
+        diff -= (1 << length) - (0 if shl else 1)
+    return diff
+
+
+def nef_lossy_stream(
+    bits: int,
+    width: int,
+    height: int,
+    version=(0x44, 0x10),
+    split_row: int = 0,
+    seed: int = 0,
+    csize: int = 257,
+    d100_filler: bool = False,
+):
+    """Adversarial lossy-NEF conformance fixture: a random-but-valid symbol
+    stream drawn from the real lossy code tables, the matching MakerNote
+    0x0096 blob, and the EXPECTED decode computed by an independent Python
+    model of the dcraw semantics (predictors accumulate unclamped; only the
+    final curve lookup clamps to the curve range).
+
+    Returns (bitstream, blob96, expected uint16[height, width]).
+    """
+    from raw2film_tpu.io.nef import _TREES
+
+    b = "14" if bits == 14 else "12"
+    vmax = 1 << bits
+    rng = np.random.default_rng(seed)
+
+    # Curve: monotone random tone samples. Type-1 lossy (0x44 0x10 /
+    # D100-era) uses the csize samples directly; split versions (0x44
+    # 0x20/0x40) expand by linear interpolation over vmax (0x40: quarter
+    # range).
+    samples = np.sort(rng.integers(0, 65536, csize)).astype(np.uint16)
+    ver0, ver1 = version
+    is_split = ver0 == 0x44 and ver1 in (0x20, 0x40)
+    if is_split:
+        srange = vmax // 4 if ver1 == 0x40 else vmax
+        step = srange // (csize - 1)
+        xs = np.clip(np.arange(csize) * step, 0, vmax - 1)
+        curve = np.interp(np.arange(vmax), xs, samples.astype(np.float64))
+        curve = curve.astype(np.uint16)
+    else:
+        curve = samples.copy()
+
+    vpred_init = rng.integers(0, vmax, (2, 2)).astype(np.int64)
+    trees = [_nef_tree_symbols(*_TREES[f"{b}_lossy"])]
+    use_split = is_split and 0 < split_row < height
+    if use_split:
+        trees.append(_nef_tree_symbols(*_TREES[f"{b}_split"]))
+
+    bw = _MsbBitWriter()
+    expected = np.zeros((height, width), np.uint16)
+    vpred = vpred_init.copy()
+    hpred = [0, 0]
+    cur = trees[0]
+    for row in range(height):
+        if use_split and row == split_row:
+            cur = trees[1]
+        for col in range(width):
+            sym, code, code_len = cur[int(rng.integers(0, len(cur)))]
+            length, shl = sym & 15, sym >> 4
+            nextra = length - shl
+            # Bias extras toward the edges (0 / max) half the time: the
+            # adversarial cases for the reconstruction and sign logic.
+            if nextra > 0:
+                if rng.integers(0, 2):
+                    v = int(rng.integers(0, 1 << nextra))
+                else:
+                    v = 0 if rng.integers(0, 2) else (1 << nextra) - 1
+            else:
+                v = 0
+            bw.put(code, code_len)
+            if nextra > 0:
+                bw.put(v, nextra)
+            diff = _nef_decode_diff(v, length, shl)
+            if col < 2:
+                vpred[row & 1, col] += diff
+                hpred[col] = int(vpred[row & 1, col])
+            else:
+                hpred[col & 1] += diff
+            idx = min(max(hpred[col & 1], 0), len(curve) - 1)
+            expected[row, col] = curve[idx]
+
+    blob = bytearray(version)
+    if d100_filler:
+        blob += b"\0" * 2110  # 0x49/0x58 layouts: filler before vpred
+    blob += struct.pack("<4H", *[int(x) for x in vpred_init.ravel()])
+    blob += struct.pack("<H", csize)
+    blob += struct.pack(f"<{csize}H", *[int(s) for s in samples])
+    if is_split:
+        if len(blob) < 562:
+            blob += b"\0" * (562 - len(blob))
+        blob += struct.pack("<H", split_row)
+    return bw.done(), bytes(blob), expected
+
+
+def nef_compress_lossy(
+    mosaic: np.ndarray, bits: int, split_row: int = 0, csize: int = 257
+):
+    """Encode curve-domain values as a lossy NEF stream (version 0x44 0x20).
+    Before the split row the type-1 trees are plain ssss categories (every
+    residual exact); after it the split trees quantize large residuals to a
+    2^shl grid, so the encoder is greedy nearest-representable and tracks
+    the DECODER's reconstruction as its predictor state.
+
+    ``mosaic`` holds curve indices in [0, 2^bits). Returns (bitstream,
+    blob96, expected uint16 = curve[decoded indices]) with an identity-
+    sampled curve, so expected ~= mosaic up to curve sampling and residual
+    quantization.
+    """
+    from raw2film_tpu.io.nef import _TREES
+
+    b = "14" if bits == 14 else "12"
+    vmax = 1 << bits
+    m = np.asarray(mosaic, np.int64)
+    h, w = m.shape
+    if not (0 < split_row < h):
+        raise ValueError("split_row must land inside the image")
+
+    # Identity-sampled curve: samples at step boundaries, expanded back by
+    # the decoder's linear interp (exact at multiples of step).
+    step = vmax // (csize - 1)
+    samples = np.minimum(np.arange(csize) * step, vmax - 1).astype(np.uint16)
+    xs = np.clip(np.arange(csize) * step, 0, vmax - 1)
+    curve = np.interp(np.arange(vmax), xs, samples.astype(np.float64))
+    curve = curve.astype(np.uint16)
+
+    def nearest(tree, d):
+        """(symbol, code, len, v, decoded_diff) minimizing |decoded - d|."""
+        best = None
+        for sym, code, code_len in tree:
+            length, shl = sym & 15, sym >> 4
+            if length == 0:
+                cand = [(0, 0)]
+            else:
+                nextra = length - shl
+                off = 1 << (shl - 1) if shl else 0
+                neg_corr = (1 << length) - (0 if shl else 1)
+                vt_pos = (d - off) >> shl if d >= 0 else 0
+                vt_neg = (d + neg_corr - off) >> shl if d < 0 else 0
+                cand = []
+                for vt in {vt_pos, vt_pos + 1, vt_neg, vt_neg + 1}:
+                    vt = min(max(vt, 0), (1 << nextra) - 1)
+                    cand.append((vt, _nef_decode_diff(vt, length, shl)))
+            for vt, dd in cand:
+                err = abs(dd - d)
+                if best is None or err < best[0] or (
+                    err == best[0] and code_len < best[1]
+                ):
+                    best = (err, code_len, sym, code, vt, dd)
+        _, code_len, sym, code, vt, dd = best
+        return sym, code, code_len, vt, dd
+
+    tree1 = _nef_tree_symbols(*_TREES[f"{b}_lossy"])
+    tree2 = _nef_tree_symbols(*_TREES[f"{b}_split"])
+    bw = _MsbBitWriter()
+    expected = np.zeros((h, w), np.uint16)
+    vpred_init = np.full((2, 2), 1 << (bits - 1), np.int64)
+    vpred = vpred_init.copy()
+    hpred = [0, 0]
+    tree = tree1
+    for row in range(h):
+        if row == split_row:
+            tree = tree2
+        for col in range(w):
+            target = int(m[row, col])
+            prev = int(vpred[row & 1, col]) if col < 2 else hpred[col & 1]
+            sym, code, code_len, v, dd = nearest(tree, target - prev)
+            length, shl = sym & 15, sym >> 4
+            bw.put(code, code_len)
+            if length - shl > 0:
+                bw.put(v, length - shl)
+            dec = prev + dd
+            if col < 2:
+                vpred[row & 1, col] = dec
+                hpred[col] = dec
+            else:
+                hpred[col & 1] = dec
+            expected[row, col] = curve[min(max(dec, 0), vmax - 1)]
+
+    blob = bytearray([0x44, 0x20])
+    blob += struct.pack("<4H", *[int(x) for x in vpred_init.ravel()])
+    blob += struct.pack("<H", csize)
+    blob += struct.pack(f"<{csize}H", *[int(s) for s in samples])
+    blob += b"\0" * (562 - len(blob))
+    blob += struct.pack("<H", split_row)
+    return bw.done(), bytes(blob), expected
+
+
 def _nikon_makernote(blob_0x96: bytes) -> bytes:
     """Self-contained Nikon MakerNote: "Nikon\\0" header + embedded
     little-endian TIFF whose value offsets are relative to its own start."""
@@ -343,6 +547,27 @@ def write_nef_compressed(
     bodies produce; the embedded MakerNote TIFF keeps its own BOM."""
     h, w = mosaic.shape
     payload, blob96 = nef_compress_lossless(np.asarray(mosaic), bits)
+    _write_nef_container(path, payload, blob96, w, h, bits, make, model, endian)
+
+
+def write_nef_lossy(
+    path, mosaic, bits=14, split_row=None,
+    make="NIKON CORPORATION", model="NIKON D780",
+):
+    """NEF carrying a LOSSY (version 0x44 0x20) compressed strip: sampled
+    linearization curve + split-row tree switch. Returns the expected
+    decode (curve-applied, residual-quantized after the split row)."""
+    h, w = mosaic.shape
+    payload, blob96, expected = nef_compress_lossy(
+        np.asarray(mosaic), bits, split_row=split_row or h // 2
+    )
+    _write_nef_container(path, payload, blob96, w, h, bits, make, model, "<")
+    return expected
+
+
+def _write_nef_container(
+    path, payload, blob96, w, h, bits, make, model, endian
+):
     raw = _Ifd()
     raw.add(254, 4, [0])
     raw.add(256, 4, [w])

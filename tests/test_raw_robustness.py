@@ -79,6 +79,11 @@ def _writers(tmp_path):
     p = str(tmp_path / "o.cr3")  # lossy CRAW (quantized HF subbands)
     write_cr3_raw(p, m12[:24, :32], nbits=12, levels=3, qparam=6)
     out.append(p)
+    p = str(tmp_path / "p.nef")  # lossy NEF (0x44 0x20 split trees + curve)
+    from raw_fixtures import write_nef_lossy
+
+    write_nef_lossy(p, m12[:24, :32], bits=12, split_row=12)
+    out.append(p)
     return out
 
 
