@@ -40,6 +40,17 @@ def build_parser() -> argparse.ArgumentParser:
         " into ~/.raw2film_tpu/lenses.json and exit",
     )
     p.add_argument(
+        "--import-sfl",
+        nargs="?",
+        const="",
+        default=None,
+        metavar="PATH",
+        help="import measured film-stock sensitometry from an installed "
+        "spectral_film_lut package (or a source checkout at PATH) into "
+        "~/.raw2film_tpu/stocks_imported.json and exit; imported stocks "
+        "override same-name parametric entries at startup",
+    )
+    p.add_argument(
         "--validate-raw",
         action="store_true",
         help="decode each input RAW and report a per-file verdict (format, "
@@ -183,6 +194,25 @@ def main(argv: list[str] | None = None) -> int:
         profiles = convert_lensfun_db(args.import_lensfun, dst)
         print(f"imported {len(profiles)} lens profiles -> {dst}")
         return 0 if profiles else 1
+
+    if args.import_sfl is not None:
+        from raw2film_tpu.film.import_sfl import import_sfl_stocks
+
+        try:
+            entries, info = import_sfl_stocks(args.import_sfl or None)
+        except ValueError as e:
+            print(f"import failed: {e}", file=sys.stderr)
+            return 1
+        for name, err in info["errors"].items():
+            print(f"  skipped {name}: {err}", file=sys.stderr)
+        worst = max(
+            (max(r["hd_rms"]) for r in info["fits"].values()), default=0.0
+        )
+        print(
+            f"imported {len(entries)} stocks -> {info['path']} "
+            f"(worst H&D fit rms {worst:.4f} density)"
+        )
+        return 0 if entries else 1
 
     if args.validate_raw:
         import json as _json

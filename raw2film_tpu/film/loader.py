@@ -940,15 +940,22 @@ PROVENANCE = {
 @lru_cache(maxsize=1)
 def load_film_stocks() -> dict[str, FilmStock]:
     """Name -> FilmStock database (the reference's film_loader equivalent),
-    each entry carrying its data-grounding note (PROVENANCE)."""
+    each entry carrying its data-grounding note (PROVENANCE). Stocks the
+    user imported from a real spectral_film_lut installation
+    (``--import-sfl``, film/import_sfl.py) overlay the parametric database,
+    overriding same-name entries with measured-fit versions."""
     import dataclasses
 
-    return {
+    stocks = {
         stock.name: dataclasses.replace(
             stock, provenance=PROVENANCE.get(stock.name, "")
         )
         for stock in _stocks()
     }
+    from raw2film_tpu.film.import_sfl import load_imported_stocks
+
+    stocks.update(load_imported_stocks())
+    return stocks
 
 
 def camera_stocks() -> dict[str, FilmStock]:
