@@ -693,6 +693,20 @@ class Processor:
         # the 4-byte normalized f32 plane. Host still needs a transient
         # normalized copy for the exposure estimate below.
         mosaic_u16 = np.ascontiguousarray(raw.data)
+        if mosaic_u16.dtype != np.uint16:
+            # Several readers (RAF/RW2) hand back integral sensor codes as
+            # f32; casting them to u16 halves the upload AND keeps every
+            # container on the ONE compiled u16 program (a separate f32
+            # variant would cold-compile per dtype).
+            as_u16 = mosaic_u16.astype(np.uint16)
+            if (
+                mosaic_u16.min() >= 0.0
+                and mosaic_u16.max() <= 65535.0
+                and np.array_equal(
+                    as_u16.astype(mosaic_u16.dtype), mosaic_u16
+                )
+            ):
+                mosaic_u16 = as_u16
         mosaic_f32 = np.clip(
             (np.asarray(raw.data, np.float32) - raw.black_level) * inv_range,
             0.0,
