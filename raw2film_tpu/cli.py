@@ -11,6 +11,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import os
+import signal
 import sys
 import time
 
@@ -27,6 +28,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--quality", type=int, default=95, help="JPEG quality")
     p.add_argument("--ext", default=".jpg", choices=[".jpg", ".png", ".tiff"])
     p.add_argument("--list-stocks", action="store_true", help="list film stocks and exit")
+    from raw2film_tpu._version import __version__
+
+    p.add_argument(
+        "--version", action="version", version=f"raw2film-tpu {__version__}"
+    )
     p.add_argument(
         "--serve",
         action="store_true",
@@ -144,6 +150,11 @@ def main(argv: list[str] | None = None) -> int:
     import dataclasses as _dc
 
     from raw2film_tpu.pipeline.params import ImageParams, ProfileParams
+
+    # Die quietly when stdout is a closed pipe (`raw2film-tpu --list-stocks
+    # | head`) instead of tracebacking on BrokenPipeError.
+    if hasattr(signal, "SIGPIPE"):
+        signal.signal(signal.SIGPIPE, signal.SIG_DFL)
 
     args = build_parser().parse_args(argv)
     # Split explicit schema flags (they override the sidecar) from
