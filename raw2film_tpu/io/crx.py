@@ -59,6 +59,7 @@ Entropy-coding rules shared by this decoder and the test encoder
 
 from __future__ import annotations
 
+import os
 import struct
 
 import numpy as np
@@ -339,7 +340,17 @@ def read_raw_payload(buf: bytes, path: str):
     ll_bias = (1 << (cmp1.n_bits + 1)) if cmp1.image_levels else 0
 
     mosaic = np.zeros((cmp1.f_height, cmp1.f_width), np.uint16)
+
+    # Pass 1 (host, trivial): walk the record run computing every band's
+    # byte span and geometry. The stream is strictly sequential, so all
+    # offsets are known BEFORE any entropy decode — which makes the bands
+    # independent decode jobs. Pass 2 fans them out over a thread pool
+    # (the native Rice/DPCM kernel runs with the GIL released via ctypes),
+    # so a many-core host decodes a CR3 near-linearly in cores, matching
+    # the threaded Fuji-strip / remap design in native/r2f_native.cc.
     pos = cmp1.mdat_hdr_size
+    tile_geoms = []  # (y0, x0, th_t, tw_t, ph, pw, dims)
+    band_jobs = []  # flat, record order: (pos, dsz, w, h, bits, dpcm, qp)
     for ti, band_recs in enumerate(tile_runs):
         t_row, t_col = divmod(ti, n_tx)
         y0, x0 = t_row * cmp1.tile_height, t_col * cmp1.tile_width
@@ -352,7 +363,7 @@ def read_raw_payload(buf: bytes, path: str):
             )
         ph, pw = th_t // 2, tw_t // 2
         dims = _band_dims(ph, pw, cmp1.image_levels)
-        planes = []
+        tile_geoms.append((y0, x0, th_t, tw_t, ph, pw, dims))
         ri = 0
         for _p in range(cmp1.n_planes):
             # Band order: LL (coarsest), then (hl, lh, hh) coarsest ->
@@ -366,13 +377,9 @@ def read_raw_payload(buf: bytes, path: str):
                     "convert to DNG"
                 )
             llh, llw = dims[-1]
-            ll = _decode_band_native(
-                sample[pos : pos + dsz], llw, llh, ll_bits, True
-            )
-            ll = ll.astype(np.int64) - ll_bias
+            band_jobs.append((pos, dsz, llw, llh, ll_bits, True, 0))
             pos += dsz
             ri += 1
-            highs = []
             for lvl in range(cmp1.image_levels):
                 # Subband shapes at this level (see _reconstruct for the
                 # split order): the W split gives lw low / tw-lw high
@@ -380,27 +387,53 @@ def read_raw_payload(buf: bytes, path: str):
                 # th-(th+1)//2 high rows.
                 th, tw = dims[cmp1.image_levels - 1 - lvl]
                 lw = (tw + 1) // 2
-                hl_shape = ((th + 1) // 2, tw - lw)
-                lh_shape = (th - (th + 1) // 2, lw)
-                hh_shape = (th - (th + 1) // 2, tw - lw)
-                tri = []
-                for bh, bw in (hl_shape, lh_shape, hh_shape):
+                for bh, bw in (
+                    ((th + 1) // 2, tw - lw),
+                    (th - (th + 1) // 2, lw),
+                    (th - (th + 1) // 2, tw - lw),
+                ):
                     _, dsz, _, bq = band_recs[ri]
-                    if bh == 0 or bw == 0:
-                        band = np.zeros((bh, bw), np.int64)
-                    else:
-                        band = _decode_band_native(
-                            sample[pos : pos + dsz], bw, bh, cmp1.n_bits,
-                            False,
-                        )
+                    band_jobs.append(
+                        (pos, dsz, bw, bh, cmp1.n_bits, False, bq)
+                    )
                     pos += dsz
                     ri += 1
-                    tri.append(dequantize(band.astype(np.int64), bq))
-                highs.append(tuple(tri))
+
+    def _decode_job(job):
+        jpos, jdsz, jw, jh, jbits, jdpcm, jq = job
+        if jh == 0 or jw == 0:
+            return np.zeros((jh, jw), np.int64)
+        band = _decode_band_native(
+            sample[jpos : jpos + jdsz], jw, jh, jbits, jdpcm
+        ).astype(np.int64)
+        if jdpcm:  # LL band: bias removal instead of dequantization
+            return band - ll_bias
+        return dequantize(band, jq)
+
+    nworkers = int(
+        os.environ.get("R2F_DECODE_THREADS", 0)
+    ) or min(16, os.cpu_count() or 1)
+    nworkers = min(nworkers, len(band_jobs))
+    if nworkers > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=nworkers) as ex:
+            bands = list(ex.map(_decode_job, band_jobs))
+    else:
+        bands = [_decode_job(j) for j in band_jobs]
+
+    bi = iter(bands)
+    for y0, x0, th_t, tw_t, ph, pw, dims in tile_geoms:
+        planes = []
+        for _p in range(cmp1.n_planes):
+            ll = next(bi)
+            highs = []
+            for _lvl in range(cmp1.image_levels):
+                highs.append((next(bi), next(bi), next(bi)))
             if cmp1.image_levels:
-                plane = _reconstruct(ll.astype(np.int64), highs, ph, pw)
+                plane = _reconstruct(ll, highs, ph, pw)
             else:
-                plane = ll.astype(np.int64)
+                plane = ll
             if plane.shape != (ph, pw):
                 raise ValueError("CRX: reconstructed plane shape mismatch")
             lo, hi = int(plane.min()), int(plane.max())

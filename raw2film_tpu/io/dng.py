@@ -464,7 +464,10 @@ def _read_tiff_raw(buf: bytes, path: str) -> RawImage:
                 import concurrent.futures as _cf
                 import os as _os
 
-                workers = min(len(jobs), _os.cpu_count() or 1, 16)
+                workers = int(
+                    _os.environ.get("R2F_DECODE_THREADS", 0)
+                ) or min(_os.cpu_count() or 1, 16)
+                workers = min(workers, len(jobs))
                 with _cf.ThreadPoolExecutor(max_workers=workers) as ex:
                     list(ex.map(_one_tile, jobs))
             else:

@@ -1192,6 +1192,25 @@ class TestCRXDecode:
         raw = read_raw(p)
         np.testing.assert_array_equal(raw.data, truth)
 
+    def test_parallel_band_decode_identical(self, tmp_path, monkeypatch):
+        """Band decodes fan out over a thread pool on multi-core hosts
+        (every band's byte span is known before any entropy decode); the
+        pooled result must be bit-identical to the sequential path. Forced
+        via R2F_DECODE_THREADS since CI runs on one core."""
+        from raw_fixtures import write_cr3_raw
+
+        truth = self._mosaic(96, 132, seed=3)
+        p1 = str(tmp_path / "seq.cr3")
+        p2 = str(tmp_path / "par.cr3")
+        write_cr3_raw(p1, truth, levels=2, tile_cols=2)
+        write_cr3_raw(p2, truth, levels=2, tile_cols=2)
+        monkeypatch.setenv("R2F_DECODE_THREADS", "1")
+        seq = read_raw(p1).data
+        monkeypatch.setenv("R2F_DECODE_THREADS", "4")
+        par = read_raw(p2).data
+        np.testing.assert_array_equal(seq, par)
+        np.testing.assert_array_equal(par, truth)
+
     def test_multi_tile_lossy(self, tmp_path):
         from raw2film_tpu.io.crx import _Q_DEN, q_num
 
