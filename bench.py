@@ -135,11 +135,17 @@ def main() -> None:
     PASSES = 4
     MAX_PASSES = 10
     dts = []
+    all_dts = []  # every measured pass, anomalous included (fallback pool)
     anomalies = 0
     attempts = 0
     while len(dts) < PASSES and attempts < MAX_PASSES:
         dt, t_one, t_many = one_pass(attempts)
         attempts += 1
+        # Fallback pool entry: when dt is implausibly SMALL (poisoned t_one
+        # deflates the subtraction), substitute the per-iter time — an
+        # overestimate of the frame cost, never an understatement.
+        _pi = t_many / ITERS
+        all_dts.append(dt if dt >= 0.25 * _pi else _pi)
         # Anomaly signature (r4): a stall inside the enqueue window makes the
         # apparent per-iter time explode relative to the warm single call.
         # t_one itself can also be the poisoned sample (making dt ~0 or even
@@ -155,8 +161,11 @@ def main() -> None:
             )
             continue
         dts.append(dt)
-    if not dts:  # every pass anomalous: report the least-bad data we have
-        dts = [dt]
+    if not dts:
+        # Every pass anomalous: report the least-bad data we have — the
+        # MINIMUM over all attempts (min is the right estimator under
+        # non-negative noise), not whichever pass happened to come last.
+        dts = [min(all_dts)]
 
     dts.sort()
     dt = dts[0]

@@ -154,6 +154,18 @@ def _sample_density_curve(stock):
     return arr[0], arr[1:]
 
 
+def _nonempty(v) -> bool:
+    """Emptiness without bare truthiness (ndarray truth values raise)."""
+    if v is None:
+        return False
+    if isinstance(v, np.ndarray):
+        return v.size > 0
+    try:
+        return len(v) > 0
+    except TypeError:
+        return True  # scalar (0.0 RMS is still a recordable measurement)
+
+
 def import_stock(name: str, stock) -> tuple[dict, dict]:
     """One sfl stock -> (FilmStock-compatible dict, fit report)."""
     x, dens = _sample_density_curve(stock)
@@ -161,7 +173,10 @@ def import_stock(name: str, stock) -> tuple[dict, dict]:
 
     mtf_model, mtf_rms = None, None
     mtf = getattr(stock, "mtf", None)
-    if mtf:
+    # Never bare truthiness: sfl attrs may be numpy arrays, whose truth
+    # value raises (the reference guards the same way, reference:
+    # src/raw2film/cpu_processor.py:382 `stock.mtf is not None`).
+    if _nonempty(mtf):
         try:
             first = mtf[0] if isinstance(mtf, (list, tuple)) else mtf
             logf, vals = np.asarray(first[0]), np.asarray(first[1])
@@ -181,8 +196,10 @@ def import_stock(name: str, stock) -> tuple[dict, dict]:
     if mtf_model is not None:
         entry["mtf_model"] = dataclasses.asdict(mtf_model)
     rms = getattr(stock, "rms", None)
-    if rms:
-        entry["grain"] = {"rms": float(rms)}
+    if _nonempty(rms):
+        # Per-channel RMS arrays collapse to their mean: the grain model
+        # carries one scalar granularity (film/stock.py GrainModel.rms).
+        entry["grain"] = {"rms": float(np.mean(rms))}
     report = {
         "hd_rms": [float(r) for r in np.atleast_1d(hd_rms)],
         "mtf_rms": mtf_rms,
@@ -218,9 +235,13 @@ def import_sfl_stocks(source: str | None = None, out_path: str | None = None):
 # ------------------------------------------------------------------ load
 
 
-def stock_from_dict(entry: dict) -> FilmStock:
+def stock_from_dict(entry: dict, base: FilmStock | None = None) -> FilmStock:
     """Deserialize an imported JSON entry into a FilmStock (unknown keys
-    ignored; sensitivities/dyes take the parametric defaults)."""
+    ignored). With ``base`` (the same-name parametric stock), only the
+    fields the entry actually carries are replaced — the parametric stock's
+    tuned spectral sensitivities/dyes and any other unmeasured fields
+    survive the overlay instead of resetting to generic dataclass
+    defaults."""
     kwargs: dict = {}
     fields = {f.name for f in dataclasses.fields(FilmStock)}
     for k, v in entry.items():
@@ -238,11 +259,20 @@ def stock_from_dict(entry: dict) -> FilmStock:
             kwargs[k] = tuple(v)
         else:
             kwargs[k] = v
+    if base is not None:
+        return dataclasses.replace(base, **kwargs)
     return FilmStock(**kwargs)
 
 
-def load_imported_stocks() -> dict[str, FilmStock]:
-    """The imported-stock overlay for film.loader (empty when none)."""
+def load_imported_stocks(
+    base: dict[str, FilmStock] | None = None,
+) -> dict[str, FilmStock]:
+    """The imported-stock overlay for film.loader (empty when none).
+
+    ``base`` maps names to the parametric stocks being overlaid; a
+    same-name import keeps the parametric entry's unmeasured fields
+    (spectral sensitivities, dye set) and replaces only what was imported.
+    """
     path = imported_stocks_path()
     if not os.path.exists(path):
         return {}
@@ -252,7 +282,9 @@ def load_imported_stocks() -> dict[str, FilmStock]:
         out = {}
         for entry in doc.get("stocks", []):
             try:
-                stock = stock_from_dict(entry)
+                stock = stock_from_dict(
+                    entry, (base or {}).get(entry.get("name"))
+                )
                 out[stock.name] = stock
             except (TypeError, ValueError):
                 continue  # one corrupt entry must not hide the rest

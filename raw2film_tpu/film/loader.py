@@ -954,7 +954,9 @@ def load_film_stocks() -> dict[str, FilmStock]:
     }
     from raw2film_tpu.film.import_sfl import load_imported_stocks
 
-    stocks.update(load_imported_stocks())
+    # Same-name imports overlay only their measured fields (the parametric
+    # sensitivities/dyes survive — see stock_from_dict's base handling).
+    stocks.update(load_imported_stocks(base=stocks))
     return stocks
 
 

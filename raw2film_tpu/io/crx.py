@@ -294,6 +294,16 @@ def read_raw_payload(buf: bytes, path: str):
     tile_runs: list[list] = []
     for rec in records:
         if rec[0] == 0xFF01:
+            # Reassembly below assumes raster order; a real camera writing
+            # tile records out of order would otherwise place every tile at
+            # the wrong (row, col) and return a silently scrambled mosaic.
+            # The 0xFF01 header carries the tile index — verify, don't trust.
+            if rec[2] != len(tile_runs):
+                raise NotImplementedError(
+                    f"{path}: CRX tile record #{len(tile_runs)} declares "
+                    f"index {rec[2]} (non-raster tile order is not "
+                    "supported) — convert to DNG"
+                )
             tile_runs.append([])
         elif rec[0] == 0xFF03 and tile_runs:
             tile_runs[-1].append(rec)

@@ -13,6 +13,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import threading
 
 import numpy as np
 
@@ -20,6 +21,7 @@ _DIR = os.path.dirname(os.path.abspath(__file__))
 _LIB_PATH = os.path.join(_DIR, "libr2f_native.so")
 _lib = None
 _tried = False
+_init_lock = threading.Lock()
 
 
 def _build() -> bool:
@@ -45,27 +47,33 @@ def _build() -> bool:
         return False
 
 
-_ABI = 11
+_ABI = 12
 
 
 def get_lib():
     """ctypes handle to the native library, building it on first use (and
     rebuilding once if a stale .so from an older source revision is found).
-    Returns None when unavailable."""
+    Returns None when unavailable. Thread-safe: decode thread pools
+    (io/crx.py, io/dng.py tiles) may race the first use, and the g++ build
+    and CDLL load release the GIL — without the lock, concurrent first
+    callers would observe _tried=True with _lib still None and wrongly
+    conclude the library is unavailable."""
     global _lib, _tried
     if _lib is not None or _tried:
         return _lib
-    _tried = True
-    if not os.path.exists(_LIB_PATH):
-        if not _build():
-            return None
-    lib = _try_load()
-    if lib is None:
-        # Stale or broken binary: rebuild from source once.
-        if not _build():
+    with _init_lock:
+        if _lib is not None or _tried:
+            return _lib
+        if not os.path.exists(_LIB_PATH) and not _build():
+            _tried = True
             return None
         lib = _try_load()
-    _lib = lib
+        if lib is None:
+            # Stale or broken binary: rebuild from source once.
+            if _build():
+                lib = _try_load()
+        _lib = lib
+        _tried = True
     return _lib
 
 

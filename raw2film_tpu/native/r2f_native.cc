@@ -97,7 +97,12 @@ struct Huff {
     k = 0;
     for (int l = 1; l <= 16; ++l) {
       for (int c = 0; c < counts[l - 1]; ++c, ++k, ++code) {
-        if (l <= 8 && k < int(sizeof(values))) {
+        // code < (1<<l) bounds base+span to lut[256]: an over-subscribed
+        // table (sum(counts) <= 256 but too many codes for a length, from
+        // untrusted file data) would otherwise shift past the array — the
+        // canonical-invalid codes simply stay at lut=-1 / maxcode misses
+        // and decode returns -1, which callers treat as corrupt input.
+        if (l <= 8 && k < int(sizeof(values)) && code < (1 << l)) {
           int base = code << (8 - l);
           int span = 1 << (8 - l);
           for (int f = 0; f < span; ++f)
@@ -1638,6 +1643,6 @@ int r2f_decode_crx_band(const uint8_t* data, long len, int width, int height,
   return used > len ? len : used;
 }
 
-int r2f_abi_version() { return 11; }
+int r2f_abi_version() { return 12; }
 
 }  // extern "C"

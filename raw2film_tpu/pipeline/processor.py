@@ -103,26 +103,35 @@ def _mosaic_aspect_crop(
     return np.ascontiguousarray(sup), (dy, dx, ch, cw)
 
 
-def _half_size_xyz(mosaic: np.ndarray, pattern: str, cam_to_xyz: np.ndarray):
+def _half_size_xyz(
+    mosaic: np.ndarray,
+    pattern: str,
+    cam_to_xyz: np.ndarray,
+    black: float = 0.0,
+    inv_range: float = 1.0,
+):
     """Cheap host half-size decode -> (3, H/2, W/2) XYZ for the exposure
     estimator (same statistic the staged path computes on the full-res
     demosaic; the power-mean is a global scalar, so the half-size sample
-    agrees to ~0.01 stop)."""
+    agrees to ~0.01 stop). Takes raw integer codes + normalization params
+    so callers never materialize a full-resolution normalized f32 frame
+    just to feed the quarter-size subsample here."""
     h2, w2 = mosaic.shape[0] // 2, mosaic.shape[1] // 2
     m = mosaic[: h2 * 2, : w2 * 2]
-    cells = {
-        pattern[0]: m[0::2, 0::2],
-        pattern[1]: m[0::2, 1::2],
-        pattern[2]: m[1::2, 0::2],
-        pattern[3]: m[1::2, 1::2],
-    }
+
+    def cell(y, x):  # quarter-size plane, normalized+clipped per pixel
+        p = m[y::2, x::2].astype(np.float32)
+        return np.clip((p - black) * inv_range, 0.0, 1.0)
+
+    c00, c01, c10, c11 = cell(0, 0), cell(0, 1), cell(1, 0), cell(1, 1)
+    cells = {pattern[0]: c00, pattern[1]: c01, pattern[2]: c10, pattern[3]: c11}
     greens = [
-        m[0::2, 1::2] if pattern[1] == "G" else None,
-        m[1::2, 0::2] if pattern[2] == "G" else None,
+        c01 if pattern[1] == "G" else None,
+        c10 if pattern[2] == "G" else None,
     ]
     g = np.mean([x for x in greens if x is not None], axis=0) if any(
         x is not None for x in greens
-    ) else cells.get("G", m[0::2, 0::2])
+    ) else cells.get("G", c00)
     rgb = np.stack([cells.get("R", g), g, cells.get("B", g)])
     return np.einsum("ij,jhw->ihw", cam_to_xyz, rgb).astype(np.float32)
 
@@ -690,8 +699,9 @@ class Processor:
         norm = np.asarray([raw.black_level, inv_range], np.float32)
         # Normalization happens ON DEVICE (render_chain_from_mosaic norm
         # arg): the upload is the raw u16 codes — 2 bytes/pixel instead of
-        # the 4-byte normalized f32 plane. Host still needs a transient
-        # normalized copy for the exposure estimate below.
+        # the 4-byte normalized f32 plane. The exposure estimate below
+        # normalizes only its quarter-size subsampled planes, so no
+        # full-resolution f32 transient is ever materialized on host.
         mosaic_u16 = np.ascontiguousarray(raw.data)
         if mosaic_u16.dtype != np.uint16:
             # Several readers (RAF/RW2) hand back integral sensor codes as
@@ -707,11 +717,6 @@ class Processor:
                 )
             ):
                 mosaic_u16 = as_u16
-        mosaic_f32 = np.clip(
-            (np.asarray(raw.data, np.float32) - raw.black_level) * inv_range,
-            0.0,
-            1.0,
-        )
         cam = (
             np.linalg.inv(np.asarray(raw.color_matrix, np.float64))
             if raw.color_matrix is not None
@@ -724,7 +729,13 @@ class Processor:
         gain = np.float32(
             2.0
             ** calc_exposure(
-                _half_size_xyz(mosaic_f32, raw.cfa_pattern, cam),
+                _half_size_xyz(
+                    raw.data,
+                    raw.cfa_pattern,
+                    cam,
+                    black=float(raw.black_level),
+                    inv_range=float(inv_range),
+                ),
                 metadata=raw.metadata,
             )
         )

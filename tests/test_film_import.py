@@ -224,3 +224,62 @@ class TestSflImport:
         assert rc == 0
         assert "imported 2 stocks" in capsys.readouterr().out
         assert os.path.exists(out)
+
+
+class TestImportRobustness:
+    """Round-5 review regressions: ndarray attribute truthiness and the
+    overlay wiping tuned parametric fields."""
+
+    def test_ndarray_attributes_import_cleanly(self):
+        # sfl attrs can be numpy arrays; bare `if mtf:` / `if rms:` raises
+        # 'truth value of an array is ambiguous' and skipped the stock.
+        from raw2film_tpu.film.import_sfl import import_stock
+
+        class Stock:
+            name = "Arrayed"
+            manufacturer = "MockCo"
+            year = 2001
+            stage = "camera"
+            film_type = "negative"
+            medium = "film"
+            iso = 200.0
+            resolution = 80.0
+            density_measure = "status_m"
+            comment = ""
+            alias = ()
+            f = np.geomspace(1, 250, 32)
+            mtf = np.stack([np.log1p(f), 1.1 / (1 + (f / 50.0) ** 2)])
+            rms = np.asarray([9.0, 10.0, 11.0])  # per-channel granularity
+
+            def get_density_curve(self, push_pull=0, color_masking=None):
+                x = np.linspace(-4.0, 2.0, 96)
+                d = 0.2 + 0.6 * 2.8 * (1 + np.tanh((x + 1.1) / 1.1)) / 2
+                return np.stack([x, d, d * 1.05, d * 1.1])
+
+        entry, report = import_stock("Arrayed", Stock())
+        assert entry["grain"]["rms"] == pytest.approx(10.0)  # mean of channels
+        assert max(report["hd_rms"]) < 0.05
+
+    def test_overlay_preserves_parametric_spectra(self, mock_sfl):
+        # A same-name import must keep the parametric stock's tuned spectral
+        # sensitivities/dyes (not observable through the sfl API), replacing
+        # only the measured fields.
+        src, out = mock_sfl
+        from raw2film_tpu.film.import_sfl import import_sfl_stocks
+        from raw2film_tpu.film.loader import _stocks, load_film_stocks
+
+        import_sfl_stocks(src)
+        doc = json.load(open(out))
+        doc["stocks"][0]["name"] = "Kodak Portra 400"
+        json.dump(doc, open(out, "w"))
+        parametric = {s.name: s for s in _stocks()}["Kodak Portra 400"]
+        load_film_stocks.cache_clear()
+        try:
+            got = load_film_stocks()["Kodak Portra 400"]
+            assert got.provenance.startswith("imported from")
+            assert got.sens == parametric.sens
+            assert got.dyes == parametric.dyes
+            # ...while the measured curve actually replaced the parametric.
+            assert got.curve != parametric.curve
+        finally:
+            load_film_stocks.cache_clear()

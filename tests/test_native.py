@@ -103,3 +103,81 @@ class TestUnpack:
         vals = RNG.integers(0, 255, 100).astype(np.uint8)
         out = unpack_normalize(vals.tobytes(), 100, 8, False, 0.0, 1 / 255.0)
         np.testing.assert_allclose(out, vals / 255.0, atol=1e-6)
+
+
+class TestHuffmanRobustness:
+    """Round-5 review regression: an over-subscribed DHT (sum(counts) <= 256
+    passes the parser guard, but a length declares more codes than fit its
+    bit width) drove the first-level LUT fill out of lut[256] — a stack OOB
+    write from untrusted file bytes. Decode must stay in bounds: clean error
+    or bounded garbage, never a crash."""
+
+    def test_oversubscribed_dht_no_crash(self, tmp_path):
+        import struct as _s
+        import subprocess
+        import sys as _sys
+
+        dht = (
+            b"\xff\xc4"
+            + _s.pack(">H", 2 + 1 + 16 + 255)
+            + b"\x00"
+            + bytes([255] + [0] * 15)  # 255 one-bit codes: only 2 exist
+            + bytes(range(255))
+        )
+        sof = (
+            b"\xff\xc3" + _s.pack(">H", 11) + bytes([12])
+            + _s.pack(">HH", 8, 8) + bytes([1, 0, 0x11, 0])
+        )
+        sos = b"\xff\xda" + _s.pack(">H", 8) + bytes([1, 0, 0x00, 1, 0, 0])
+        stream = b"\xff\xd8" + dht + sof + sos + b"\xaa" * 64 + b"\xff\xd9"
+        p = tmp_path / "oversub.bin"
+        p.write_bytes(stream)
+        # Subprocess so a segfault shows as a crash return code, not a
+        # killed test runner.
+        code = (
+            "from raw2film_tpu.native import decode_ljpeg\n"
+            f"data = open({str(p)!r}, 'rb').read()\n"
+            "try:\n"
+            "    decode_ljpeg(data, 1 << 16)\n"
+            "except (ValueError, NotImplementedError):\n"
+            "    pass\n"
+            "print('SURVIVED')\n"
+        )
+        r = subprocess.run(
+            [_sys.executable, "-c", code],
+            capture_output=True,
+            text=True,
+            timeout=180,
+        )
+        assert r.returncode == 0, f"decoder crashed: rc={r.returncode} {r.stderr[-200:]}"
+        assert "SURVIVED" in r.stdout
+
+
+class TestGetLibThreadSafety:
+    def test_concurrent_first_use(self):
+        """Round-5 review regression: decode thread pools racing the lazy
+        get_lib() init observed _tried=True with _lib still None and wrongly
+        reported the native library unavailable. All concurrent first
+        callers must receive the handle."""
+        import subprocess
+        import sys as _sys
+
+        code = (
+            "import threading\n"
+            "from raw2film_tpu import native\n"
+            "res = []\n"
+            "bar = threading.Barrier(8)\n"
+            "def go():\n"
+            "    bar.wait()\n"
+            "    res.append(native.get_lib() is not None)\n"
+            "ts = [threading.Thread(target=go) for _ in range(8)]\n"
+            "[t.start() for t in ts]; [t.join() for t in ts]\n"
+            "print('OK' if all(res) and len(res) == 8 else f'FAIL {res}')\n"
+        )
+        r = subprocess.run(
+            [_sys.executable, "-c", code],
+            capture_output=True,
+            text=True,
+            timeout=300,
+        )
+        assert r.returncode == 0 and "OK" in r.stdout, r.stdout + r.stderr[-200:]

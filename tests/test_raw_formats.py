@@ -1223,6 +1223,29 @@ class TestCRXDecode:
         step = q_num(6) / _Q_DEN
         assert np.abs(err).max() <= 8 * step
 
+    def test_tile_order_mismatch_clear_error(self, tmp_path):
+        """Round-5 review regression: reassembly assumes raster order; a
+        record run whose 0xFF01 headers declare a different order must abort
+        (it would otherwise place tiles at the wrong coordinates and return
+        a silently scrambled mosaic)."""
+        from raw_fixtures import write_cr3_raw
+
+        import struct as _s
+
+        p = str(tmp_path / "to.cr3")
+        write_cr3_raw(p, self._mosaic(96, 132, seed=9), levels=1, tile_cols=2)
+        buf = bytearray(open(p, "rb").read())
+        # The two 0xFF01 records carry indices 0 and 1; swap them.
+        pos = bytes(buf).find(b"\xff\x01\x00\x0c")
+        assert pos > 0
+        pos2 = bytes(buf).find(b"\xff\x01\x00\x0c", pos + 4)
+        assert pos2 > 0
+        _s.pack_into(">H", buf, pos + 8, 1)
+        _s.pack_into(">H", buf, pos2 + 8, 0)
+        open(p, "wb").write(bytes(buf))
+        with pytest.raises(NotImplementedError, match="tile"):
+            read_raw(p)
+
     def test_tile_count_mismatch_clear_error(self, tmp_path):
         """CMP1 declaring a tile grid the record run doesn't carry must
         abort cleanly (the pre-round-5 single-tile reader's failure mode,
