@@ -20,15 +20,20 @@ from raw2film_tpu.ops import demosaic as dm
 
 
 def calc_exposure(
-    xyz: np.ndarray, ref_exposure: float = 0.18, metadata: dict | None = None
+    xyz: np.ndarray,
+    ref_exposure: float = 0.18,
+    metadata: dict | None = None,
+    subsampled: bool = False,
 ) -> float:
     """Stops of gain needed to bring the image to mid-grey.
 
     Same estimator family as the reference (power-mean of the 2x-subsampled
     green channel with an EXIF-derived exponent,
-    reference: src/raw2film/color_processing.py:71-99).
+    reference: src/raw2film/color_processing.py:71-99). ``subsampled=True``
+    means the caller already extracted the 2x-subsampled green plane
+    (device-side slicing avoids fetching the full frame for this scalar).
     """
-    lum = np.asarray(xyz)[1, ::2, ::2]
+    lum = np.asarray(xyz) if subsampled else np.asarray(xyz)[1, ::2, ::2]
     factor = 3.0
     if metadata:
         try:
@@ -135,5 +140,9 @@ def raw_to_linear(
         raw = read_raw(src)
         xyz = decode_raw(raw, half_size=half_size)
         metadata = raw.metadata
-    gain = 2.0 ** calc_exposure(np.asarray(xyz), metadata=metadata)
+    # Fetch only the 2x-subsampled green plane the estimator reads (~1/12
+    # of the bytes): a full-res 45MP load would otherwise ship ~540 MB to
+    # host purely for this scalar.
+    lum = np.asarray(xyz[1, ::2, ::2])
+    gain = 2.0 ** calc_exposure(lum, metadata=metadata, subsampled=True)
     return xyz * gain, metadata

@@ -101,10 +101,14 @@ def burn_smallmap(
     mask = jnp.maximum(g - d_ref_green, 0.0)
 
     if row_offset is not None and factor > 1:
-        sliced, q, hs = _aligned_slice(mask, factor, row_offset)
+        # Guard BEFORE slicing: a shard shorter than factor-1 rows makes
+        # hs negative, and dynamic_slice_in_dim with a negative length
+        # errors at trace time rather than falling back to the staged path.
+        hs = (h - (factor - 1)) // factor
         ws = w // factor
         if factor <= 8 or hs <= 0 or ws == 0:
             return None
+        sliced, q, hs = _aligned_slice(mask, factor, row_offset)
         if (hs * h + ws * w) * 4 > 6 << 20:
             return None
         small = convops.gaussian_blur(

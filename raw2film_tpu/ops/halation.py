@@ -243,6 +243,10 @@ def halation(
     scale: float,
     halation_size: float = 1.0,
     halation_red_factor: float = 1.0,
+    # 0.4 here vs 0.3 in pipeline/params.py is reference-faithful, not a
+    # drift: the reference's op-level default is 0.4 (effects.py:243) while
+    # its settings schema ships 0.3 (gui.py:500) — users get 0.3, direct
+    # op callers get 0.4, exactly as upstream.
     halation_green_factor: float = 0.4,
     halation_blue_factor: float = 0.0,
     halation_intensity: float = 1.0,

@@ -116,8 +116,16 @@ def film_sharpness_from_key(
     sharpening_strength: float = 0.0,
     sharpening_sigma: float = 1.0,
     signed: bool = False,
+    conservative: bool = False,
+    fusion: bool = True,
 ) -> jnp.ndarray:
-    """Same, taking the pre-hashed MTF tabulation (jit-static friendly)."""
+    """Same, taking the pre-hashed MTF tabulation (jit-static friendly).
+
+    ``conservative``/``fusion`` mirror the VMEM-ladder rungs the fused
+    MTF+grain kernel honors (render.py): rung 1 re-tiles to the long-proven
+    (32, 512), rung 2 skips the Pallas kernel for the XLA SVD conv — so a
+    Mosaic VMEM failure in the standalone (grain-off) kernel is recoverable
+    instead of failing identically three times."""
     k = mtf_kernel(
         mtf_key, float(scale), float(sharpening_strength),
         float(sharpening_sigma), signed=signed,
@@ -125,7 +133,7 @@ def film_sharpness_from_key(
     if k.shape[-1] <= 15:
         return convops.depthwise_conv2d(img, k)
     u3, v3 = _svd_stack(k, tol=2e-3, max_rank=4)
-    if convops._use_pallas():
+    if convops._use_pallas() and fusion:
         # Same measured tile ladder as the MTF+grain mega kernel (the
         # grain-less program needs strictly less VMEM): standalone MTF at
         # (96, 256) runs 7.7-8.2 ms vs 8.8-10.6 for the generic auto tile
@@ -137,6 +145,7 @@ def film_sharpness_from_key(
         tile, chunk = _grain_mega_tile(
             img.shape[-2], img.shape[-1], u3.shape[1],
             u3.shape[2] // 2, v3.shape[2] // 2,
+            conservative=conservative,
         )
         out = pallas_conv2.fused_sep_rank_mxu(
             img, u3, v3, precision="dc", tile_h=tile, chunk=chunk

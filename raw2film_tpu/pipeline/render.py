@@ -327,6 +327,7 @@ def render_chain(
         d = mtf_ops.film_sharpness_from_key(
             d, cfg.mtf_key, cfg.scale, cfg.sharpening_strength,
             cfg.sharpening_sigma, signed=cfg.mtf_signed,
+            conservative=cfg.conservative_tiles, fusion=cfg.fusion,
         )
 
     if grain_on:
@@ -360,6 +361,12 @@ def render_chain(
                 bw=cfg.grain == 1,
                 row_offset=grain_row_offset,
             )
+            # KEEP IN SYNC: this amplitude curve also lives in
+            # ops/grain.py::grain_amplitude_device (scale-unfolded form)
+            # and ops/pallas_grain.py (in-kernel form); all three are
+            # pinned against the float64 oracle (CPU suite drives this
+            # branch, device suite the Pallas one), so a lone edit here
+            # fails those pins rather than desyncing silently.
             t = (d - d_lo) / rng
             shape = floor + (1 - floor) * fm.expe(
                 -0.5 * ((t - peak / rng * 0.5 - 0.25) / (width * 0.35)) ** 2
@@ -517,6 +524,17 @@ def render_chain_from_mosaic(
     This fused entry is the batch-export / benchmark configuration
     (reference's one-shot process(), src/raw2film/cpu_processor.py:269-414).
     """
+    if cfg.chroma_nr != 0:
+        # render_chain's chroma NR stage expects CIE XYZ, but the fused
+        # path folds cam_to_xyz into m_in and hands render_chain the raw
+        # camera RGB — NR on camera-RGB "chromaticities" would silently
+        # diverge from the staged path. Processor gates this off
+        # (_try_load_mosaic rejects chroma_nr); hold direct API callers to
+        # the same contract instead of rendering something different.
+        raise ValueError(
+            "render_chain_from_mosaic does not support chroma_nr; decode "
+            "to XYZ and use render_chain (the staged path) instead"
+        )
     from raw2film_tpu.ops import demosaic as dm
 
     if norm is not None:
@@ -537,7 +555,7 @@ def render_chain_from_mosaic(
         jnp.asarray(cam_to_xyz, jnp.float32) * exposure_gain,
         precision=jax.lax.Precision.HIGHEST,
     )
-    if cfg.chroma_nr == 0 and cfg.fusion:
+    if cfg.fusion:
         # Input transform fused as a demosaic-kernel epilogue: the RGB
         # image never exists in HBM (clip01 -> m_in -> max0 commute with
         # the static crop below).

@@ -173,3 +173,22 @@ def test_print_kernel_tile_fallbacks():
         quantize=False, interpret=True,
     )
     assert out is not None and out.shape == (3, 40, 256)
+
+
+def test_burn_smallmap_short_shard_falls_back():
+    """Round-5 review regression: a shard shorter than factor-1 rows made
+    hs negative and dynamic_slice_in_dim raised at TRACE time; the guard
+    must fire before slicing so the caller falls back to the staged burn."""
+    import jax
+    import jax.numpy as jnp
+
+    from raw2film_tpu.ops import burn as burn_ops
+
+    d = jnp.ones((3, 64, 256), jnp.float32)  # 64 rows < factor-1
+
+    def f(dd, off):
+        # burn_scale 0.5 -> factor = ceil(64/0.5) = 128 > 8, hs <= 0
+        return burn_ops.burn_smallmap(dd, 0.8, burn_scale=0.5, row_offset=off)
+
+    out = jax.eval_shape(lambda dd: f(dd, jnp.int32(0)), d)  # must not raise
+    assert out is None

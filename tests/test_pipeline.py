@@ -782,3 +782,21 @@ class TestFusionCompileFallback:
         assert out2.shape == (48, 72, 3)
         assert calls[3] == (False, True)
         assert len(calls) == 4
+
+
+def test_fused_mosaic_rejects_chroma_nr():
+    """Round-5 review regression: the fused path folds cam_to_xyz into m_in,
+    so render_chain's chroma-NR stage would run on camera RGB — it must
+    refuse rather than silently diverge from the staged path."""
+    import jax
+    import jax.numpy as jnp
+
+    from raw2film_tpu.pipeline.render import RenderConfig, render_chain_from_mosaic
+
+    cfg = RenderConfig(scale=100.0, chroma_nr=2)
+    mosaic = jnp.zeros((8, 8), jnp.uint16)
+    with pytest.raises(ValueError, match="chroma_nr"):
+        render_chain_from_mosaic(
+            mosaic, np.eye(3, dtype=np.float32), {}, cfg,
+            jax.random.PRNGKey(0), "RGGB", 1.0,
+        )
