@@ -23,7 +23,7 @@ from raw2film_tpu.film.sensitometry import HDCurve, density_from_params
 from raw2film_tpu.film.stock import MTFModel
 
 
-def nelder_mead(f, x0, scale, iters=400, seed=0):
+def nelder_mead(f, x0, scale, iters=400):
     """Minimize ``f`` over R^n from ``x0`` with per-dim simplex ``scale``.
 
     Standard reflection/expansion/contraction/shrink simplex; deterministic.

@@ -81,8 +81,26 @@ def discover_stocks(source: str | None = None) -> dict:
     import importlib
     import sys
 
-    if source and os.path.isdir(source):
+    # Scope the sys.path entry to this discovery call: a leaked prefix lets
+    # any stray module in the user's checkout (utils.py, tests/, even a
+    # vendored numpy/) shadow same-named imports for the rest of the
+    # process. Already-imported sfl modules stay in sys.modules, so removal
+    # after discovery is safe.
+    added = None
+    if source and os.path.isdir(source) and source not in sys.path:
         sys.path.insert(0, source)
+        added = source
+    try:
+        return _discover_stocks_inner(importlib)
+    finally:
+        if added is not None:
+            try:
+                sys.path.remove(added)
+            except ValueError:
+                pass
+
+
+def _discover_stocks_inner(importlib) -> dict:
     try:
         pkg = importlib.import_module("spectral_film_lut")
     except ImportError as e:
@@ -188,7 +206,15 @@ def import_stock(name: str, stock) -> tuple[dict, dict]:
     for attr in _META_ATTRS:
         v = getattr(stock, attr, None)
         if v is not None:
-            entry[attr] = v
+            # JSON-safe coercion: sfl attrs can be numpy scalars (iso as
+            # np.int64, resolution as np.float64) which json.dump rejects —
+            # AFTER the per-stock try/except, killing the whole import.
+            if isinstance(v, np.generic):
+                v = v.item()
+            elif isinstance(v, np.ndarray):
+                v = v.tolist()
+            if isinstance(v, (str, bool, int, float, list)):
+                entry[attr] = v
     alias = getattr(stock, "alias", None)
     if alias:
         entry["alias"] = list(alias) if not isinstance(alias, str) else [alias]
@@ -227,8 +253,18 @@ def import_sfl_stocks(source: str | None = None, out_path: str | None = None):
             errors[name] = str(e)
     path = out_path or imported_stocks_path()
     os.makedirs(os.path.dirname(path), exist_ok=True)
+    def _np_default(o):
+        # Last line of defense: the dump sits OUTSIDE the per-stock loop,
+        # so any numpy value that slipped the coercion above must degrade
+        # to its python equivalent, not abort the whole import.
+        if isinstance(o, np.generic):
+            return o.item()
+        if isinstance(o, np.ndarray):
+            return o.tolist()
+        raise TypeError(f"not JSON serializable: {type(o).__name__}")
+
     with open(path, "w") as f:
-        json.dump({"version": 1, "stocks": entries}, f, indent=1)
+        json.dump({"version": 1, "stocks": entries}, f, indent=1, default=_np_default)
     return entries, {"fits": reports, "errors": errors, "path": path}
 
 

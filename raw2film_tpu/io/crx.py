@@ -59,7 +59,6 @@ Entropy-coding rules shared by this decoder and the test encoder
 
 from __future__ import annotations
 
-import os
 import struct
 
 import numpy as np
@@ -420,10 +419,9 @@ def read_raw_payload(buf: bytes, path: str):
             return band - ll_bias
         return dequantize(band, jq)
 
-    nworkers = int(
-        os.environ.get("R2F_DECODE_THREADS", 0)
-    ) or min(16, os.cpu_count() or 1)
-    nworkers = min(nworkers, len(band_jobs))
+    from raw2film_tpu.utils.workers import decode_workers
+
+    nworkers = decode_workers(len(band_jobs))
     if nworkers > 1:
         from concurrent.futures import ThreadPoolExecutor
 

@@ -462,12 +462,10 @@ def _read_tiff_raw(buf: bytes, path: str) -> RawImage:
                 # the GIL (ctypes): a thread pool parallelizes the host
                 # decode — the wall-clock bottleneck of batch export.
                 import concurrent.futures as _cf
-                import os as _os
 
-                workers = int(
-                    _os.environ.get("R2F_DECODE_THREADS", 0)
-                ) or min(_os.cpu_count() or 1, 16)
-                workers = min(workers, len(jobs))
+                from raw2film_tpu.utils.workers import decode_workers
+
+                workers = decode_workers(len(jobs))
                 with _cf.ThreadPoolExecutor(max_workers=workers) as ex:
                     list(ex.map(_one_tile, jobs))
             else:

@@ -150,6 +150,8 @@ class Processor:
         self.lenses = lenses or {}
         self._image_cache_key = None
         self._image_cache = None
+        self._mosaic_cache_key = None
+        self._mosaic_cache = None
         self._bundle_key = None
         self._bundle = None
         self._d_ref_green = 1.0
@@ -497,6 +499,7 @@ class Processor:
                     cam=cam, lens=lens, frame_width=frame_width,
                     frame_height=frame_height,
                 ),
+                cache=cache,
             )
         if fast is not None:
             xyz, orig_resolution = None, None
@@ -652,7 +655,26 @@ class Processor:
 
     # ---------------------------------------------------------- batch
 
-    def _try_load_mosaic(self, src, load_kw: dict):
+    def _try_load_mosaic(self, src, load_kw: dict, cache: bool = False):
+        """Single-slot caching wrapper over the eligibility/prep work: with
+        ``cache=True`` (process()'s default contract) a repeat call on the
+        same path + knobs skips the host decode — the multi-second wall for
+        a 45MP compressed source (e.g. one photo rendered through several
+        film stocks in a loop). Keyed by path only, never by a RawImage
+        instance (freed ids can be reused, same rule as load_image)."""
+        from raw2film_tpu.io.dng import RawImage
+
+        if not cache or isinstance(src, (np.ndarray, RawImage)):
+            return self._try_load_mosaic_impl(src, load_kw)
+        key = (str(src), repr(sorted(load_kw.items(), key=lambda kv: kv[0])))
+        if key == self._mosaic_cache_key:
+            return self._mosaic_cache
+        result = self._try_load_mosaic_impl(src, load_kw)
+        self._mosaic_cache_key = key
+        self._mosaic_cache = result
+        return result
+
+    def _try_load_mosaic_impl(self, src, load_kw: dict):
         """Fused-decode eligibility + host prep for one source. Returns
         (fast_tuple | None, parsed RawImage | None): the fast tuple =
         (normalized mosaic, pattern, cam_to_xyz, exposure_gain, crop) when

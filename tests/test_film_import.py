@@ -260,6 +260,50 @@ class TestImportRobustness:
         assert entry["grain"]["rms"] == pytest.approx(10.0)  # mean of channels
         assert max(report["hd_rms"]) < 0.05
 
+    def test_numpy_scalar_metadata_is_json_safe(self):
+        # sfl stocks can carry iso=np.int64 / resolution=np.float64; the
+        # json.dump sits OUTSIDE the per-stock try/except, so an unconverted
+        # numpy scalar used to abort the WHOLE import with a TypeError.
+        from raw2film_tpu.film.import_sfl import import_stock
+
+        class Stock:
+            name = "NumpyMeta"
+            manufacturer = "MockCo"
+            year = np.int64(2003)
+            stage = "camera"
+            film_type = "negative"
+            medium = "film"
+            iso = np.int64(400)
+            resolution = np.float64(125.0)
+            density_measure = "status_m"
+            comment = ""
+            alias = ()
+            mtf = None
+            rms = np.float32(10.0)
+
+            def get_density_curve(self, push_pull=0, color_masking=None):
+                x = np.linspace(-4.0, 2.0, 96)
+                d = 0.2 + 0.6 * 2.8 * (1 + np.tanh((x + 1.1) / 1.1)) / 2
+                return np.stack([x, d, d * 1.05, d * 1.1])
+
+        entry, _ = import_stock("NumpyMeta", Stock())
+        dumped = json.dumps(entry)  # must not raise
+        back = json.loads(dumped)
+        assert back["iso"] == 400 and back["resolution"] == 125.0
+        assert isinstance(back["year"], int)
+
+    def test_discover_stocks_restores_sys_path(self, mock_sfl):
+        # The checkout path must not leak into sys.path after discovery: a
+        # stray utils.py/tests/ in the user's checkout would shadow
+        # same-named modules for the rest of the process.
+        src, _ = mock_sfl
+        from raw2film_tpu.film.import_sfl import discover_stocks
+
+        before = list(sys.path)
+        stocks = discover_stocks(src)
+        assert stocks and src not in sys.path
+        assert sys.path == before
+
     def test_overlay_preserves_parametric_spectra(self, mock_sfl):
         # A same-name import must keep the parametric stock's tuned spectral
         # sensitivities/dyes (not observable through the sfl API), replacing

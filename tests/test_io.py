@@ -266,3 +266,40 @@ class TestOrientation:
         top = float(out[1, : out.shape[1] // 2, :].mean())
         bottom = float(out[1, out.shape[1] // 2 :, :].mean())
         assert bottom > 3 * top, (top, bottom)
+
+
+class TestDecodeWorkers:
+    """R2F_DECODE_THREADS parse shared by the CRX band pool and the DNG
+    tile pool (round-5 review: int('') used to crash every decode)."""
+
+    def test_malformed_values_fall_back(self, monkeypatch):
+        from raw2film_tpu.utils.workers import decode_workers
+
+        for bad in ("", "auto", "4 workers", "-3", "0", "1.5"):
+            monkeypatch.setenv("R2F_DECODE_THREADS", bad)
+            n = decode_workers(8)
+            assert 1 <= n <= 8, (bad, n)
+
+    def test_override_and_caps(self, monkeypatch):
+        from raw2film_tpu.utils.workers import decode_workers
+
+        monkeypatch.setenv("R2F_DECODE_THREADS", "4")
+        assert decode_workers(100) == 4
+        assert decode_workers(2) == 2  # never more threads than jobs
+        assert decode_workers(1) == 1
+        monkeypatch.delenv("R2F_DECODE_THREADS")
+        assert 1 <= decode_workers(100) <= 16
+
+    def test_malformed_env_does_not_break_decode(self, tmp_path, monkeypatch):
+        # End-to-end: a YAML-style 'unset' (empty string) must not turn a
+        # valid CR3/DNG into a decode error.
+        from raw_fixtures import write_cr3_raw
+
+        from raw2film_tpu.io.dng import read_raw
+
+        monkeypatch.setenv("R2F_DECODE_THREADS", "")
+        m = np.random.default_rng(5).integers(0, 4096, (24, 32)).astype(np.uint16)
+        p = str(tmp_path / "t.cr3")
+        write_cr3_raw(p, m, nbits=12, levels=2)
+        out = read_raw(p).data.astype(np.uint16)
+        np.testing.assert_array_equal(out, m)

@@ -536,6 +536,58 @@ class TestProcessBatch:
             proc.process_batch([p], "Kodak Portra 400", **kw)[0], fused
         )
 
+    def test_process_fused_path_honors_decode_cache(self, tmp_path, monkeypatch):
+        """Repeat process() calls on the same path must not re-decode the
+        file (round-5 review: the fused fast path bypassed both cache
+        layers, costing a multi-second host decode per call — e.g. one
+        photo rendered through several stocks). cache=False opts out."""
+        from raw2film_tpu.io import dng as dng_mod
+        from raw2film_tpu.io.dng import write_dng
+
+        m = (
+            2000
+            + np.random.default_rng(3).integers(0, 30000, (40, 64))
+        ).astype(np.uint16)
+        p = str(tmp_path / "c.dng")
+        write_dng(p, m, white_level=60000)
+
+        calls = {"n": 0}
+        real = dng_mod.read_raw
+
+        def counting(path, *a, **k):
+            calls["n"] += 1
+            return real(path, *a, **k)
+
+        monkeypatch.setattr(dng_mod, "read_raw", counting)
+        # io/raw.py binds read_raw at import time — patch that name too so
+        # the staged fallback's decodes are counted as well.
+        from raw2film_tpu.io import raw as raw_mod
+
+        monkeypatch.setattr(raw_mod, "read_raw", counting)
+        proc = Processor()
+        kw = dict(print_film=None, grain=0, halation=False, sharpness=False,
+                  half_size=False, max_scale=None)
+        first = proc.process(p, "Kodak Portra 400", **kw)
+        n_first = calls["n"]
+        assert n_first >= 1
+        # Same source, different stock: decode must come from the cache.
+        proc.process(p, "Fuji Crystal Archive Maxima", **kw)
+        assert calls["n"] == n_first
+        # Bit-identical repeat with the same stock.
+        np.testing.assert_array_equal(
+            proc.process(p, "Kodak Portra 400", **kw), first
+        )
+        assert calls["n"] == n_first
+        # cache=False forces a fresh decode.
+        proc.process(p, "Kodak Portra 400", cache=False, **kw)
+        assert calls["n"] > n_first
+        # A different geometry knob changes the key -> fresh decode, and the
+        # staged fallback result is itself cached on the repeat call.
+        kw2 = dict(kw, rotate_times=1)
+        n_before = calls["n"]
+        proc.process(p, "Kodak Portra 400", **kw2)
+        assert calls["n"] > n_before
+
     def test_device_u16_normalization_matches_host(self):
         """The fused path's on-device (u16 - black) * inv normalization is
         bit-identical to the host f32 normalization it replaced."""
